@@ -1,0 +1,696 @@
+"""LSHRS orchestrator: hashing + storage + buffered ingestion + queries.
+
+Public API parity with the reference orchestrator
+(`/root/reference/lshrs/core/main.py:58-1201`): ``create_signatures``,
+``ingest``, ``index``, ``flush``, ``query``, ``get_top_k``, ``get_above_p``,
+``delete``, ``clear``, ``stats``, ``save_to_disk``, ``load_from_disk``,
+context-manager and pickle protocols, with the same validation messages,
+candidate ordering ``(-collision_count, index)``, top-p cutoff
+``max(1, ceil(n_candidates * p))`` and buffer-restore-on-failed-flush
+semantics.
+
+TPU-native data flow (default ``backend="device"``):
+
+    ingest/index -> batch MXU hash (one matmul + bitpack)
+                 -> host write buffer (thread-safe, op-counted)
+                 -> flush: one device append per batch
+    query        -> hash -> fused on-device collision scan + exact top-k
+    rerank       -> resident payload matrix or user vector_fetch_fn
+
+Bucket-style backends (``memory``, ``redis``, or any `BaseStorage`) get the
+reference's exact host algorithm: per-band bucket reads + dict counting.
+Within one instance all signatures come from a single hash path (device for
+the device store, host NumPy for bucket stores) so stored and query
+signatures always agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+from collections.abc import Callable, Iterable, Sequence
+from pathlib import Path
+from threading import Lock
+from typing import Any, Optional, Union
+
+import numpy as np
+
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.storage.base import BaseStorage, BucketOperation
+from lshrs_tpu.storage.device import DeviceStore
+from lshrs_tpu.storage.memory import MemoryStorage
+from lshrs_tpu.utils.br import get_optimal_config
+from lshrs_tpu.utils.similarity import top_k_cosine
+
+logger = logging.getLogger(__name__)
+
+VectorFetchFn = Callable[[Sequence[int]], np.ndarray]
+CandidateScores = list[tuple[int, float]]
+Loader = Callable[..., Iterable[tuple[Sequence[int], np.ndarray]]]
+
+_METADATA_VERSION = "0.1.0"
+
+__all__ = ["LSHRS", "lshrs", "VectorFetchFn", "CandidateScores"]
+
+
+class LSHRS:
+    """Locality-sensitive-hashing index over dense float32 vectors.
+
+    Signatures are banded random hyperplane projections; storage is, by
+    default, a device-resident signature store queried with fused XLA
+    kernels. See the class docstrings in `lshrs_tpu.storage` for backends.
+
+    Args:
+        dim: vector dimensionality (> 0).
+        num_perm: total projection bits (``num_bands * rows_per_band``).
+        num_bands / rows_per_band: banding scheme; auto-tuned from
+            ``similarity_threshold`` when either is omitted.
+        similarity_threshold: target similarity for auto-tuning.
+        buffer_size: buffered *bucket operations* (vector count x bands)
+            that trigger an automatic flush.
+        vector_fetch_fn: callable returning ``(n, dim)`` vectors for ids;
+            required for top-p reranking unless ``store_vectors=True``.
+        storage: preconfigured `BaseStorage`; overrides ``backend``.
+        backend: ``"device"`` (TPU-native, default), ``"memory"``
+            (hermetic bucket dict) or ``"redis"`` (server-backed buckets).
+        store_vectors: device backend only — keep vectors HBM-resident so
+            ``get_above_p`` reranks on-device data without a fetch round-trip.
+        redis_*: connection settings used when ``backend="redis"``.
+        seed: projection seed (determinism / reproducibility).
+        initial_capacity / chunk_size: device store sizing knobs.
+    """
+
+    def __init__(
+        self,
+        *,
+        dim: int,
+        num_perm: int = 128,
+        num_bands: Optional[int] = None,
+        rows_per_band: Optional[int] = None,
+        similarity_threshold: float = 0.5,
+        buffer_size: int = 10_000,
+        vector_fetch_fn: Optional[VectorFetchFn] = None,
+        storage: Optional[BaseStorage] = None,
+        backend: str = "device",
+        store_vectors: bool = False,
+        redis_host: str = "localhost",
+        redis_port: int = 6379,
+        redis_db: int = 0,
+        redis_password: Optional[str] = None,
+        redis_prefix: str = "lsh",
+        redis_max_connections: int = 50,
+        decode_responses: bool = False,
+        seed: int = 42,
+        initial_capacity: int = 1 << 14,
+        chunk_size: int = 2048,
+    ) -> None:
+        if dim <= 0:
+            raise ValueError("Vector dimensionality must be greater than zero")
+        if num_perm <= 0:
+            raise ValueError("num_perm must be greater than zero")
+        if buffer_size <= 0:
+            raise ValueError("buffer_size must be greater than zero")
+
+        if num_bands is None or rows_per_band is None:
+            num_bands, rows_per_band = get_optimal_config(num_perm, similarity_threshold)
+        if num_bands * rows_per_band != num_perm:
+            raise ValueError(
+                "num_bands * rows_per_band must equal num_perm "
+                f"(received {num_bands} * {rows_per_band} != {num_perm})"
+            )
+
+        self._dim = dim
+        self._buffer_size = buffer_size
+        self._vector_fetch_fn = vector_fetch_fn
+
+        self._hasher = LSHHasher(
+            num_bands=num_bands, rows_per_band=rows_per_band, dim=dim, seed=seed
+        )
+
+        if storage is not None:
+            self._storage: BaseStorage = storage
+            backend = "device" if storage.supports_signature_batches else "custom"
+        elif backend == "device":
+            self._storage = DeviceStore(
+                num_bands=num_bands,
+                rows_per_band=rows_per_band,
+                dim=dim,
+                store_vectors=store_vectors,
+                initial_capacity=initial_capacity,
+                chunk_size=chunk_size,
+            )
+        elif backend == "memory":
+            self._storage = MemoryStorage()
+        elif backend == "redis":
+            from lshrs_tpu.storage.redis import RedisStorage
+
+            self._storage = RedisStorage(
+                host=redis_host,
+                port=redis_port,
+                db=redis_db,
+                password=redis_password,
+                decode_responses=decode_responses,
+                prefix=redis_prefix,
+                max_connections=redis_max_connections,
+            )
+        else:
+            raise ValueError(f"Unsupported storage backend '{backend}'")
+
+        self._device_mode = self._storage.supports_signature_batches
+        self._store_vectors = store_vectors and self._device_mode
+
+        # Write buffer. Device mode buffers (index, words_row, vector?)
+        # records; bucket mode buffers BucketOperation tuples so the
+        # flush-threshold unit (operations) matches the reference exactly.
+        self._buffer: list = []
+        self._buffer_lock = Lock()
+
+        self._config: dict[str, Any] = {
+            "dim": dim,
+            "num_perm": num_perm,
+            "num_bands": num_bands,
+            "rows_per_band": rows_per_band,
+            "similarity_threshold": similarity_threshold,
+            "buffer_size": buffer_size,
+            "seed": seed,
+        }
+        self._tpu_config: dict[str, Any] = {
+            "backend": backend,
+            "store_vectors": store_vectors,
+            "initial_capacity": initial_capacity,
+            "chunk_size": chunk_size,
+        }
+        self._redis_config: dict[str, Any] = {
+            "host": redis_host,
+            "port": redis_port,
+            "db": redis_db,
+            "password": redis_password,
+            "prefix": redis_prefix,
+            "decode_responses": decode_responses,
+            "max_connections": redis_max_connections,
+        }
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def close(self) -> None:
+        """Flush pending operations and release the storage backend."""
+        self.flush()
+        self._storage.close()
+
+    def __enter__(self) -> "LSHRS":
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback) -> None:
+        self.close()
+
+    def __repr__(self) -> str:  # pragma: no cover - convenience
+        return (
+            "LSHRS("
+            f"dim={self._dim}, "
+            f"num_perm={self._config['num_perm']}, "
+            f"num_bands={self._config['num_bands']}, "
+            f"rows_per_band={self._config['rows_per_band']}, "
+            f"backend='{self._tpu_config['backend']}'"
+            ")"
+        )
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+
+    def create_signatures(self, *, format: str = "postgres", **loader_kwargs: Any) -> None:
+        """Bulk-build the index by streaming ``(indices, vectors)`` batches.
+
+        ``format`` selects a loader: ``postgres``/``pg``, ``parquet``/``pq``
+        or ``numpy``/``npz`` (see `lshrs_tpu.io`). Loader keyword arguments
+        are passed through. Each streamed batch is indexed and flushed
+        atomically (`index` semantics).
+        """
+        loader = self._resolve_loader(format)
+        for indices, vectors in loader(**loader_kwargs):
+            self.index(indices, vectors)
+
+    def ingest(self, index: int, vector: np.ndarray) -> None:
+        """Hash one vector and buffer its bucket operations.
+
+        Buffered data is not searchable until flushed (explicitly, at
+        buffer capacity, via ``index()``, or on close).
+        """
+        if index < 0:
+            raise ValueError("index must be non-negative")
+        vec = self._prepare_vector(vector)
+        if self._device_mode:
+            words = np.asarray(self._hasher.hash_batch_words(vec[None, :]))[0]
+            record = (int(index), words, vec if self._store_vectors else None)
+            with self._buffer_lock:
+                self._buffer.append(record)
+        else:
+            signatures = self._hasher.hash_vector(vec)
+            with self._buffer_lock:
+                for band_id, sig in enumerate(signatures):
+                    self._buffer.append((band_id, sig, int(index)))
+        self._flush_buffer_if_needed()
+
+    def index(self, indices: Sequence[int], vectors: Optional[np.ndarray] = None) -> None:
+        """Index a batch of vectors and flush, making them searchable.
+
+        ``vectors=None`` fetches the batch through ``vector_fetch_fn``.
+        The whole batch is hashed with one device matmul in device mode.
+        """
+        if indices is None or len(indices) == 0:
+            return
+        if vectors is None:
+            fetch_fn = self._require_vector_fetch_fn()
+            vectors = fetch_fn(indices)
+
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self._dim:
+            raise ValueError(
+                f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
+            )
+        if arr.shape[0] != len(indices):
+            raise ValueError(
+                "Number of vectors does not match number of indices "
+                f"(received {arr.shape[0]} vectors for {len(indices)} indices)"
+            )
+        idx_list = [int(i) for i in indices]
+        if any(i < 0 for i in idx_list):
+            raise ValueError("index must be non-negative")
+        zero_rows = np.all(np.abs(arr) <= 1e-8, axis=1)
+        if zero_rows.any():
+            raise ValueError(
+                "Cannot index zero vector - norm undefined. Check embeddings for corruption."
+            )
+
+        if self._device_mode:
+            words = np.asarray(self._hasher.hash_batch_words(arr))
+            with self._buffer_lock:
+                for j, idx in enumerate(idx_list):
+                    self._buffer.append(
+                        (idx, words[j], arr[j] if self._store_vectors else None)
+                    )
+        else:
+            words = self._hasher.hash_batch_words_host(arr)
+            with self._buffer_lock:
+                for j, idx in enumerate(idx_list):
+                    sig = self._hasher.words_to_signature(words[j])
+                    for band_id, band in enumerate(sig):
+                        self._buffer.append((band_id, band, idx))
+        self.flush()
+
+    def flush(self) -> None:
+        """Write buffered operations to storage in one batch.
+
+        On failure the snapshot is restored to the front of the buffer
+        (order-preserving) and the exception re-raised, so a retry flushes
+        the same data.
+        """
+        with self._buffer_lock:
+            if not self._buffer:
+                return
+            pending = list(self._buffer)
+            self._buffer.clear()
+
+        try:
+            if self._device_mode:
+                ids = np.asarray([rec[0] for rec in pending], dtype=np.int64)
+                words = np.stack([rec[1] for rec in pending])
+                vecs = (
+                    np.stack([rec[2] for rec in pending]) if self._store_vectors else None
+                )
+                self._storage.add_signature_batch(ids, words, vecs)  # type: ignore[attr-defined]
+            else:
+                self._storage.batch_add(pending)
+        except Exception as e:
+            logger.error(f"Failed to flush buffer to storage: {e}")
+            with self._buffer_lock:
+                self._buffer[0:0] = pending
+            raise
+
+    def _buffered_ops(self) -> int:
+        """Pending operation count (vector records count num_bands each)."""
+        if self._device_mode:
+            return len(self._buffer) * self._config["num_bands"]
+        return len(self._buffer)
+
+    def _flush_buffer_if_needed(self) -> None:
+        with self._buffer_lock:
+            should_flush = self._buffered_ops() >= self._buffer_size
+        if should_flush:
+            self.flush()
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def query(
+        self,
+        vector: np.ndarray,
+        *,
+        top_k: Optional[int] = 10,
+        top_p: Optional[float] = None,
+    ) -> Union[list[int], CandidateScores]:
+        """Retrieve candidates similar to the query vector.
+
+        Top-k mode (``top_p=None``): ids of the ``top_k`` candidates with
+        the most band collisions, ordered by ``(-count, id)``;
+        ``top_k=None`` returns every colliding candidate.
+
+        Top-p mode: candidates reranked by cosine similarity (resident
+        payload or ``vector_fetch_fn``); returns the top
+        ``max(1, ceil(n_candidates * top_p))`` as ``(id, score)`` tuples,
+        additionally capped by ``top_k`` when given.
+        """
+        query_vector = self._prepare_vector(vector)
+
+        # Fast path: bounded top-k against the device store never
+        # materialises the candidate set on host.
+        if (
+            self._device_mode
+            and top_p is None
+            and top_k is not None
+            and top_k > 0
+        ):
+            qwords = self._hasher.hash_batch_words(query_vector[None, :])
+            counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
+            return [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
+
+        ordered = self._ordered_candidates(query_vector)
+        if not ordered:
+            return []
+
+        if top_p is None:
+            if top_k is None:
+                top_k = len(ordered)
+            if top_k <= 0:
+                raise ValueError("top_k must be greater than zero when provided")
+            return [idx for idx, _ in ordered[:top_k]]
+
+        if not 0 < top_p <= 1:
+            raise ValueError("top_p must be within the range (0, 1]")
+
+        candidate_indices = [idx for idx, _ in ordered]
+        arr = self._fetch_candidates(candidate_indices)
+        similarities = top_k_cosine(query_vector, arr, k=len(candidate_indices))
+        ordered_scores = [(candidate_indices[pos], score) for pos, score in similarities]
+
+        limit = max(1, math.ceil(len(ordered_scores) * top_p))
+        if top_k is not None:
+            if top_k <= 0:
+                raise ValueError("top_k must be greater than zero when provided")
+            limit = min(limit, top_k)
+        return ordered_scores[:limit]
+
+    def query_batch(
+        self, vectors: np.ndarray, *, top_k: int = 10
+    ) -> list[list[int]]:
+        """Batched top-k collision query (device backend fast path).
+
+        Hashes the whole batch with one matmul and runs a single fused
+        scan; this is the high-QPS serving interface the reference lacks.
+        """
+        if top_k is None or top_k <= 0:
+            raise ValueError("top_k must be greater than zero when provided")
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self._dim:
+            raise ValueError(
+                f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
+            )
+        if self._device_mode:
+            qwords = self._hasher.hash_batch_words(arr)
+            counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
+            return [
+                [int(i) for i, c in zip(row_ids, row_counts) if c > 0]
+                for row_ids, row_counts in zip(ids, counts)
+            ]
+        return [self.query(v, top_k=top_k) for v in arr]  # type: ignore[misc]
+
+    def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
+        """Top ``topk`` candidate ids by band-collision count."""
+        results = self.query(vector, top_k=topk, top_p=None)
+        return list(results)  # type: ignore[arg-type]
+
+    def get_above_p(self, vector: np.ndarray, p: float = 0.95) -> CandidateScores:
+        """Cosine-reranked top ``ceil(p * n_candidates)`` scored results."""
+        results = self.query(vector, top_k=None, top_p=p)
+        return list(results)  # type: ignore[arg-type]
+
+    def _ordered_candidates(self, query_vector: np.ndarray) -> list[tuple[int, int]]:
+        """All colliding candidates ordered by ``(-count, id)``."""
+        if self._device_mode:
+            qwords = self._hasher.hash_batch_words(query_vector[None, :])
+            counts, ids = self._storage.query_counts(qwords)  # type: ignore[attr-defined]
+            counts, ids = counts[0], ids
+            hit = counts > 0
+            c, i = counts[hit], ids[hit]
+            order = np.lexsort((i, -c))
+            return [(int(i[j]), int(c[j])) for j in order]
+        counts_map = self._candidate_counts(query_vector)
+        return sorted(counts_map.items(), key=lambda item: (-item[1], item[0]))
+
+    def _candidate_counts(self, query_vector: np.ndarray) -> dict[int, int]:
+        """Bucket-backend path: per-band bucket reads + dict counting."""
+        signatures = self._hasher.hash_vector(query_vector)
+        counts: dict[int, int] = {}
+        for band_id, hash_val in enumerate(signatures):
+            for candidate in self._storage.get_bucket(band_id, hash_val):
+                counts[candidate] = counts.get(candidate, 0) + 1
+        return counts
+
+    def _fetch_candidates(self, candidate_indices: list[int]) -> np.ndarray:
+        """Candidate payloads from the resident matrix or the user callback."""
+        if self._vector_fetch_fn is None and self._store_vectors:
+            return self._storage.get_vectors(candidate_indices)  # type: ignore[attr-defined]
+        fetch_fn = self._require_vector_fetch_fn()
+        candidate_vectors = fetch_fn(candidate_indices)
+        arr = np.asarray(candidate_vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self._dim:
+            raise ValueError(
+                f"Fetched vectors must have shape (n, {self._dim}); received {arr.shape}"
+            )
+        if arr.shape[0] != len(candidate_indices):
+            raise ValueError(
+                "vector_fetch_fn returned mismatched batch size "
+                f"(expected {len(candidate_indices)}, received {arr.shape[0]})"
+            )
+        return arr
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def delete(self, indices: Union[int, Sequence[int]]) -> None:
+        """Hard-delete ids from the index (tombstoned on device)."""
+        to_remove = [indices] if isinstance(indices, int) else [int(i) for i in indices]
+        self._storage.remove_indices(to_remove)
+
+    def clear(self) -> None:
+        """Flush, then drop every indexed entry (projections are kept)."""
+        self.flush()
+        self._storage.clear()
+
+    def stats(self) -> dict[str, Any]:
+        """Configuration snapshot plus backend counters."""
+        out: dict[str, Any] = {
+            "dimension": self._dim,
+            "num_perm": self._config["num_perm"],
+            "num_bands": self._config["num_bands"],
+            "rows_per_band": self._config["rows_per_band"],
+            "buffer_size": self._buffer_size,
+            "similarity_threshold": self._config["similarity_threshold"],
+            "redis_prefix": self._redis_config["prefix"],
+            "backend": self._tpu_config["backend"],
+            "buffered_operations": self._buffered_ops(),
+        }
+        if isinstance(self._storage, DeviceStore):
+            out["index"] = self._storage.stats()
+        return out
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def save_to_disk(self, path: Union[str, Path]) -> None:
+        """Persist config + projections (and device index state) to a dir.
+
+        Writes ``metadata.json`` (password redacted) and
+        ``projections.npz``; device backends also write ``index.npz`` with
+        the packed signature store so the whole index restores without a
+        rebuild — a capability the reference delegates to Redis durability.
+        """
+        self.flush()
+        output_dir = Path(path)
+        output_dir.mkdir(parents=True, exist_ok=True)
+
+        sanitized_redis = self._redis_config.copy()
+        if "password" in sanitized_redis:
+            sanitized_redis["password"] = "<REDACTED>"
+        metadata = {
+            "version": _METADATA_VERSION,
+            "config": self._config,
+            "redis_config": sanitized_redis,
+            "tpu_config": self._tpu_config,
+        }
+        with open(output_dir / "metadata.json", "w") as f:
+            json.dump(metadata, f, indent=2)
+
+        np.savez_compressed(output_dir / "projections.npz", *self._hasher.projections)
+
+        if isinstance(self._storage, DeviceStore) and len(self._storage):
+            np.savez_compressed(output_dir / "index.npz", **self._storage.state_arrays())
+
+    @classmethod
+    def load_from_disk(
+        cls,
+        path: Union[str, Path],
+        *,
+        redis_config: Optional[dict[str, Any]] = None,
+        vector_fetch_fn: Optional[VectorFetchFn] = None,
+        storage: Optional[BaseStorage] = None,
+    ) -> "LSHRS":
+        """Restore an instance saved with :meth:`save_to_disk`.
+
+        ``redis_config`` overrides stored connection settings (the stored
+        password is redacted and must be re-supplied when needed).
+        """
+        input_dir = Path(path)
+        if not input_dir.exists():
+            raise FileNotFoundError(f"Directory not found: {input_dir}")
+
+        with open(input_dir / "metadata.json") as f:
+            metadata = json.load(f)
+        config = metadata["config"]
+        stored_redis = metadata["redis_config"].copy()
+        tpu_config = metadata.get("tpu_config", {})
+        if redis_config:
+            stored_redis.update(redis_config)
+
+        instance = cls(
+            dim=config["dim"],
+            num_perm=config["num_perm"],
+            num_bands=config["num_bands"],
+            rows_per_band=config["rows_per_band"],
+            similarity_threshold=config["similarity_threshold"],
+            buffer_size=config["buffer_size"],
+            vector_fetch_fn=vector_fetch_fn,
+            storage=storage,
+            backend=tpu_config.get("backend", "device"),
+            store_vectors=tpu_config.get("store_vectors", False),
+            redis_host=stored_redis["host"],
+            redis_port=stored_redis["port"],
+            redis_db=stored_redis["db"],
+            redis_password=stored_redis["password"],
+            redis_prefix=stored_redis["prefix"],
+            decode_responses=stored_redis["decode_responses"],
+            redis_max_connections=stored_redis.get("max_connections", 50),
+            seed=config["seed"],
+            initial_capacity=tpu_config.get("initial_capacity", 1 << 14),
+            chunk_size=tpu_config.get("chunk_size", 2048),
+        )
+
+        proj_path = input_dir / "projections.npz"
+        with np.load(proj_path) as data:
+            instance._hasher.projections = [
+                data[f"arr_{i}"].astype(np.float32) for i in range(len(data.files))
+            ]
+
+        index_path = input_dir / "index.npz"
+        if index_path.exists() and isinstance(instance._storage, DeviceStore):
+            with np.load(index_path) as data:
+                instance._storage.load_state_arrays({k: data[k] for k in data.files})
+        return instance
+
+    # ------------------------------------------------------------------
+    # pickle protocol
+    # ------------------------------------------------------------------
+
+    def __getstate__(self) -> dict[str, Any]:
+        self.flush()
+        state: dict[str, Any] = {
+            "config": self._config.copy(),
+            "redis_config": self._redis_config.copy(),
+            "tpu_config": self._tpu_config.copy(),
+            "projections": [np.asarray(m, dtype=np.float32) for m in self._hasher.projections],
+        }
+        if isinstance(self._storage, DeviceStore) and len(self._storage):
+            state["index_state"] = self._storage.state_arrays()
+        return state
+
+    def __setstate__(self, state: dict[str, Any]) -> None:
+        config = state["config"]
+        redis_config = state["redis_config"]
+        tpu_config = state.get("tpu_config", {})
+        restored = self.__class__(
+            dim=config["dim"],
+            num_perm=config["num_perm"],
+            num_bands=config["num_bands"],
+            rows_per_band=config["rows_per_band"],
+            similarity_threshold=config["similarity_threshold"],
+            buffer_size=config["buffer_size"],
+            vector_fetch_fn=None,  # callables are not persisted
+            backend=tpu_config.get("backend", "device"),
+            store_vectors=tpu_config.get("store_vectors", False),
+            redis_host=redis_config["host"],
+            redis_port=redis_config["port"],
+            redis_db=redis_config["db"],
+            redis_password=redis_config["password"],
+            redis_prefix=redis_config["prefix"],
+            decode_responses=redis_config["decode_responses"],
+            redis_max_connections=redis_config.get("max_connections", 50),
+            seed=config["seed"],
+            initial_capacity=tpu_config.get("initial_capacity", 1 << 14),
+            chunk_size=tpu_config.get("chunk_size", 2048),
+        )
+        self.__dict__ = restored.__dict__
+        self._hasher.projections = [
+            np.asarray(m, dtype=np.float32) for m in state["projections"]
+        ]
+        if "index_state" in state and isinstance(self._storage, DeviceStore):
+            self._storage.load_state_arrays(state["index_state"])
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _prepare_vector(self, vector: np.ndarray) -> np.ndarray:
+        arr = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if arr.shape[0] != self._dim:
+            raise ValueError(
+                f"Vector must have dimension {self._dim}; received {arr.shape[0]}"
+            )
+        if np.allclose(arr, 0.0, atol=1e-8):
+            raise ValueError(
+                "Cannot index zero vector - norm undefined. Check embeddings for corruption."
+            )
+        return arr
+
+    def _require_vector_fetch_fn(self) -> VectorFetchFn:
+        if self._vector_fetch_fn is None:
+            raise RuntimeError(
+                "vector_fetch_fn must be supplied for operations requiring reranking"
+            )
+        return self._vector_fetch_fn
+
+    def _resolve_loader(self, format: str) -> Loader:
+        normalized = format.lower()
+        if normalized in {"postgres", "pg"}:
+            from lshrs_tpu.io.postgres import iter_postgres_vectors
+
+            return iter_postgres_vectors
+        if normalized in {"parquet", "pq"}:
+            from lshrs_tpu.io.parquet import iter_parquet_vectors
+
+            return iter_parquet_vectors
+        if normalized in {"numpy", "npy", "npz", "arrays"}:
+            from lshrs_tpu.io.numpy_io import iter_numpy_vectors
+
+            return iter_numpy_vectors
+        raise ValueError(f"Unsupported signature creation format '{format}'")
+
+
+# Lowercase alias, matching the reference's backwards-compatible export
+# (`/root/reference/lshrs/core/main.py:1201`).
+lshrs = LSHRS

@@ -1,0 +1,217 @@
+"""Banded random-hyperplane LSH hasher, TPU-native.
+
+Capability parity with the reference hasher
+(`/root/reference/lshrs/hash/lsh.py:18-247`): deterministic seeded
+projections, per-band sign signatures packed little-endian, single-vector
+and batch APIs, mutable ``projections`` (for persistence restore).
+
+TPU-first differences:
+
+- All ``num_bands`` projection matrices are one ``(num_perm, dim)`` array
+  drawn from a single seeded stream (row-for-row identical to the
+  reference's sequence of per-band ``(r, dim)`` draws, since NumPy fills
+  C-order from one stream). The device keeps its transpose ``(dim,
+  num_perm)`` so a *batch* of vectors is hashed with a single MXU matmul —
+  the reference's per-vector, per-band GEMV loop
+  (`/root/reference/lshrs/hash/lsh.py:199-211`) becomes
+  ``(n, dim) @ (dim, num_perm)``.
+- Signatures are materialised as packed ``uint32`` words (see
+  `lshrs_tpu.ops.bitpack`), the storage engine's native key format. The
+  byte-string `HashSignatures` view is derived from the same bits for API
+  parity and bucket-style backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lshrs_tpu._config.config import HashSignatures
+from lshrs_tpu.ops.bitpack import (
+    band_bytes_to_words,
+    pack_bits_to_words,
+    pack_bits_to_words_np,
+    words_per_band,
+    words_to_band_bytes,
+)
+
+__all__ = ["LSHHasher"]
+
+
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
+def _hash_batch_words_jit(
+    vectors: jax.Array, proj_t: jax.Array, *, num_bands: int, rows_per_band: int
+) -> jax.Array:
+    """(n, dim) float32 -> (n, num_bands * W) uint32 signature words."""
+    # Full-precision matmul: the sign of near-zero projections decides hash
+    # bits, so we do not let XLA downcast to bf16 here. Hashing is a tiny
+    # fraction of total FLOPs; the scan/rerank kernels carry the load.
+    proj = jnp.dot(
+        vectors,
+        proj_t,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return pack_bits_to_words(proj > 0, num_bands=num_bands, rows_per_band=rows_per_band)
+
+
+class LSHHasher:
+    """Random-projection LSH hasher producing banded binary signatures.
+
+    Attributes:
+        num_bands: number of independent bands (hash tables).
+        rows_per_band: hyperplanes (bits) per band.
+        dim: expected input dimensionality.
+        words_per_band: uint32 words per band signature, ``ceil(r / 32)``.
+        projections: list of per-band ``(rows_per_band, dim)`` float32
+            matrices (views into one contiguous array); assignable, for
+            restore-from-disk.
+    """
+
+    def __init__(
+        self,
+        num_bands: int,
+        rows_per_band: int,
+        dim: int,
+        seed: int = 42,
+    ) -> None:
+        if num_bands <= 0:
+            raise ValueError("num_bands must be > 0")
+        if rows_per_band <= 0:
+            raise ValueError("rows_per_band must be > 0")
+        if dim <= 0:
+            raise ValueError("dim must be > 0")
+
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.dim = dim
+        self.words_per_band = words_per_band(rows_per_band)
+
+        rng = np.random.default_rng(seed)
+        num_perm = num_bands * rows_per_band
+        self._proj = rng.standard_normal((num_perm, dim)).astype(np.float32)
+        self._proj_dev: jax.Array | None = None  # (dim, num_perm), lazy
+
+    # -- projections --------------------------------------------------------
+
+    @property
+    def projections(self) -> list[np.ndarray]:
+        """Per-band projection matrices, reference-compatible layout."""
+        r = self.rows_per_band
+        return [self._proj[b * r : (b + 1) * r] for b in range(self.num_bands)]
+
+    @projections.setter
+    def projections(self, matrices) -> None:
+        mats = [np.asarray(m, dtype=np.float32) for m in matrices]
+        if len(mats) != self.num_bands or any(
+            m.shape != (self.rows_per_band, self.dim) for m in mats
+        ):
+            raise ValueError(
+                "projections must be a sequence of "
+                f"{self.num_bands} matrices of shape ({self.rows_per_band}, {self.dim})"
+            )
+        self._proj = np.concatenate(mats, axis=0)
+        self._proj_dev = None  # re-upload lazily
+
+    @property
+    def projection_matrix(self) -> np.ndarray:
+        """The fused ``(num_perm, dim)`` float32 projection matrix."""
+        return self._proj
+
+    def _device_projection(self) -> jax.Array:
+        if self._proj_dev is None:
+            self._proj_dev = jnp.asarray(self._proj.T)
+        return self._proj_dev
+
+    # -- single-vector / parity API -----------------------------------------
+
+    def hash_vector(self, vector: np.ndarray) -> HashSignatures:
+        """Hash one vector to per-band packed byte signatures (host path)."""
+        vec = self._validate_vector(vector)
+        bits = (self._proj @ vec > 0).reshape(1, -1)
+        words = pack_bits_to_words_np(
+            bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )[0]
+        return HashSignatures(
+            words_to_band_bytes(
+                words, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+            )
+        )
+
+    def hash_batch(self, vectors: np.ndarray) -> list[HashSignatures]:
+        """Hash a 2-D batch to a list of `HashSignatures` (host path)."""
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2:
+            raise ValueError("Batch input must be a 2D array")
+        if arr.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected vectors of dimension {self.dim}, received {arr.shape[1]}"
+            )
+        words = self.hash_batch_words_host(arr)
+        return [
+            HashSignatures(
+                words_to_band_bytes(
+                    row, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+                )
+            )
+            for row in words
+        ]
+
+    # -- batch word-signature paths (the hot path) ---------------------------
+
+    def hash_batch_words(self, vectors) -> jax.Array:
+        """Device path: ``(n, dim)`` -> ``(n, num_bands * W)`` uint32 words.
+
+        One MXU matmul for the whole batch plus an on-device bitpack; this is
+        what ingestion and querying against the device store use.
+        """
+        arr = jnp.asarray(vectors, dtype=jnp.float32)
+        if arr.ndim != 2 or arr.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
+            )
+        return _hash_batch_words_jit(
+            arr,
+            self._device_projection(),
+            num_bands=self.num_bands,
+            rows_per_band=self.rows_per_band,
+        )
+
+    def hash_batch_words_host(self, vectors: np.ndarray) -> np.ndarray:
+        """NumPy twin of :meth:`hash_batch_words` (oracle / bucket backends)."""
+        arr = np.asarray(vectors, dtype=np.float32)
+        bits = arr @ self._proj.T > 0
+        return pack_bits_to_words_np(
+            bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )
+
+    # -- conversions ---------------------------------------------------------
+
+    def signature_to_words(self, signatures: HashSignatures) -> np.ndarray:
+        """`HashSignatures` bytes -> ``(num_bands * W,)`` uint32 words."""
+        return band_bytes_to_words(
+            signatures.as_tuple(), rows_per_band=self.rows_per_band
+        )
+
+    def words_to_signature(self, words_row: np.ndarray) -> HashSignatures:
+        """``(num_bands * W,)`` uint32 words -> `HashSignatures` bytes."""
+        return HashSignatures(
+            words_to_band_bytes(
+                np.asarray(words_row),
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+            )
+        )
+
+    # -- validation ----------------------------------------------------------
+
+    def _validate_vector(self, vector: np.ndarray) -> np.ndarray:
+        vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if vec.ndim != 1 or vec.shape[0] != self.dim:
+            raise ValueError(
+                f"Expected vector of dimension {self.dim}, received {vec.shape}"
+            )
+        return vec

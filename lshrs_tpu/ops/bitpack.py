@@ -1,0 +1,101 @@
+"""Sign-bitpack: turn projected batches into packed per-band signature words.
+
+The reference hashes one vector at a time with per-band GEMVs and
+``np.packbits`` (`/root/reference/lshrs/hash/lsh.py:171-211`). On TPU the
+whole batch is hashed with one MXU matmul ``(n, dim) @ (dim, num_perm)``;
+this module handles the second half — thresholding at zero and packing the
+resulting bits into little-endian ``uint32`` words, ``words_per_band =
+ceil(rows_per_band / 32)`` per band, so signatures can be compared with a
+handful of integer equality ops instead of byte-string hashing.
+
+Bit layout (identical to the reference's ``packbits(bitorder="little")``
+followed by little-endian word reads): global bit ``j`` belongs to band
+``j // rows_per_band``, row ``j % rows_per_band``; within a band, row ``t``
+lands in word ``t // 32`` at bit position ``t % 32``. Unused high bits of
+the last word of a band are zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "words_per_band",
+    "pack_bits_to_words",
+    "pack_bits_to_words_np",
+    "words_to_band_bytes",
+    "band_bytes_to_words",
+]
+
+
+def words_per_band(rows_per_band: int) -> int:
+    """Number of uint32 words needed to hold one band's bits."""
+    return -(-rows_per_band // 32)
+
+
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
+def pack_bits_to_words(
+    bits: jax.Array, *, num_bands: int, rows_per_band: int
+) -> jax.Array:
+    """Pack sign bits into per-band uint32 words on device.
+
+    Args:
+        bits: ``(n, num_bands * rows_per_band)`` boolean (or 0/1) array of
+            hyperplane signs for a batch of vectors.
+
+    Returns:
+        ``(n, num_bands * words_per_band)`` uint32 array; band ``b`` owns the
+        contiguous word slice ``[b * W, (b + 1) * W)``.
+    """
+    n = bits.shape[0]
+    w = words_per_band(rows_per_band)
+    banded = bits.reshape(n, num_bands, rows_per_band).astype(jnp.uint32)
+    pad = w * 32 - rows_per_band
+    if pad:
+        banded = jnp.pad(banded, ((0, 0), (0, 0), (0, pad)))
+    banded = banded.reshape(n, num_bands, w, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    words = jnp.sum(banded << shifts, axis=-1, dtype=jnp.uint32)
+    return words.reshape(n, num_bands * w)
+
+
+def pack_bits_to_words_np(
+    bits: np.ndarray, *, num_bands: int, rows_per_band: int
+) -> np.ndarray:
+    """NumPy twin of :func:`pack_bits_to_words` (oracle/tests/host path)."""
+    n = bits.shape[0]
+    w = words_per_band(rows_per_band)
+    banded = bits.reshape(n, num_bands, rows_per_band).astype(np.uint8)
+    # packbits(little) then zero-pad each band's bytes to a whole word count.
+    packed = np.packbits(banded, axis=-1, bitorder="little")  # (n, B, ceil(r/8))
+    full = np.zeros((n, num_bands, w * 4), dtype=np.uint8)
+    full[:, :, : packed.shape[-1]] = packed
+    words = full.view("<u4").reshape(n, num_bands * w)
+    return np.ascontiguousarray(words)
+
+
+def words_to_band_bytes(words_row: np.ndarray, *, num_bands: int, rows_per_band: int) -> tuple[bytes, ...]:
+    """One signature row ``(num_bands * W,)`` -> per-band packed bytes.
+
+    Truncates each band's little-endian word bytes to ``ceil(r / 8)`` so the
+    result is identical to the reference's ``packbits(...).tobytes()``.
+    """
+    w = words_per_band(rows_per_band)
+    nbytes = -(-rows_per_band // 8)
+    raw = np.asarray(words_row, dtype="<u4").reshape(num_bands, w).tobytes()
+    stride = w * 4
+    return tuple(raw[b * stride : b * stride + nbytes] for b in range(num_bands))
+
+
+def band_bytes_to_words(bands: tuple[bytes, ...], *, rows_per_band: int) -> np.ndarray:
+    """Per-band packed bytes -> ``(num_bands * W,)`` uint32 word row."""
+    w = words_per_band(rows_per_band)
+    out = np.zeros((len(bands), w * 4), dtype=np.uint8)
+    for i, band in enumerate(bands):
+        buf = np.frombuffer(band, dtype=np.uint8)
+        out[i, : buf.shape[0]] = buf
+    return out.view("<u4").reshape(-1)

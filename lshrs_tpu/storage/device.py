@@ -1,0 +1,464 @@
+"""HBM-resident signature store — the TPU-native index engine.
+
+Where the reference keeps bucket membership in Redis sets and pays one
+network round-trip per band per query
+(`/root/reference/lshrs/storage/redis.py:40,282`), this store keeps every
+indexed vector's packed banded signature in device memory and answers
+queries with a fused scan (`lshrs_tpu.ops.scan`):
+
+    layout (all device arrays, statically shaped, chunk-aligned):
+        sig     (capacity, num_bands * W)  uint32   packed signatures
+        ids     (capacity,)                int32    vector id, -1 = dead slot
+        ranks   (capacity,)                int32    id-rank within each chunk
+        payload (capacity, dim)            float32  optional resident vectors
+
+A band "bucket" is implicit: the set of slots whose band-b words equal a
+given signature. Collision counting therefore needs no hash-table probing
+at all — it is a dense, regular, vectorised compare that XLA tiles onto
+the VPU, with exact reference semantics for any (b, r) since full
+signatures (not lossy bucket hashes) are compared.
+
+Mutation model: appends go to the tail via `dynamic_update_slice` (inputs
+padded to powers of two so jit caches stay small); re-ingesting an id
+overwrites its slot in place (upsert); deletion tombstones slots (id -> -1)
+and is O(deleted), not a full key scan like the reference's SCAN+SREM
+(`/root/reference/lshrs/storage/redis.py:419`). Capacity doubles
+geometrically, so at most ~log2(N) recompiles over an index's lifetime.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Iterable, Sequence
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lshrs_tpu.ops.bitpack import band_bytes_to_words, words_per_band
+from lshrs_tpu.ops.scan import collision_counts, collision_topk, compute_chunk_ranks
+from lshrs_tpu.storage.base import BaseStorage, BucketOperation
+
+__all__ = ["DeviceStore"]
+
+_MAX_ID = 2**31 - 1
+
+
+def _next_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _append_sig_jit(sig, ids, new_sig, new_ids, offset):
+    sig = jax.lax.dynamic_update_slice(sig, new_sig, (offset, 0))
+    ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
+    return sig, ids
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _append_rows_jit(arr, new_rows, offset):
+    return jax.lax.dynamic_update_slice(arr, new_rows, (offset, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows_jit(arr, slots, rows):
+    # Out-of-range slots (used as padding) are dropped, not clamped.
+    return arr.at[slots].set(rows, mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _tombstone_jit(ids, slots):
+    return ids.at[slots].set(-1, mode="drop")
+
+
+@jax.jit
+def _mask_delete_jit(ids, sorted_dels):
+    pos = jnp.clip(
+        jnp.searchsorted(sorted_dels, ids), 0, sorted_dels.shape[0] - 1
+    )
+    hit = (sorted_dels[pos] == ids) & (ids >= 0)
+    return jnp.where(hit, -1, ids), hit.sum()
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _band_bucket_jit(band_words, ids, q_band, *, w):
+    match = jnp.all(band_words == q_band[None, :], axis=-1) & (ids >= 0)
+    return match
+
+
+class DeviceStore(BaseStorage):
+    """Device-resident LSH signature store with fused query kernels.
+
+    Args:
+        num_bands / rows_per_band: banding scheme (must match the hasher).
+        dim: vector dimensionality; required when ``store_vectors``.
+        store_vectors: keep a float32 payload matrix resident so top-p
+            cosine reranking needs no ``vector_fetch_fn`` round-trip.
+        initial_capacity: starting slot count (rounded up to chunk multiple).
+        chunk_size: scan tile height; must divide capacity and satisfy
+            ``(num_bands + 1) * chunk_size < 2**31`` for exact key packing.
+        dedupe: track id -> slot on host so re-ingesting an id overwrites
+            its slot (upsert) and deletes are O(1) lookups. Disable for
+            maximum-scale streaming ingest of known-unique ids.
+    """
+
+    supports_signature_batches = True
+
+    def __init__(
+        self,
+        *,
+        num_bands: int,
+        rows_per_band: int,
+        dim: int | None = None,
+        store_vectors: bool = False,
+        initial_capacity: int = 1 << 14,
+        chunk_size: int = 2048,
+        dedupe: bool = True,
+    ) -> None:
+        if chunk_size <= 0 or chunk_size > 1 << 14:
+            raise ValueError("chunk_size must be in (0, 16384]")
+        if (num_bands + 1) * chunk_size >= 2**31:
+            raise ValueError("num_bands * chunk_size too large for exact top-k keys")
+        if store_vectors and not dim:
+            raise ValueError("dim is required when store_vectors=True")
+
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.words = num_bands * words_per_band(rows_per_band)
+        self.dim = dim
+        self.store_vectors = store_vectors
+        self.chunk = chunk_size
+        self.dedupe = dedupe
+
+        cap = max(chunk_size, initial_capacity)
+        cap = -(-cap // chunk_size) * chunk_size
+        self._capacity = cap
+        self._sig = jnp.zeros((cap, self.words), dtype=jnp.uint32)
+        self._ids = jnp.full((cap,), -1, dtype=jnp.int32)
+        self._ranks = jnp.zeros((cap,), dtype=jnp.int32)
+        self._payload = (
+            jnp.zeros((cap, dim), dtype=jnp.float32) if store_vectors else None
+        )
+        self._size = 0  # high-water mark of used slots (including tombstones)
+        self._tombstones = 0
+        self._slot_of: dict[int, int] | None = {} if dedupe else None
+        self._lock = threading.Lock()
+        # Bucket-op staging: index -> {band_id: bytes}, flushed to the array
+        # store once all bands of a vector have arrived (bucket-level parity
+        # path only; the signature-batch path never stages).
+        self._pending_ops: dict[int, dict[int, bytes]] = {}
+
+    # ------------------------------------------------------------------
+    # signature-batch ingestion (the TPU-native path)
+    # ------------------------------------------------------------------
+
+    def add_signature_batch(
+        self,
+        indices: Sequence[int] | np.ndarray,
+        words,
+        vectors: np.ndarray | None = None,
+    ) -> None:
+        """Insert/overwrite a batch of ``(id, packed-signature)`` rows.
+
+        Args:
+            indices: integer ids, each in ``[0, 2**31)``.
+            words: ``(n, num_bands * W)`` uint32 signature words (host or
+                device array).
+            vectors: ``(n, dim)`` float32 payload rows, required when
+                ``store_vectors``.
+        """
+        ids_np = np.asarray(indices, dtype=np.int64).reshape(-1)
+        if ids_np.size == 0:
+            return
+        if ids_np.min() < 0 or ids_np.max() > _MAX_ID:
+            raise ValueError("indices must be in [0, 2**31) for the device store")
+        words_np = np.asarray(words, dtype=np.uint32)
+        if words_np.shape != (ids_np.size, self.words):
+            raise ValueError(
+                f"signature words must have shape ({ids_np.size}, {self.words}); "
+                f"received {words_np.shape}"
+            )
+        if self.store_vectors:
+            if vectors is None:
+                raise ValueError("vectors are required when store_vectors=True")
+            vectors = np.asarray(vectors, dtype=np.float32)
+            if vectors.shape != (ids_np.size, self.dim):
+                raise ValueError(
+                    f"vectors must have shape ({ids_np.size}, {self.dim}); "
+                    f"received {vectors.shape}"
+                )
+
+        ids32 = ids_np.astype(np.int32)
+        with self._lock:
+            if self._slot_of is not None:
+                # Within-batch duplicates: keep the last occurrence (upsert
+                # semantics), preserving order of last occurrences.
+                _, last_pos = np.unique(ids32[::-1], return_index=True)
+                keep = np.sort(ids32.size - 1 - last_pos)
+                if keep.size != ids32.size:
+                    ids32, words_np = ids32[keep], words_np[keep]
+                    if vectors is not None:
+                        vectors = vectors[keep]
+                existing_mask = np.fromiter(
+                    (int(i) in self._slot_of for i in ids32),
+                    dtype=bool,
+                    count=ids32.size,
+                )
+                if existing_mask.any():
+                    slots = np.fromiter(
+                        (self._slot_of[int(i)] for i in ids32[existing_mask]),
+                        dtype=np.int32,
+                        count=int(existing_mask.sum()),
+                    )
+                    self._overwrite(slots, words_np[existing_mask],
+                                    vectors[existing_mask] if vectors is not None else None)
+                    ids32 = ids32[~existing_mask]
+                    words_np = words_np[~existing_mask]
+                    if vectors is not None:
+                        vectors = vectors[~existing_mask]
+            if ids32.size:
+                self._append(ids32, words_np, vectors)
+
+    def _overwrite(self, slots: np.ndarray, words_np: np.ndarray, vectors) -> None:
+        pad = _next_pow2(slots.size)
+        slots_p = np.full(pad, self._capacity, dtype=np.int32)  # OOB -> dropped
+        slots_p[: slots.size] = slots
+        words_p = np.zeros((pad, self.words), dtype=np.uint32)
+        words_p[: slots.size] = words_np
+        self._sig = _scatter_rows_jit(self._sig, jnp.asarray(slots_p), jnp.asarray(words_p))
+        if self._payload is not None and vectors is not None:
+            rows_p = np.zeros((pad, self.dim), dtype=np.float32)
+            rows_p[: slots.size] = vectors
+            self._payload = _scatter_rows_jit(
+                self._payload, jnp.asarray(slots_p), jnp.asarray(rows_p)
+            )
+        # ids unchanged -> ranks unchanged.
+
+    def _append(self, ids32: np.ndarray, words_np: np.ndarray, vectors) -> None:
+        n = ids32.size
+        pad = _next_pow2(n)
+        if self._size + pad > self._capacity:
+            self._grow(max(2 * self._capacity, _next_pow2(self._size + pad)))
+        ids_p = np.full(pad, -1, dtype=np.int32)
+        ids_p[:n] = ids32
+        words_p = np.zeros((pad, self.words), dtype=np.uint32)
+        words_p[:n] = words_np
+        offset = jnp.int32(self._size)
+        self._sig, self._ids = _append_sig_jit(
+            self._sig, self._ids, jnp.asarray(words_p), jnp.asarray(ids_p), offset
+        )
+        if self._payload is not None:
+            rows_p = np.zeros((pad, self.dim), dtype=np.float32)
+            rows_p[:n] = vectors
+            self._payload = _append_rows_jit(self._payload, jnp.asarray(rows_p), offset)
+        if self._slot_of is not None:
+            base = self._size
+            for j, i in enumerate(ids32):
+                self._slot_of[int(i)] = base + j
+        self._size += n
+        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+
+    def _grow(self, new_cap: int) -> None:
+        new_cap = -(-new_cap // self.chunk) * self.chunk
+        sig = jnp.zeros((new_cap, self.words), dtype=jnp.uint32)
+        ids = jnp.full((new_cap,), -1, dtype=jnp.int32)
+        self._sig = sig.at[: self._capacity].set(self._sig)
+        self._ids = ids.at[: self._capacity].set(self._ids)
+        if self._payload is not None:
+            payload = jnp.zeros((new_cap, self.dim), dtype=jnp.float32)
+            self._payload = payload.at[: self._capacity].set(self._payload)
+        self._capacity = new_cap
+        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact (count desc, id asc) top-k for a query batch.
+
+        Args:
+            qwords: ``(Q, num_bands * W)`` uint32 signature words.
+        Returns:
+            ``(counts, ids)`` NumPy arrays of shape ``(Q, k)``; zero-count
+            padding carries id -1.
+        """
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        if self._size == 0:
+            q = qw.shape[0]
+            return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
+        k_eff = max(1, min(k, self._capacity))
+        counts, ids = collision_topk(
+            self._sig, self._ids, self._ranks, qw,
+            num_bands=self.num_bands, k=k_eff, chunk=self.chunk,
+        )
+        counts, ids = np.asarray(counts), np.asarray(ids)
+        if k_eff < k:
+            q = counts.shape[0]
+            counts = np.pad(counts, ((0, 0), (0, k - k_eff)))
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return counts, ids
+
+    def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
+        """Full per-slot collision counts plus the slot-id map.
+
+        Returns ``(counts (Q, capacity), ids (capacity,))`` — the device
+        analogue of the reference's whole candidate dict, for the
+        unbounded-candidate paths (``top_k=None``, top-p rerank).
+        """
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        if self._size == 0:
+            return (
+                np.zeros((qw.shape[0], self._capacity), np.int32),
+                np.full((self._capacity,), -1, np.int32),
+            )
+        counts = collision_counts(
+            self._sig, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+        )
+        return np.asarray(counts), np.asarray(self._ids)
+
+    def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
+        """Fetch resident payload rows by id (requires ``store_vectors``)."""
+        if self._payload is None:
+            raise RuntimeError("store_vectors=False: no resident payload to fetch")
+        if self._slot_of is None:
+            raise RuntimeError("get_vectors requires dedupe=True (id -> slot map)")
+        slots = np.fromiter(
+            (self._slot_of[int(i)] for i in indices), dtype=np.int64, count=len(indices)
+        )
+        return np.asarray(self._payload)[slots]
+
+    # ------------------------------------------------------------------
+    # bucket-level parity API
+    # ------------------------------------------------------------------
+
+    def batch_add(self, operations: Sequence[BucketOperation]) -> None:
+        """Bucket-op ingestion: stages per-band ops until a vector's band
+        set is complete, then appends the assembled signature row."""
+        if not operations:
+            return
+        ready_ids: list[int] = []
+        ready_words: list[np.ndarray] = []
+        with self._lock:
+            for band_id, hash_val, index in operations:
+                bands = self._pending_ops.setdefault(int(index), {})
+                bands[int(band_id)] = bytes(hash_val)
+                if len(bands) == self.num_bands:
+                    row = band_bytes_to_words(
+                        tuple(bands[b] for b in range(self.num_bands)),
+                        rows_per_band=self.rows_per_band,
+                    )
+                    ready_ids.append(int(index))
+                    ready_words.append(row)
+                    del self._pending_ops[int(index)]
+        if ready_ids:
+            if self.store_vectors:
+                raise RuntimeError(
+                    "bucket-level batch_add cannot carry payload vectors; "
+                    "use add_signature_batch with store_vectors=True"
+                )
+            self.add_signature_batch(ready_ids, np.stack(ready_words))
+
+    def add_to_bucket(self, band_id: int, hash_val: bytes, index: int) -> None:
+        self.batch_add([(band_id, hash_val, index)])
+
+    def get_bucket(self, band_id: int, hash_val: bytes) -> set[int]:
+        """Enumerate one implicit band bucket (device compare over the band)."""
+        if not 0 <= band_id < self.num_bands:
+            raise ValueError(f"band_id must be in [0, {self.num_bands})")
+        if self._size == 0:
+            return set()
+        w = self.words // self.num_bands
+        q_band = band_bytes_to_words((bytes(hash_val),), rows_per_band=self.rows_per_band)
+        band_words = self._sig[:, band_id * w : (band_id + 1) * w]
+        match = _band_bucket_jit(band_words, self._ids, jnp.asarray(q_band), w=w)
+        ids = np.asarray(self._ids)
+        return set(int(i) for i in ids[np.asarray(match)])
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def remove_indices(self, indices: Iterable[int]) -> None:
+        to_remove = [int(i) for i in indices]
+        if not to_remove:
+            return
+        with self._lock:
+            for i in to_remove:
+                self._pending_ops.pop(i, None)
+            if self._slot_of is not None:
+                slots = [self._slot_of.pop(i) for i in to_remove if i in self._slot_of]
+                if not slots:
+                    return
+                pad = _next_pow2(len(slots))
+                slots_p = np.full(pad, self._capacity, dtype=np.int32)
+                slots_p[: len(slots)] = slots
+                self._ids = _tombstone_jit(self._ids, jnp.asarray(slots_p))
+                self._tombstones += len(slots)
+            else:
+                dels = np.unique(np.asarray(to_remove, dtype=np.int32))
+                self._ids, hits = _mask_delete_jit(self._ids, jnp.asarray(dels))
+                self._tombstones += int(hits)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._sig = jnp.zeros_like(self._sig)
+            self._ids = jnp.full_like(self._ids, -1)
+            self._ranks = jnp.zeros_like(self._ranks)
+            if self._payload is not None:
+                self._payload = jnp.zeros_like(self._payload)
+            self._size = 0
+            self._tombstones = 0
+            if self._slot_of is not None:
+                self._slot_of.clear()
+            self._pending_ops.clear()
+
+    def close(self) -> None:
+        """Drop device buffers."""
+        self._sig = self._ids = self._ranks = self._payload = None  # type: ignore[assignment]
+
+    # ------------------------------------------------------------------
+    # introspection / persistence
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._size - self._tombstones
+
+    def stats(self) -> dict:
+        sig_bytes = self._capacity * self.words * 4
+        payload_bytes = self._capacity * (self.dim or 0) * 4 if self.store_vectors else 0
+        return {
+            "backend": "device",
+            "size": self._size,
+            "alive": self._size - self._tombstones,
+            "tombstones": self._tombstones,
+            "capacity": self._capacity,
+            "chunk_size": self.chunk,
+            "signature_bytes": sig_bytes,
+            "payload_bytes": payload_bytes,
+        }
+
+    def state_arrays(self) -> dict[str, np.ndarray]:
+        """Dense host snapshot of the used slots (for checkpointing)."""
+        n = self._size
+        out = {
+            "ids": np.asarray(self._ids[:n]),
+            "sig": np.asarray(self._sig[:n]),
+        }
+        if self._payload is not None:
+            out["payload"] = np.asarray(self._payload[:n])
+        return out
+
+    def load_state_arrays(self, state: dict[str, np.ndarray]) -> None:
+        """Restore from a :meth:`state_arrays` snapshot (replaces contents)."""
+        self.clear()
+        ids = np.asarray(state["ids"], dtype=np.int32)
+        alive = ids >= 0
+        self.add_signature_batch(
+            ids[alive],
+            np.asarray(state["sig"], dtype=np.uint32)[alive],
+            np.asarray(state["payload"], dtype=np.float32)[alive]
+            if "payload" in state and self.store_vectors
+            else None,
+        )
