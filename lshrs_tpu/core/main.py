@@ -158,6 +158,8 @@ class LSHRS:
             raise ValueError(f"Unsupported storage backend '{backend}'")
 
         self._device_mode = self._storage.supports_signature_batches
+        if isinstance(self._storage, DeviceStore):
+            store_vectors = self._storage.store_vectors
         self._store_vectors = store_vectors and self._device_mode
 
         # Write buffer. Device mode buffers (index, words_row, vector?)
@@ -567,6 +569,10 @@ class LSHRS:
         tpu_config = metadata.get("tpu_config", {})
         if redis_config:
             stored_redis.update(redis_config)
+        if tpu_config.get("backend") == "custom" and storage is None:
+            # The original used a caller-supplied backend that cannot be
+            # reconstructed here; bucket contents live out-of-process anyway.
+            tpu_config = {**tpu_config, "backend": "memory"}
 
         instance = cls(
             dim=config["dim"],
@@ -623,6 +629,8 @@ class LSHRS:
         config = state["config"]
         redis_config = state["redis_config"]
         tpu_config = state.get("tpu_config", {})
+        if tpu_config.get("backend") == "custom":
+            tpu_config = {**tpu_config, "backend": "memory"}
         restored = self.__class__(
             dim=config["dim"],
             num_perm=config["num_perm"],

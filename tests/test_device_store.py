@@ -1,0 +1,191 @@
+"""Device signature store: exactness vs a brute-force oracle, mutations."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.storage.device import DeviceStore
+
+B, R, D = 4, 8, 32
+
+
+@pytest.fixture
+def hasher() -> LSHHasher:
+    return LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+
+
+def make_store(**kw) -> DeviceStore:
+    defaults = dict(num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64)
+    defaults.update(kw)
+    return DeviceStore(**defaults)
+
+
+def oracle_topk(words, ids, qw, k):
+    """Exact (count desc, id asc) via full NumPy comparison."""
+    n = words.shape[0]
+    eq = (words == qw[None, :]).reshape(n, B, -1).all(-1)
+    counts = eq.sum(-1)
+    cand = sorted((-int(c), int(i)) for c, i in zip(counts, ids) if c > 0)
+    return [(i, -c) for c, i in cand[:k]]
+
+
+def test_topk_exact_vs_oracle(hasher, rng):
+    n = 700  # spans multiple chunks and a growth event
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(100_000)[:n]  # scrambled ids stress tie-breaking
+    words = hasher.hash_batch_words_host(X)
+
+    store = make_store()
+    # two appends to cover the append-offset path
+    store.add_signature_batch(ids[:300], words[:300])
+    store.add_signature_batch(ids[300:], words[300:])
+
+    queries = rng.standard_normal((25, D)).astype(np.float32)
+    qwords = hasher.hash_batch_words_host(queries)
+    counts, out_ids = store.query_topk(qwords, 20)
+    for qi in range(queries.shape[0]):
+        expected = oracle_topk(words, ids, qwords[qi], 20)
+        got = [(int(i), int(c)) for i, c in zip(out_ids[qi], counts[qi]) if c > 0]
+        assert got == expected, f"query {qi} mismatch"
+
+
+def test_count_tie_break_by_id_across_chunks(hasher):
+    # Identical vectors (identical signatures) => equal counts; ordering
+    # must be ascending id regardless of insertion order or chunk placement.
+    vec = np.ones((1, D), np.float32)
+    words = hasher.hash_batch_words_host(vec)
+    store = make_store()
+    scrambled = [500, 3, 250, 77, 1000, 42, 8, 999]
+    for i in scrambled:
+        store.add_signature_batch([i], words)
+    counts, ids = store.query_topk(words, len(scrambled))
+    assert list(ids[0]) == sorted(scrambled)
+    assert all(c == B for c in counts[0])
+
+
+def test_upsert_replaces_signature(hasher, rng):
+    X = rng.standard_normal((10, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store()
+    store.add_signature_batch(np.arange(10), words)
+
+    x_new = rng.standard_normal((1, D)).astype(np.float32)
+    w_new = hasher.hash_batch_words_host(x_new)
+    store.add_signature_batch([0], w_new)
+    assert len(store) == 10  # no duplicate slot
+
+    counts, ids = store.query_topk(w_new, 3)
+    assert ids[0][0] == 0 and counts[0][0] == B
+    # old signature no longer matches id 0 fully
+    counts_old, ids_old = store.query_topk(words[:1], 3)
+    full = [int(i) for i, c in zip(ids_old[0], counts_old[0]) if c == B]
+    assert 0 not in full
+
+
+def test_within_batch_duplicates_keep_last(hasher, rng):
+    X = rng.standard_normal((3, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store()
+    store.add_signature_batch([7, 7, 7], words)
+    assert len(store) == 1
+    counts, ids = store.query_topk(words[2:3], 2)
+    assert ids[0][0] == 7 and counts[0][0] == B
+
+
+def test_delete_and_clear(hasher, rng):
+    X = rng.standard_normal((50, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store()
+    store.add_signature_batch(np.arange(50), words)
+
+    store.remove_indices([5, 6, 7])
+    assert len(store) == 47
+    counts, ids = store.query_topk(words[5:6], 5)
+    returned = [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
+    assert 5 not in returned
+
+    store.remove_indices([5])  # double-delete is a no-op
+    assert len(store) == 47
+
+    store.clear()
+    assert len(store) == 0
+    counts, ids = store.query_topk(words[:1], 5)
+    assert (counts == 0).all()
+
+
+def test_growth_preserves_content(hasher, rng):
+    store = make_store(chunk_size=64, initial_capacity=64)
+    X = rng.standard_normal((1000, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    for start in range(0, 1000, 100):
+        store.add_signature_batch(
+            np.arange(start, start + 100), words[start : start + 100]
+        )
+    assert store.stats()["capacity"] >= 1000
+    counts, ids = store.query_topk(words[987:988], 1)
+    assert ids[0][0] == 987 and counts[0][0] == B
+
+
+def test_bucket_parity_api(hasher, rng):
+    X = rng.standard_normal((20, D)).astype(np.float32)
+    store = make_store()
+    # Feed per-band bucket ops, deliberately interleaved across vectors.
+    ops = []
+    for i in range(20):
+        sig = hasher.hash_vector(X[i])
+        for band_id, band in enumerate(sig):
+            ops.append((band_id, band, i))
+    ops = ops[::2] + ops[1::2]  # shuffle band arrival order
+    store.batch_add(ops)
+    assert len(store) == 20
+
+    sig5 = hasher.hash_vector(X[5])
+    bucket = store.get_bucket(2, sig5[2])
+    assert 5 in bucket
+
+    with pytest.raises(ValueError):
+        store.get_bucket(B + 1, sig5[0])
+
+
+def test_state_arrays_roundtrip(hasher, rng):
+    X = rng.standard_normal((30, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store(store_vectors=True, dim=D)
+    store.add_signature_batch(np.arange(30), words, X)
+    store.remove_indices([3])
+
+    snap = store.state_arrays()
+    fresh = make_store(store_vectors=True, dim=D)
+    fresh.load_state_arrays(snap)
+    assert len(fresh) == 29
+    counts, ids = fresh.query_topk(words[10:11], 1)
+    assert ids[0][0] == 10
+    np.testing.assert_array_equal(fresh.get_vectors([10])[0], X[10])
+
+
+def test_id_validation(hasher):
+    store = make_store()
+    w = np.zeros((1, store.words), np.uint32)
+    with pytest.raises(ValueError, match="indices"):
+        store.add_signature_batch([-1], w)
+    with pytest.raises(ValueError, match="indices"):
+        store.add_signature_batch([2**31], w)
+    with pytest.raises(ValueError, match="shape"):
+        store.add_signature_batch([1], np.zeros((1, store.words + 1), np.uint32))
+
+
+def test_query_counts_full(hasher, rng):
+    X = rng.standard_normal((40, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store()
+    store.add_signature_batch(np.arange(40), words)
+    counts, ids = store.query_counts(words[7:8])
+    alive = ids >= 0
+    by_id = dict(zip(ids[alive].tolist(), counts[0][alive].tolist()))
+    assert by_id[7] == B
+    # oracle check of every count
+    eq = (words == words[7][None, :]).reshape(40, B, -1).all(-1).sum(-1)
+    for i in range(40):
+        assert by_id[i] == eq[i]
