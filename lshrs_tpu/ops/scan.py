@@ -33,7 +33,14 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["collision_topk", "collision_counts", "compute_chunk_ranks"]
+__all__ = [
+    "collision_topk",
+    "collision_topk_core",
+    "collision_counts",
+    "collision_counts_core",
+    "merge_topk_pools",
+    "compute_chunk_ranks",
+]
 
 _INT32_MAX = jnp.int32(2**31 - 1)
 
@@ -58,8 +65,7 @@ def _band_counts(chunk_sig: jax.Array, qwords: jax.Array, num_bands: int) -> jax
     return band_match.sum(axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))
-def collision_topk(
+def collision_topk_core(
     sig: jax.Array,
     ids: jax.Array,
     ranks: jax.Array,
@@ -111,9 +117,19 @@ def collision_topk(
     # (nchunks, Q, k_chunk) -> (Q, nchunks * k_chunk)
     pool_counts = jnp.moveaxis(pool_counts, 0, 1).reshape(q, -1)
     pool_ids = jnp.moveaxis(pool_ids, 0, 1).reshape(q, -1)
+    return merge_topk_pools(pool_counts, pool_ids, k=k)
 
-    # Final exact merge: ascending lexicographic sort by (-count, id), with
-    # empty entries (count 0) forced to the end via id = INT32_MAX.
+
+def merge_topk_pools(
+    pool_counts: jax.Array, pool_ids: jax.Array, *, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Merge pooled (count, id) candidates to the exact global top-k.
+
+    Ascending lexicographic sort by (-count, id); empty entries (count 0)
+    are forced to the end via id = INT32_MAX. Used for both the cross-chunk
+    merge on one device and the cross-shard merge after an all-gather.
+    """
+    q = pool_counts.shape[0]
     neg_counts = -pool_counts
     tie_ids = jnp.where(pool_counts > 0, pool_ids, _INT32_MAX)
     _, _, sorted_counts, sorted_ids = jax.lax.sort(
@@ -122,15 +138,19 @@ def collision_topk(
     out_k = min(k, sorted_counts.shape[1])
     counts_out = sorted_counts[:, :out_k]
     ids_out = jnp.where(counts_out > 0, sorted_ids[:, :out_k], -1)
-    if out_k < k:  # store smaller than k: pad
+    if out_k < k:  # pool smaller than k: pad
         pad = k - out_k
         counts_out = jnp.pad(counts_out, ((0, 0), (0, pad)))
         ids_out = jnp.pad(ids_out, ((0, 0), (0, pad)), constant_values=-1)
     return counts_out, ids_out
 
 
-@partial(jax.jit, static_argnames=("num_bands", "chunk"))
-def collision_counts(
+collision_topk = partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))(
+    collision_topk_core
+)
+
+
+def collision_counts_core(
     sig: jax.Array,
     ids: jax.Array,
     qwords: jax.Array,
@@ -158,6 +178,11 @@ def collision_counts(
 
     _, all_counts = jax.lax.scan(body, 0, (sig_c, ids_c))  # (nchunks, Q, chunk)
     return jnp.moveaxis(all_counts, 0, 1).reshape(q, c_total)
+
+
+collision_counts = partial(jax.jit, static_argnames=("num_bands", "chunk"))(
+    collision_counts_core
+)
 
 
 @partial(jax.jit, static_argnames=("chunk",))

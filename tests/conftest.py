@@ -9,11 +9,19 @@ from __future__ import annotations
 
 import os
 
-# Must be set before jax initialises its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initialises its backends. Tests are hermetic and
+# always run on CPU with 8 virtual devices (override with
+# LSHRS_TPU_TEST_PLATFORM); jax.config is used as well because some TPU
+# platform plugins ignore the JAX_PLATFORMS environment variable.
+_platform = os.environ.get("LSHRS_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np
 import pytest

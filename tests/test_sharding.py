@@ -1,0 +1,110 @@
+"""Sharded store: exact agreement with the single-device oracle on a mesh.
+
+Runs on 8 virtual CPU devices (see conftest XLA flags) — the same
+`jax.sharding` / `shard_map` code paths execute on a real TPU pod slice.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from lshrs_tpu import LSHRS
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+from lshrs_tpu.storage.device import DeviceStore
+
+B, R, D = 4, 8, 32
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture
+def hasher():
+    return LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+
+
+def test_mesh_has_eight_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_sharded_matches_unsharded_exactly(mesh, hasher, rng):
+    n = 600
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(50_000)[:n]
+    words = hasher.hash_batch_words_host(X)
+
+    single = DeviceStore(num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64)
+    sharded = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64
+    )
+    single.add_signature_batch(ids, words)
+    sharded.add_signature_batch(ids, words)
+
+    queries = rng.standard_normal((10, D)).astype(np.float32)
+    qw = hasher.hash_batch_words_host(queries)
+    c1, i1 = single.query_topk(qw, 25)
+    c2, i2 = sharded.query_topk(qw, 25)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_counts_match(mesh, hasher, rng):
+    X = rng.standard_normal((200, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    sharded = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64
+    )
+    sharded.add_signature_batch(np.arange(200), words)
+    counts, ids = sharded.query_counts(words[3:4])
+    alive = ids >= 0
+    by_id = dict(zip(ids[alive].tolist(), counts[0][alive].tolist()))
+    eq = (words == words[3][None, :]).reshape(200, B, -1).all(-1).sum(-1)
+    for i in range(200):
+        assert by_id[i] == eq[i]
+
+
+def test_sharded_mutations(mesh, hasher, rng):
+    X = rng.standard_normal((100, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    st = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64
+    )
+    st.add_signature_batch(np.arange(100), words)
+    st.remove_indices([5])
+    assert len(st) == 99
+    counts, out = st.query_topk(words[5:6], 3)
+    assert 5 not in out[0]
+    st.clear()
+    assert len(st) == 0
+
+    # growth across the shard-aligned capacity boundary
+    st.add_signature_batch(np.arange(100), words)
+    X2 = rng.standard_normal((1000, D)).astype(np.float32)
+    st.add_signature_batch(np.arange(1000, 2000), hasher.hash_batch_words_host(X2))
+    assert st.stats()["capacity"] % (8 * 64) == 0
+    counts, out = st.query_topk(words[7:8], 1)
+    assert out[0][0] == 7
+
+
+def test_orchestrator_over_sharded_store(mesh, rng):
+    store = ShardedDeviceStore(
+        mesh=mesh, num_bands=4, rows_per_band=4, chunk_size=64, initial_capacity=64
+    )
+    lsh = LSHRS(dim=D, num_perm=16, num_bands=4, rows_per_band=4, storage=store)
+    X = rng.standard_normal((120, D)).astype(np.float32)
+    lsh.index(list(range(120)), X)
+    assert lsh.get_top_k(X[11], topk=3)[0] == 11
+
+    ref = LSHRS(
+        dim=D, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", chunk_size=64, initial_capacity=64,
+    )
+    ref.index(list(range(120)), X)
+    q = rng.standard_normal(D).astype(np.float32)
+    assert lsh.query(q, top_k=None) == ref.query(q, top_k=None)
