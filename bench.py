@@ -1,0 +1,138 @@
+"""Flagship benchmark: batched top-k collision queries on the device store.
+
+Configuration #1 from BASELINE.json: dim=768, num_perm=256 banded
+random-projection LSH, get_top_k collision query over 100k indexed vectors.
+Measures end-to-end serving throughput — raw float32 query batches stream
+from host, are hashed on device (one MXU matmul + bitpack), scanned by the
+fused Pallas collision/group-max kernel with exact (count, id) top-10
+selection, and the id results are read back — with a bounded in-flight
+pipeline (depth 4), the way a real serving loop overlaps transfer and
+compute. Index-build throughput is reported as a side metric.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
+vs_baseline is against the BASELINE.json north star of 100,000 QPS/chip
+(the reference itself publishes no measured numbers; its requirement target
+is <100 ms p95 on 6.4M vectors on a laptop — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_VECTORS = 100_000
+DIM = 768
+NUM_BANDS, ROWS_PER_BAND = 16, 16  # num_perm = 256
+TOP_K = 10
+QUERY_BATCH = 1024
+PIPELINE_DEPTH = 4
+BASELINE_QPS = 100_000.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(0)
+
+    hasher = LSHHasher(
+        num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND, dim=DIM, seed=42
+    )
+    store = DeviceStore(
+        num_bands=NUM_BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        dim=DIM,
+        chunk_size=2048,
+        initial_capacity=1 << 17,
+        dedupe=False,  # streaming build of known-unique ids, fully on device
+    )
+
+    # ---- build ------------------------------------------------------------
+    X = rng.standard_normal((N_VECTORS, DIM)).astype(np.float32)
+    ids = np.arange(N_VECTORS)
+    # warm up the hash/append jits on an equally-sized slice first
+    store.add_signature_batch(ids, hasher.hash_batch_words(X))
+    store.clear()
+
+    t0 = time.perf_counter()
+    words = hasher.hash_batch_words(X)  # h2d + one MXU matmul + bitpack
+    store.add_signature_batch(ids, words)  # device-resident append
+    jax.block_until_ready(store._sig_t)
+    build_s = time.perf_counter() - t0
+    build_rate = N_VECTORS / build_s
+
+    # ---- query ------------------------------------------------------------
+    # Serving loop with macro-batched input transfers: the query stream is
+    # shipped host->device in large slabs (transfer ops have a high fixed
+    # latency over this tunnel), queries run per QUERY_BATCH with small
+    # id-only readbacks, and macro-batches overlap depth-PIPELINE_DEPTH.
+    batches_per_macro = 16
+    n_macros = 3 if platform != "cpu" else 1
+    macro_rows = batches_per_macro * QUERY_BATCH
+    macros = [
+        rng.standard_normal((macro_rows, DIM)).astype(np.float32)
+        for _ in range(n_macros + 1)
+    ]
+
+    def submit_macro(m_np):
+        m_dev = jnp.asarray(m_np)  # one large h2d
+        outs = []
+        for j in range(batches_per_macro):
+            q = jax.lax.dynamic_slice_in_dim(m_dev, j * QUERY_BATCH, QUERY_BATCH)
+            qwords = hasher.hash_batch_words(q)
+            outs.append(store.query_topk_ids(qwords, TOP_K))
+        return outs
+
+    # warmup / compile
+    for o in submit_macro(macros[0]):
+        _ = np.asarray(o)
+
+    t0 = time.perf_counter()
+    inflight: list = []
+    for m_np in macros[1:]:
+        inflight.extend(submit_macro(m_np))
+        while len(inflight) > PIPELINE_DEPTH:
+            _ = np.asarray(inflight.pop(0))
+    while inflight:
+        _ = np.asarray(inflight.pop(0))
+    elapsed = time.perf_counter() - t0
+    n_queries = n_macros * macro_rows
+    qps = n_queries / elapsed
+
+    # sanity: self-queries must find themselves (exact self-match, 16 bands)
+    probe_words = hasher.hash_batch_words(X[:QUERY_BATCH])
+    probe = np.asarray(store.query_topk_ids(probe_words, TOP_K))
+    self_match = float((probe[:, 0] == np.arange(QUERY_BATCH)).mean())
+
+    result = {
+        "metric": "query_qps_100k_d768_p256_top10",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 4),
+        "extras": {
+            "platform": platform,
+            "fast_path": store.stats()["fast_path"],
+            "pallas": store.stats()["pallas"],
+            "build_vectors_per_s": round(build_rate, 1),
+            "query_batch": QUERY_BATCH,
+            "pipeline_depth": PIPELINE_DEPTH,
+            "latency_ms_per_batch": round(
+                1000 * elapsed / (n_queries / QUERY_BATCH), 3
+            ),
+            "self_match_rate": self_match,
+            "n_vectors": N_VECTORS,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -380,6 +380,19 @@ class LSHRS:
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
 
+        # Fused device rerank: resident payload, no fetch callback — counts,
+        # cosine ranking and cutoff all happen on device (one matvec), with
+        # only the final (id, score) prefix reaching the host.
+        if (
+            self._device_mode
+            and top_p is not None
+            and self._store_vectors
+            and self._vector_fetch_fn is None
+        ):
+            fused = self._query_topp_device(query_vector, top_k, top_p)
+            if fused is not None:
+                return fused
+
         ordered = self._ordered_candidates(query_vector)
         if not ordered:
             return []
@@ -439,6 +452,29 @@ class LSHRS:
         """Cosine-reranked top ``ceil(p * n_candidates)`` scored results."""
         results = self.query(vector, top_k=None, top_p=p)
         return list(results)  # type: ignore[arg-type]
+
+    _MAX_DEVICE_RERANK = 4096
+
+    def _query_topp_device(
+        self, query_vector: np.ndarray, top_k: Optional[int], top_p: float
+    ) -> Optional[CandidateScores]:
+        """Fused top-p on the device store; None -> caller falls back."""
+        qwords = self._hasher.hash_batch_words(query_vector[None, :])
+        ids, sims, n = self._storage.query_topp(  # type: ignore[attr-defined]
+            qwords, query_vector, self._MAX_DEVICE_RERANK
+        )
+        if n == 0:
+            return []
+        if not 0 < top_p <= 1:
+            raise ValueError("top_p must be within the range (0, 1]")
+        limit = max(1, math.ceil(n * top_p))
+        if top_k is not None:
+            if top_k <= 0:
+                raise ValueError("top_k must be greater than zero when provided")
+            limit = min(limit, top_k)
+        if limit > min(n, len(ids)):
+            return None  # prefix too short: take the general path
+        return [(int(i), float(s)) for i, s in zip(ids[:limit], sims[:limit])]
 
     def _ordered_candidates(self, query_vector: np.ndarray) -> list[tuple[int, int]]:
         """All colliding candidates ordered by ``(-count, id)``."""

@@ -1,0 +1,143 @@
+"""Fused Pallas collision-count + group-max-key kernel (the query hot loop).
+
+Motivation: the XLA formulation of collision counting lays out the compare
+as ``(Q, slots, words)`` with the tiny word axis minor, leaving most VPU
+lanes idle (~2% utilisation measured on v5e). This kernel uses the
+transposed store layout ``sig_t: (num_bands * W, C)`` so every compare is a
+full-lane ``(q_tile, chunk)`` op, and fuses three stages that XLA would
+otherwise materialise through HBM:
+
+    1. per-band signature equality            (VPU compares, unrolled bands)
+    2. selection-key construction             key = count * S + tie
+    3. 64-slot group-max reduction            -> (Q, C / group) written out
+
+The group maxes feed an *exact* two-stage top-k on the XLA side (see
+`lshrs_tpu.ops.scan.collision_topk_grouped`): because every slot's key is
+globally unique (the tie term embeds the slot's id-rank), the top-k groups
+by max are guaranteed to contain every true top-k slot, so refining only
+those groups is exact — the kernel reduces the candidate stream HBM
+traffic by ``group``x (e.g. 134 MB of per-slot keys becomes 2 MB of group
+maxes for C = 131k, Q = 256).
+
+Key packing requires ``(num_bands + 1) * S < 2**31`` with
+``S = next_pow2(C)``; stores that exceed this fall back to the chunked
+exact scan in `lshrs_tpu.ops.scan`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["group_max_keys", "key_scale", "supports_fast_path"]
+
+
+def key_scale(capacity: int) -> int:
+    """S — the multiplier separating count from tie bits in packed keys."""
+    return 1 << max(1, (capacity - 1).bit_length())
+
+
+def supports_fast_path(num_bands: int, capacity: int) -> bool:
+    """True when (count, tie) packs into a positive int32."""
+    return (num_bands + 1) * key_scale(capacity) < 2**31
+
+
+def _make_kernel(num_bands: int, words: int, group: int, scale: int):
+    """Build the kernel for one (q_tile, chunk) grid cell.
+
+    q_ref:   (QT, BW)  uint32 — query signature words
+    sig_ref: (BW, CH)  uint32 — transposed store chunk
+    tie_ref: (1, CH)   int32  — S-1-rank for alive slots, -1 for dead slots
+                                (dead slots' counts are masked to zero)
+    out_ref: (QT, CH // group) int32 — per-group max keys
+
+    Bands are unrolled (num_bands is small on the fast path by
+    construction; larger band counts use the chunked fallback).
+    """
+    def kernel(q_ref, sig_ref, tie_ref, out_ref):
+        qt = q_ref.shape[0]
+        ch = sig_ref.shape[1]
+        counts = jnp.zeros((qt, ch), dtype=jnp.int32)
+        for b in range(num_bands):
+            eq = sig_ref[b * words, :][None, :] == q_ref[:, b * words][:, None]
+            for w in range(1, words):
+                eq &= (
+                    sig_ref[b * words + w, :][None, :]
+                    == q_ref[:, b * words + w][:, None]
+                )
+            counts += eq.astype(jnp.int32)
+        tie = tie_ref[0, :]
+        alive = (tie >= 0).astype(jnp.int32)[None, :]
+        key = counts * alive * scale + jnp.maximum(tie, 0)[None, :]
+        # Strided group-max: group j of this chunk holds slots
+        # {j, j + ngc, j + 2*ngc, ...} (ngc = chunk // group). Contiguous
+        # slice + max keeps Mosaic happy (2D->3D reshapes of vectors are
+        # unsupported) and every slice is a full-lane (qt, ngc) tile.
+        ngc = ch // group
+        gmax = key[:, :ngc]
+        for i in range(1, group):
+            gmax = jnp.maximum(gmax, key[:, i * ngc : (i + 1) * ngc])
+        out_ref[:, :] = gmax
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_bands", "words", "group", "chunk", "q_tile", "scale", "interpret"),
+)
+def group_max_keys(
+    sig_t: jax.Array,
+    tie: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_bands: int,
+    words: int,
+    group: int,
+    chunk: int,
+    q_tile: int,
+    scale: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-group maxima of packed (count, tie) selection keys.
+
+    Args:
+        sig_t: ``(num_bands * words, C)`` uint32 transposed signatures.
+        tie: ``(C,)`` int32 — ``S - 1 - rank`` for alive slots, ``-1`` for
+            dead slots (the kernel masks their counts to zero).
+        qwords: ``(Q, num_bands * words)`` uint32; Q a multiple of q_tile.
+        group / chunk / q_tile: tiling (group | chunk | C, q_tile | Q).
+        scale: ``key_scale(C)``.
+
+    Returns:
+        ``(Q, C // group)`` int32 group-max keys.
+    """
+    bw, c = sig_t.shape
+    q = qwords.shape[0]
+    assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
+
+    kernel = _make_kernel(num_bands, words, group, scale)
+    grid = (q // q_tile, c // chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, bw), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_tile, chunk // group), lambda qi, ci: (qi, ci), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * c * bw,
+            bytes_accessed=bw * c * 4 + q * bw * 4 + c * 4 + q * (c // group) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qwords, sig_t, tie.reshape(1, c))

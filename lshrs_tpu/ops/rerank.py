@@ -1,0 +1,67 @@
+"""Device-fused cosine rerank over the HBM-resident payload matrix.
+
+The reference's top-p mode round-trips every candidate through a
+user-supplied ``vector_fetch_fn`` and reranks on host
+(`/root/reference/lshrs/core/main.py:632-647`). With ``store_vectors=True``
+the payload lives in HBM, so rerank is one MXU matvec over the whole store
+plus a masked two-key sort — only the top ``max_out`` (id, score) pairs and
+the candidate count ever reach the host.
+
+Ordering: (cosine desc, id asc) — deterministic where the reference's
+argpartition-based tie handling is not; identical whenever scores are
+distinct.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["rerank_topp_core", "rerank_topp"]
+
+_INT32_MAX = jnp.int32(2**31 - 1)
+
+
+def rerank_topp_core(
+    payload: jax.Array,
+    pnorm: jax.Array,
+    ids: jax.Array,
+    counts_row: jax.Array,
+    qvec: jax.Array,
+    *,
+    max_out: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Rank colliding candidates by cosine similarity, on device.
+
+    Args:
+        payload: ``(C, dim)`` float32 raw vectors (dead slots arbitrary).
+        pnorm: ``(C,)`` float32 precomputed L2 norms of payload rows.
+        ids: ``(C,)`` int32, -1 dead.
+        counts_row: ``(C,)`` int32 band-collision counts for this query.
+        qvec: ``(dim,)`` float32 query.
+        max_out: ranked prefix length to return.
+
+    Returns:
+        ``(ids (max_out,), sims (max_out,), n_candidates ())`` — candidates
+        ordered by (cosine desc, id asc); entries past ``n_candidates``
+        carry id -1.
+    """
+    dots = payload @ qvec  # (C,) — MXU matvec
+    qn = jnp.sqrt(jnp.sum(qvec * qvec))
+    denom = jnp.maximum(pnorm * qn, 1e-30)
+    sims = dots / denom
+    mask = (counts_row > 0) & (ids >= 0)
+    n = mask.sum()
+    neg = jnp.where(mask, -sims, jnp.inf)
+    tie = jnp.where(mask, ids, _INT32_MAX)
+    _, _, sorted_sims, sorted_ids = jax.lax.sort((neg, tie, sims, ids), num_keys=2)
+    out = min(max_out, sorted_ids.shape[0])
+    out_ids = jnp.where(
+        jnp.arange(out) < n, sorted_ids[:out], -1
+    )
+    return out_ids, sorted_sims[:out], n
+
+
+rerank_topp = partial(jax.jit, static_argnames=("max_out",))(rerank_topp_core)

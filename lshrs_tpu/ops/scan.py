@@ -1,29 +1,31 @@
-"""Device collision-counting scan and exact top-k selection.
+"""Device collision-counting and exact top-k selection.
 
 This replaces the reference's query hot loop — one Redis SMEMBERS round-trip
 per band plus a Python dict accumulate
-(`/root/reference/lshrs/core/main.py:1088-1111`) — with a fused on-device
-scan over the HBM-resident signature store:
+(`/root/reference/lshrs/core/main.py:1088-1111`) — with fused device scans
+over the HBM-resident signature store, kept in *transposed* layout
+``sig_t: (num_bands * W, capacity)`` so the slot axis is minor and every
+VPU compare runs with full lanes.
 
-  for each chunk of the store (static-shape `lax.scan`):
-      band_match[q, c, b] = all W signature words of band b equal   (VPU)
-      counts[q, c]        = number of matching bands
-      chunk top-k         = `lax.top_k` on a packed (count, id-rank) key
-  final merge             = lexicographic `lax.sort` by (-count, id)
+Exact ordering contract: the reference sorts candidates by
+``(-collision_count, index)`` (`/root/reference/lshrs/core/main.py:614`).
+Plain ``lax.top_k`` breaks count ties by position, so selection keys embed
+each slot's *id-rank*: ``key = count * S + (S - 1 - rank)`` with all keys
+globally distinct. Two selection strategies share that key:
 
-Exactness: the reference orders candidates by ``(-collision_count, index)``
-(`/root/reference/lshrs/core/main.py:614`). `lax.top_k` alone breaks count
-ties by *position*, which is not id order, so each chunk carries a
-precomputed ``rank`` array — the rank of every slot's id within its chunk
-(order-isomorphic to id). The per-chunk selection key
-``count * chunk + (chunk - 1 - rank)`` therefore yields exact
-(count desc, id asc) order inside a chunk, and the final cross-chunk merge
-sorts the small pooled candidate set with a two-key lexicographic
-`lax.sort`. Results are bit-identical to the reference ordering.
+- **Grouped fast path** (`collision_topk_grouped`): a Pallas kernel
+  (`lshrs_tpu.ops.pallas_scan`) fuses count + key + 64-slot group-max;
+  because keys are distinct, the top-k *groups by max* provably contain
+  every true top-k slot, so only ``k * group`` candidate slots are
+  re-scored and exactly sorted. HBM candidate traffic drops by ``group``x.
+- **Chunked fallback** (`collision_topk`): static `lax.scan` over chunks
+  with per-chunk ``rank`` tie-break keys and a final two-key lexicographic
+  merge — used when the key does not fit int32
+  (``(num_bands + 1) * next_pow2(C) >= 2**31``) or for tiny stores.
 
-All shapes are static: dead/empty slots carry id -1 and are masked to
-count 0; the host filters zeros. ``capacity`` is always a multiple of
-``chunk``.
+Both produce bit-identical results to the reference ordering. All shapes
+are static: dead/empty slots carry id -1 and are masked; the host filters
+zero counts.
 """
 
 from __future__ import annotations
@@ -33,40 +35,83 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lshrs_tpu.ops.pallas_scan import group_max_keys, key_scale, supports_fast_path
+
 __all__ = [
     "collision_topk",
     "collision_topk_core",
     "collision_counts",
     "collision_counts_core",
+    "collision_topk_grouped_core",
+    "collision_topk_grouped",
     "merge_topk_pools",
     "compute_chunk_ranks",
+    "compute_global_tie",
+    "global_tie_core",
+    "key_scale",
+    "supports_fast_path",
 ]
 
 _INT32_MAX = jnp.int32(2**31 - 1)
 
 
-def _band_counts(chunk_sig: jax.Array, qwords: jax.Array, num_bands: int) -> jax.Array:
-    """Collision counts of one store chunk against a query batch.
+def _band_counts_t(
+    sig_chunk_t: jax.Array, qwords: jax.Array, num_bands: int
+) -> jax.Array:
+    """Collision counts, transposed layout.
 
     Args:
-        chunk_sig: ``(chunk, BW)`` uint32 packed signatures.
+        sig_chunk_t: ``(BW, chunk)`` uint32 packed signatures.
         qwords: ``(Q, BW)`` uint32 query signatures.
     Returns:
-        ``(Q, chunk)`` int32 — number of bands whose full signature matches.
+        ``(Q, chunk)`` int32 — number of fully-matching bands.
     """
-    q, bw = qwords.shape
-    chunk = chunk_sig.shape[0]
+    bw = sig_chunk_t.shape[0]
     w = bw // num_bands
-    eq = chunk_sig[None, :, :] == qwords[:, None, :]  # (Q, chunk, BW)
-    if w > 1:
-        band_match = eq.reshape(q, chunk, num_bands, w).all(axis=-1)
-    else:
-        band_match = eq
-    return band_match.sum(axis=-1).astype(jnp.int32)
+    counts = None
+    for b in range(num_bands):
+        eq = sig_chunk_t[b * w, :][None, :] == qwords[:, b * w][:, None]
+        for j in range(1, w):
+            eq &= sig_chunk_t[b * w + j, :][None, :] == qwords[:, b * w + j][:, None]
+        counts = eq.astype(jnp.int32) if counts is None else counts + eq
+    return counts
+
+
+def _band_counts_t_scan(
+    sig_chunk_t: jax.Array, qwords: jax.Array, num_bands: int
+) -> jax.Array:
+    """Like :func:`_band_counts_t` but loops bands with `lax.fori_loop`
+    (avoids unrolling very large band counts into huge programs)."""
+    bw, chunk = sig_chunk_t.shape
+    q = qwords.shape[0]
+    w = bw // num_bands
+
+    def body(b, counts):
+        eq = jax.lax.dynamic_slice_in_dim(sig_chunk_t, b * w, 1, 0)[0][None, :] == (
+            jax.lax.dynamic_slice_in_dim(qwords, b * w, 1, 1)[:, 0][:, None]
+        )
+        for j in range(1, w):
+            eq &= jax.lax.dynamic_slice_in_dim(sig_chunk_t, b * w + j, 1, 0)[0][
+                None, :
+            ] == jax.lax.dynamic_slice_in_dim(qwords, b * w + j, 1, 1)[:, 0][:, None]
+        return counts + eq.astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, num_bands, body, jnp.zeros((q, chunk), jnp.int32))
+
+
+def band_counts_t(sig_chunk_t, qwords, num_bands):
+    if num_bands <= 64:
+        return _band_counts_t(sig_chunk_t, qwords, num_bands)
+    return _band_counts_t_scan(sig_chunk_t, qwords, num_bands)
+
+
+# ---------------------------------------------------------------------------
+# chunked exact scan (fallback path)
+# ---------------------------------------------------------------------------
 
 
 def collision_topk_core(
-    sig: jax.Array,
+    sig_t: jax.Array,
     ids: jax.Array,
     ranks: jax.Array,
     qwords: jax.Array,
@@ -75,38 +120,36 @@ def collision_topk_core(
     k: int,
     chunk: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k candidates by (collision count desc, id asc).
+    """Exact top-k by (count desc, id asc), chunked `lax.scan` selection.
 
     Args:
-        sig: ``(C, BW)`` uint32 store signatures, C a multiple of ``chunk``.
+        sig_t: ``(BW, C)`` uint32, C a multiple of ``chunk``.
         ids: ``(C,)`` int32 slot ids, -1 for dead/empty slots.
-        ranks: ``(C,)`` int32 rank of each slot's id within its chunk
+        ranks: ``(C,)`` int32 rank of each slot's id *within its chunk*
             (see :func:`compute_chunk_ranks`).
-        qwords: ``(Q, BW)`` uint32 query signatures.
-        k: candidates to return per query (``k <= C``).
+        qwords: ``(Q, BW)`` uint32.
 
     Returns:
-        ``(counts, out_ids)``, each ``(Q, k)``: collision counts (0 padding
-        at the tail) and candidate ids (-1 where count is 0), in exact
-        (count desc, id asc) order.
+        ``(counts, out_ids)``, each ``(Q, k)``; zero-count tail padding
+        carries id -1.
     """
-    c_total, bw = sig.shape
+    bw, c_total = sig_t.shape
     nchunks = c_total // chunk
     q = qwords.shape[0]
     k_chunk = min(k, chunk)
 
-    sig_c = sig.reshape(nchunks, chunk, bw)
+    sig_c = jnp.moveaxis(sig_t.reshape(bw, nchunks, chunk), 1, 0)
     ids_c = ids.reshape(nchunks, chunk)
     ranks_c = ranks.reshape(nchunks, chunk)
 
     def body(carry, xs):
-        chunk_sig, chunk_ids, chunk_ranks = xs
-        counts = _band_counts(chunk_sig, qwords, num_bands)  # (Q, chunk)
+        chunk_sig_t, chunk_ids, chunk_ranks = xs
+        counts = band_counts_t(chunk_sig_t, qwords, num_bands)
         counts = jnp.where(chunk_ids[None, :] >= 0, counts, 0)
         # Packed selection key: count-major, then id-rank ascending. Fits
         # int32: count <= num_bands <= 2^16, chunk <= 2^14.
         key = counts * chunk + (chunk - 1 - chunk_ranks)[None, :]
-        top_key, top_pos = jax.lax.top_k(key, k_chunk)  # (Q, k_chunk)
+        top_key, top_pos = jax.lax.top_k(key, k_chunk)
         sel_counts = top_key // chunk
         sel_ids = jnp.take_along_axis(
             jnp.broadcast_to(chunk_ids[None, :], (q, chunk)), top_pos, axis=1
@@ -114,7 +157,6 @@ def collision_topk_core(
         return carry, (sel_counts, sel_ids)
 
     _, (pool_counts, pool_ids) = jax.lax.scan(body, 0, (sig_c, ids_c, ranks_c))
-    # (nchunks, Q, k_chunk) -> (Q, nchunks * k_chunk)
     pool_counts = jnp.moveaxis(pool_counts, 0, 1).reshape(q, -1)
     pool_ids = jnp.moveaxis(pool_ids, 0, 1).reshape(q, -1)
     return merge_topk_pools(pool_counts, pool_ids, k=k)
@@ -126,10 +168,9 @@ def merge_topk_pools(
     """Merge pooled (count, id) candidates to the exact global top-k.
 
     Ascending lexicographic sort by (-count, id); empty entries (count 0)
-    are forced to the end via id = INT32_MAX. Used for both the cross-chunk
-    merge on one device and the cross-shard merge after an all-gather.
+    are forced to the end via id = INT32_MAX. Used for both cross-chunk
+    merges on one device and the cross-shard merge after an all-gather.
     """
-    q = pool_counts.shape[0]
     neg_counts = -pool_counts
     tie_ids = jnp.where(pool_counts > 0, pool_ids, _INT32_MAX)
     _, _, sorted_counts, sorted_ids = jax.lax.sort(
@@ -150,8 +191,121 @@ collision_topk = partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))(
 )
 
 
+# ---------------------------------------------------------------------------
+# grouped exact fast path
+# ---------------------------------------------------------------------------
+
+
+def collision_topk_grouped_core(
+    sig_t: jax.Array,
+    ids: jax.Array,
+    tie: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_bands: int,
+    k: int,
+    group: int,
+    pallas_chunk: int,
+    q_tile: int,
+    use_pallas: bool,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k via group-max keys + candidate-group refinement.
+
+    Args:
+        sig_t: ``(BW, C)`` uint32 transposed signatures; C % group == 0.
+        ids: ``(C,)`` int32, -1 dead.
+        tie: ``(C,)`` int32 — ``S - 1 - global_id_rank`` for alive slots,
+            -1 for dead (see :func:`compute_global_tie`).
+        use_pallas: run the fused Pallas kernel (TPU); otherwise an
+            equivalent jnp formulation (CPU tests / tiny stores).
+    """
+    bw, c = sig_t.shape
+    q = qwords.shape[0]
+    w = bw // num_bands
+    scale = key_scale(c)
+    ng = c // group
+
+    if use_pallas:
+        q_pad = -(-q // q_tile) * q_tile
+        qw = (
+            jnp.pad(qwords, ((0, q_pad - q), (0, 0))) if q_pad != q else qwords
+        )
+        gmax = group_max_keys(
+            sig_t,
+            tie,
+            qw,
+            num_bands=num_bands,
+            words=w,
+            group=group,
+            chunk=pallas_chunk,
+            q_tile=q_tile,
+            scale=scale,
+            interpret=interpret,
+        )[:q]
+    else:
+        counts = band_counts_t(sig_t, qwords, num_bands)
+        key = counts * (tie >= 0).astype(jnp.int32)[None, :] * scale + jnp.maximum(
+            tie, 0
+        )[None, :]
+        gmax = key.reshape(q, ng, group).max(axis=-1)
+
+    # Top-k groups by max provably contain every true top-k slot (keys are
+    # globally distinct), so re-scoring their k*group slots is exact.
+    m = min(k, ng)
+    _, top_groups = jax.lax.top_k(gmax, m)  # (Q, m)
+    if use_pallas:
+        # Pallas grouping is strided within each chunk (see pallas_scan):
+        # group g = chunk ci, lane j; its slots are ci*chunk + j + i*ngc.
+        ngc = pallas_chunk // group
+        ci = top_groups // ngc
+        j = top_groups % ngc
+        slots = (
+            ci[..., None] * pallas_chunk
+            + j[..., None]
+            + jnp.arange(group)[None, None, :] * ngc
+        ).reshape(q, m * group)
+    else:
+        slots = (
+            top_groups[..., None] * group + jnp.arange(group)[None, None, :]
+        ).reshape(q, m * group)  # (Q, m*group)
+
+    cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, m * group)
+    counts = None
+    for b in range(num_bands):
+        eq = cand_sig[b * w] == qwords[:, b * w][:, None]
+        for j in range(1, w):
+            eq &= cand_sig[b * w + j] == qwords[:, b * w + j][:, None]
+        counts = eq.astype(jnp.int32) if counts is None else counts + eq
+    cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, m * group)
+    key = counts * (cand_tie >= 0).astype(jnp.int32) * scale + jnp.maximum(cand_tie, 0)
+
+    k_eff = min(k, m * group)
+    top_key, top_pos = jax.lax.top_k(key, k_eff)
+    sel_counts = top_key // scale
+    sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
+    sel_ids = jnp.where(sel_counts > 0, jnp.take(ids, sel_slots.reshape(-1)).reshape(q, k_eff), -1)
+    if k_eff < k:
+        sel_counts = jnp.pad(sel_counts, ((0, 0), (0, k - k_eff)))
+        sel_ids = jnp.pad(sel_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return sel_counts, sel_ids
+
+
+collision_topk_grouped = partial(
+    jax.jit,
+    static_argnames=(
+        "num_bands", "k", "group", "pallas_chunk", "q_tile", "use_pallas", "interpret",
+    ),
+)(collision_topk_grouped_core)
+
+
+# ---------------------------------------------------------------------------
+# full counts (unbounded-candidate paths)
+# ---------------------------------------------------------------------------
+
+
 def collision_counts_core(
-    sig: jax.Array,
+    sig_t: jax.Array,
     ids: jax.Array,
     qwords: jax.Array,
     *,
@@ -164,15 +318,15 @@ def collision_counts_core(
     where the caller needs every colliding candidate, exactly like the
     reference's candidate dict — but computed in one device pass.
     """
-    c_total, bw = sig.shape
+    bw, c_total = sig_t.shape
     nchunks = c_total // chunk
     q = qwords.shape[0]
-    sig_c = sig.reshape(nchunks, chunk, bw)
+    sig_c = jnp.moveaxis(sig_t.reshape(bw, nchunks, chunk), 1, 0)
     ids_c = ids.reshape(nchunks, chunk)
 
     def body(carry, xs):
-        chunk_sig, chunk_ids = xs
-        counts = _band_counts(chunk_sig, qwords, num_bands)
+        chunk_sig_t, chunk_ids = xs
+        counts = band_counts_t(chunk_sig_t, qwords, num_bands)
         counts = jnp.where(chunk_ids[None, :] >= 0, counts, 0)
         return carry, counts
 
@@ -185,17 +339,39 @@ collision_counts = partial(jax.jit, static_argnames=("num_bands", "chunk"))(
 )
 
 
+# ---------------------------------------------------------------------------
+# rank / tie maintenance
+# ---------------------------------------------------------------------------
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def compute_chunk_ranks(ids: jax.Array, *, chunk: int) -> jax.Array:
     """Rank of each slot's id within its chunk (dead slots included).
 
     ``rank[i]`` is order-isomorphic to ``ids[i]`` among the slots of the
-    same chunk, which is all :func:`collision_topk` needs for exact id
-    tie-breaking. Recomputed after appends (cheap: two sorts per chunk);
-    deletions don't disturb the relative order of surviving slots.
+    same chunk, which is all the chunked fallback needs for exact id
+    tie-breaking. Deletions don't disturb surviving slots' relative order.
     """
     c_total = ids.shape[0]
     ids2 = ids.reshape(c_total // chunk, chunk)
     order = jnp.argsort(ids2, axis=-1)
     ranks = jnp.argsort(order, axis=-1)
     return ranks.reshape(c_total).astype(jnp.int32)
+
+
+def global_tie_core(ids: jax.Array) -> jax.Array:
+    """Global tie-break keys: ``S - 1 - rank(id)`` for alive slots, -1 dead.
+
+    Ranks are computed over all slots (dead ids sort as -1, ahead of alive
+    ones — order isomorphism among alive slots is all that matters). The
+    scale is derived from ``ids.shape``, so inside `shard_map` this
+    produces per-shard keys consistent with the shard-local scan.
+    """
+    c = ids.shape[0]
+    scale = key_scale(c)
+    order = jnp.argsort(ids)
+    rank = jnp.argsort(order).astype(jnp.int32)
+    return jnp.where(ids >= 0, scale - 1 - rank, -1)
+
+
+compute_global_tie = jax.jit(global_tie_core)

@@ -2,22 +2,23 @@
 
 Scale-out design (absent from the single-process reference; see
 `/root/repo/SURVEY.md` section 2's parallelism checklist): the slot axis of
-the signature store shards across a 1-D `jax.sharding.Mesh`, each device
-scanning only its rows. A query executes SPMD under `shard_map`:
+the transposed signature store shards across a 1-D `jax.sharding.Mesh`,
+each device scanning only its columns. A query executes SPMD under
+`shard_map`:
 
-    replicate query words  ->  shard-local chunked scan + exact local top-k
+    replicate query words  ->  shard-local fused scan + exact local top-k
                            ->  `all_gather` of (count, id) k-lists over ICI
                            ->  identical exact merge on every device
 
 The merge key is (count desc, id asc) — the same total order the
 single-device engine and the reference use — so sharded results are
 bit-identical to unsharded ones regardless of which shard holds which row.
+The collective payload per query batch is ``O(n_shards * k)`` ints,
+independent of index size.
 
 Appends keep the base class's tail-append logic but pin array placement
 with `NamedSharding`; because the scan is capacity-wide and uniform, row
-placement does not affect query latency, only memory balance, and tail
-growth distributes rows round-robin across shards at `rows_per_shard`
-granularity through the block-cyclic layout below.
+placement does not affect query latency, only memory balance.
 """
 
 from __future__ import annotations
@@ -32,10 +33,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lshrs_tpu.ops.scan import (
     collision_counts_core,
     collision_topk_core,
-    compute_chunk_ranks,
+    collision_topk_grouped_core,
+    global_tie_core,
     merge_topk_pools,
 )
-from lshrs_tpu.storage.device import DeviceStore
+from lshrs_tpu.storage.device import DeviceStore, _next_pow2
 
 __all__ = ["ShardedDeviceStore"]
 
@@ -44,41 +46,55 @@ class ShardedDeviceStore(DeviceStore):
     """`DeviceStore` with slot-axis sharding and ICI top-k merge.
 
     Args:
-        mesh: 1-D device mesh; its single axis shards the slot dimension.
-        Everything else as `DeviceStore`. Capacity is kept a multiple of
-        ``n_shards * chunk_size`` so every shard scans whole chunks.
+        mesh: 1-D device mesh with a power-of-two device count; its single
+            axis shards the slot dimension. Everything else as
+            `DeviceStore`. Capacity stays a power of two, so every shard
+            holds ``capacity / n_shards`` whole chunks.
     """
 
     def __init__(self, *, mesh: Mesh, **kwargs) -> None:
         if len(mesh.axis_names) != 1:
             raise ValueError("ShardedDeviceStore expects a 1-D mesh")
+        n = int(mesh.devices.size)
+        if n & (n - 1):
+            raise ValueError("ShardedDeviceStore requires a power-of-two device count")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        self.n_shards = mesh.devices.size
+        self.n_shards = n
+        kwargs.setdefault("initial_capacity", 1 << 14)
+        kwargs["initial_capacity"] = max(
+            kwargs["initial_capacity"], n * kwargs.get("chunk_size", 2048)
+        )
         super().__init__(**kwargs)
-        # Re-align capacity to shard x chunk granularity and (re)place.
-        if self._capacity % (self.n_shards * self.chunk):
-            self._grow(self._capacity)
-        else:
-            self._reshard()
+        self._reshard()
 
     # -- placement ---------------------------------------------------------
 
-    def _row_sharding(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(self.axis))
-
     def _reshard(self) -> None:
-        shd = self._row_sharding()
-        self._sig = jax.device_put(self._sig, shd)
-        self._ids = jax.device_put(self._ids, shd)
-        self._ranks = jax.device_put(self._ranks, shd)
+        col = NamedSharding(self.mesh, P(None, self.axis))
+        row = NamedSharding(self.mesh, P(self.axis))
+        self._sig_t = jax.device_put(self._sig_t, col)
+        self._ids = jax.device_put(self._ids, row)
+        self._ranks = jax.device_put(self._ranks, row)
         if self._payload is not None:
-            self._payload = jax.device_put(self._payload, shd)
+            self._payload = jax.device_put(
+                self._payload, NamedSharding(self.mesh, P(self.axis, None))
+            )
+        # Tie keys must be *shard-local*: each shard's selection-key scale
+        # derives from its local column count, so ranks are computed per
+        # shard (order isomorphism within a shard is all the proof needs).
+        self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
+
+    def remove_indices(self, indices) -> None:
+        super().remove_indices(indices)
+        self._reshard()
+
+    def clear(self) -> None:
+        super().clear()
+        self._reshard()
 
     def _grow(self, new_cap: int) -> None:
-        granularity = self.n_shards * self.chunk
-        new_cap = -(-new_cap // granularity) * granularity
-        super()._grow(new_cap)
+        super()._grow(max(new_cap, self.n_shards * self.chunk))
         self._reshard()
 
     def _append(self, ids32, words_np, vectors) -> None:
@@ -94,24 +110,55 @@ class ShardedDeviceStore(DeviceStore):
     def _local_rows(self) -> int:
         return self._capacity // self.n_shards
 
+    def _use_grouped(self) -> bool:
+        from lshrs_tpu.ops.scan import supports_fast_path
+
+        local = self._capacity // self.n_shards
+        return (
+            supports_fast_path(self.num_bands, local)
+            and self.num_bands <= 64
+            and local % self.group == 0
+        )
+
+    def _pallas_chunk(self) -> int:
+        return min(8192, self._local_rows())
+
+    def _use_pallas(self) -> bool:
+        local = self._local_rows()
+        return (
+            jax.default_backend() == "tpu"
+            and local % self._pallas_chunk() == 0
+            and local >= 1024
+        )
+
+    def _query_topk_dev(self, qw: jax.Array, k: int):
+        k_eff = max(1, min(k, self._local_rows()))
+        return _sharded_topk(
+            self.mesh,
+            self.axis,
+            self._sig_t,
+            self._ids,
+            self._ranks,
+            self._tie,
+            qw,
+            num_bands=self.num_bands,
+            k=k_eff,
+            chunk=min(self.chunk, self._local_rows()),
+            grouped=self._use_grouped(),
+            group=min(self.group, self._local_rows()),
+            pallas_chunk=self._pallas_chunk(),
+            q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+            use_pallas=self._use_pallas(),
+        )
+
     def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
         if self._size == 0:
             q = qw.shape[0]
             return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-        k_eff = max(1, min(k, self._local_rows()))
-        counts, ids = _sharded_topk(
-            self.mesh,
-            self.axis,
-            self._sig,
-            self._ids,
-            self._ranks,
-            qw,
-            num_bands=self.num_bands,
-            k=k_eff,
-            chunk=self.chunk,
-        )
+        counts, ids = self._query_topk_dev(qw, k)
         counts, ids = np.asarray(counts), np.asarray(ids)
+        k_eff = counts.shape[1]
         if k_eff < k:
             q = counts.shape[0]
             counts = np.pad(counts, ((0, 0), (0, k - k_eff)))
@@ -128,11 +175,11 @@ class ShardedDeviceStore(DeviceStore):
         counts = _sharded_counts(
             self.mesh,
             self.axis,
-            self._sig,
+            self._sig_t,
             self._ids,
             qw,
             num_bands=self.num_bands,
-            chunk=self.chunk,
+            chunk=min(self.chunk, self._local_rows()),
         )
         return np.asarray(counts), np.asarray(self._ids)
 
@@ -149,15 +196,39 @@ class ShardedDeviceStore(DeviceStore):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_tie(mesh, axis, ids):
+    return jax.shard_map(
+        global_tie_core,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis),
+        check_vma=False,
+    )(ids)
+
+
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "num_bands", "k", "chunk"),
+    static_argnames=(
+        "mesh", "axis", "num_bands", "k", "chunk",
+        "grouped", "group", "pallas_chunk", "q_tile", "use_pallas",
+    ),
 )
-def _sharded_topk(mesh, axis, sig, ids, ranks, qwords, *, num_bands, k, chunk):
-    def local(sig_l, ids_l, ranks_l, qw):
-        counts, out_ids = collision_topk_core(
-            sig_l, ids_l, ranks_l, qw, num_bands=num_bands, k=k, chunk=chunk
-        )
+def _sharded_topk(
+    mesh, axis, sig_t, ids, ranks, tie, qwords,
+    *, num_bands, k, chunk, grouped, group, pallas_chunk, q_tile, use_pallas,
+):
+    def local(sig_l, ids_l, ranks_l, tie_l, qw):
+        if grouped:
+            counts, out_ids = collision_topk_grouped_core(
+                sig_l, ids_l, tie_l, qw,
+                num_bands=num_bands, k=k, group=group,
+                pallas_chunk=pallas_chunk, q_tile=q_tile, use_pallas=use_pallas,
+            )
+        else:
+            counts, out_ids = collision_topk_core(
+                sig_l, ids_l, ranks_l, qw, num_bands=num_bands, k=k, chunk=chunk
+            )
         # (n_shards, Q, k) on every device after one ICI all-gather.
         counts_g = jax.lax.all_gather(counts, axis)
         ids_g = jax.lax.all_gather(out_ids, axis)
@@ -169,24 +240,22 @@ def _sharded_topk(mesh, axis, sig, ids, ranks, qwords, *, num_bands, k, chunk):
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P()),
+        in_specs=(P(None, axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(sig, ids, ranks, qwords)
+    )(sig_t, ids, ranks, tie, qwords)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))
-def _sharded_counts(mesh, axis, sig, ids, qwords, *, num_bands, chunk):
+def _sharded_counts(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk):
     def local(sig_l, ids_l, qw):
-        return collision_counts_core(
-            sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk
-        )
+        return collision_counts_core(sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk)
 
     # Counts come back sharded along the slot axis (global layout preserved).
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
+        in_specs=(P(None, axis), P(axis), P()),
         out_specs=P(None, axis),
         check_vma=False,
-    )(sig, ids, qwords)
+    )(sig_t, ids, qwords)

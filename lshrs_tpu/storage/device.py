@@ -4,19 +4,27 @@ Where the reference keeps bucket membership in Redis sets and pays one
 network round-trip per band per query
 (`/root/reference/lshrs/storage/redis.py:40,282`), this store keeps every
 indexed vector's packed banded signature in device memory and answers
-queries with a fused scan (`lshrs_tpu.ops.scan`):
+queries with fused scans (`lshrs_tpu.ops.scan`, `lshrs_tpu.ops.pallas_scan`):
 
-    layout (all device arrays, statically shaped, chunk-aligned):
-        sig     (capacity, num_bands * W)  uint32   packed signatures
-        ids     (capacity,)                int32    vector id, -1 = dead slot
-        ranks   (capacity,)                int32    id-rank within each chunk
+    layout (all device arrays, statically shaped, power-of-two capacity):
+        sig_t   (num_bands * W, capacity)  uint32   transposed signatures
+                                                    (slot axis minor: full
+                                                    VPU lanes per compare)
+        ids     (capacity,)                int32    vector id, -1 = dead
+        tie     (capacity,)                int32    global id-rank key
+        ranks   (capacity,)                int32    per-chunk id-rank
         payload (capacity, dim)            float32  optional resident vectors
 
 A band "bucket" is implicit: the set of slots whose band-b words equal a
 given signature. Collision counting therefore needs no hash-table probing
-at all — it is a dense, regular, vectorised compare that XLA tiles onto
+at all — it is a dense, regular, vectorised compare XLA/Pallas tile onto
 the VPU, with exact reference semantics for any (b, r) since full
 signatures (not lossy bucket hashes) are compared.
+
+Query strategy: the grouped Pallas fast path (count + key + group-max fused,
+then exact candidate-group refinement) when the selection key fits int32;
+the chunked `lax.scan` fallback otherwise. Both orderings are bit-identical
+to the reference's ``(-count, id)``.
 
 Mutation model: appends go to the tail via `dynamic_update_slice` (inputs
 padded to powers of two so jit caches stay small); re-ingesting an id
@@ -37,7 +45,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from lshrs_tpu.ops.bitpack import band_bytes_to_words, words_per_band
-from lshrs_tpu.ops.scan import collision_counts, collision_topk, compute_chunk_ranks
+from lshrs_tpu.ops.rerank import rerank_topp
+from lshrs_tpu.ops.scan import (
+    collision_counts,
+    collision_topk,
+    collision_topk_grouped,
+    compute_chunk_ranks,
+    compute_global_tie,
+    supports_fast_path,
+)
 from lshrs_tpu.storage.base import BaseStorage, BucketOperation
 
 __all__ = ["DeviceStore"]
@@ -50,10 +66,10 @@ def _next_pow2(n: int) -> int:
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _append_sig_jit(sig, ids, new_sig, new_ids, offset):
-    sig = jax.lax.dynamic_update_slice(sig, new_sig, (offset, 0))
+def _append_jit(sig_t, ids, new_sig_t, new_ids, offset):
+    sig_t = jax.lax.dynamic_update_slice(sig_t, new_sig_t, (0, offset))
     ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
-    return sig, ids
+    return sig_t, ids
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -62,8 +78,13 @@ def _append_rows_jit(arr, new_rows, offset):
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _scatter_rows_jit(arr, slots, rows):
+def _scatter_cols_jit(sig_t, slots, cols):
     # Out-of-range slots (used as padding) are dropped, not clamped.
+    return sig_t.at[:, slots].set(cols, mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows_jit(arr, slots, rows):
     return arr.at[slots].set(rows, mode="drop")
 
 
@@ -74,17 +95,17 @@ def _tombstone_jit(ids, slots):
 
 @jax.jit
 def _mask_delete_jit(ids, sorted_dels):
-    pos = jnp.clip(
-        jnp.searchsorted(sorted_dels, ids), 0, sorted_dels.shape[0] - 1
-    )
+    pos = jnp.clip(jnp.searchsorted(sorted_dels, ids), 0, sorted_dels.shape[0] - 1)
     hit = (sorted_dels[pos] == ids) & (ids >= 0)
     return jnp.where(hit, -1, ids), hit.sum()
 
 
 @partial(jax.jit, static_argnames=("w",))
-def _band_bucket_jit(band_words, ids, q_band, *, w):
-    match = jnp.all(band_words == q_band[None, :], axis=-1) & (ids >= 0)
-    return match
+def _band_bucket_jit(band_words_t, ids, q_band, *, w):
+    match = jnp.ones(band_words_t.shape[1], dtype=bool)
+    for j in range(w):
+        match &= band_words_t[j, :] == q_band[j]
+    return match & (ids >= 0)
 
 
 class DeviceStore(BaseStorage):
@@ -95,9 +116,11 @@ class DeviceStore(BaseStorage):
         dim: vector dimensionality; required when ``store_vectors``.
         store_vectors: keep a float32 payload matrix resident so top-p
             cosine reranking needs no ``vector_fetch_fn`` round-trip.
-        initial_capacity: starting slot count (rounded up to chunk multiple).
-        chunk_size: scan tile height; must divide capacity and satisfy
+        initial_capacity: starting slot count (rounded up to a power of
+            two, at least ``chunk_size``).
+        chunk_size: fallback scan tile; must satisfy
             ``(num_bands + 1) * chunk_size < 2**31`` for exact key packing.
+        group_size: group width of the fast-path group-max selection.
         dedupe: track id -> slot on host so re-ingesting an id overwrites
             its slot (upsert) and deletes are O(1) lookups. Disable for
             maximum-scale streaming ingest of known-unique ids.
@@ -114,6 +137,7 @@ class DeviceStore(BaseStorage):
         store_vectors: bool = False,
         initial_capacity: int = 1 << 14,
         chunk_size: int = 2048,
+        group_size: int = 32,
         dedupe: bool = True,
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
@@ -122,6 +146,8 @@ class DeviceStore(BaseStorage):
             raise ValueError("num_bands * chunk_size too large for exact top-k keys")
         if store_vectors and not dim:
             raise ValueError("dim is required when store_vectors=True")
+        if group_size & (group_size - 1):
+            raise ValueError("group_size must be a power of two")
 
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
@@ -129,17 +155,12 @@ class DeviceStore(BaseStorage):
         self.dim = dim
         self.store_vectors = store_vectors
         self.chunk = chunk_size
+        self.group = group_size
         self.dedupe = dedupe
 
-        cap = max(chunk_size, initial_capacity)
-        cap = -(-cap // chunk_size) * chunk_size
+        cap = _next_pow2(max(chunk_size, initial_capacity))
         self._capacity = cap
-        self._sig = jnp.zeros((cap, self.words), dtype=jnp.uint32)
-        self._ids = jnp.full((cap,), -1, dtype=jnp.int32)
-        self._ranks = jnp.zeros((cap,), dtype=jnp.int32)
-        self._payload = (
-            jnp.zeros((cap, dim), dtype=jnp.float32) if store_vectors else None
-        )
+        self._alloc(cap)
         self._size = 0  # high-water mark of used slots (including tombstones)
         self._tombstones = 0
         self._slot_of: dict[int, int] | None = {} if dedupe else None
@@ -148,6 +169,41 @@ class DeviceStore(BaseStorage):
         # store once all bands of a vector have arrived (bucket-level parity
         # path only; the signature-batch path never stages).
         self._pending_ops: dict[int, dict[int, bytes]] = {}
+
+    def _alloc(self, cap: int) -> None:
+        self._sig_t = jnp.zeros((self.words, cap), dtype=jnp.uint32)
+        self._ids = jnp.full((cap,), -1, dtype=jnp.int32)
+        self._ranks = jnp.zeros((cap,), dtype=jnp.int32)
+        self._tie = jnp.full((cap,), -1, dtype=jnp.int32)
+        self._payload = (
+            jnp.zeros((cap, self.dim), dtype=jnp.float32) if self.store_vectors else None
+        )
+        self._pnorm = (
+            jnp.zeros((cap,), dtype=jnp.float32) if self.store_vectors else None
+        )
+
+    # -- query path selection ------------------------------------------------
+
+    def _use_grouped(self) -> bool:
+        return (
+            supports_fast_path(self.num_bands, self._capacity)
+            and self.num_bands <= 64
+            and self._capacity % self.group == 0
+        )
+
+    def _use_pallas(self) -> bool:
+        return (
+            jax.default_backend() == "tpu"
+            and self._capacity % self._pallas_chunk() == 0
+            and self._capacity >= 1024
+        )
+
+    def _pallas_chunk(self) -> int:
+        return min(8192, self._capacity)
+
+    def _refresh_ranks(self) -> None:
+        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+        self._tie = compute_global_tie(self._ids)
 
     # ------------------------------------------------------------------
     # signature-batch ingestion (the TPU-native path)
@@ -164,7 +220,7 @@ class DeviceStore(BaseStorage):
         Args:
             indices: integer ids, each in ``[0, 2**31)``.
             words: ``(n, num_bands * W)`` uint32 signature words (host or
-                device array).
+                device array; device arrays stay on device).
             vectors: ``(n, dim)`` float32 payload rows, required when
                 ``store_vectors``.
         """
@@ -173,31 +229,33 @@ class DeviceStore(BaseStorage):
             return
         if ids_np.min() < 0 or ids_np.max() > _MAX_ID:
             raise ValueError("indices must be in [0, 2**31) for the device store")
-        words_np = np.asarray(words, dtype=np.uint32)
-        if words_np.shape != (ids_np.size, self.words):
+        n = ids_np.size
+        if tuple(words.shape) != (n, self.words):
             raise ValueError(
-                f"signature words must have shape ({ids_np.size}, {self.words}); "
-                f"received {words_np.shape}"
+                f"signature words must have shape ({n}, {self.words}); "
+                f"received {tuple(words.shape)}"
             )
         if self.store_vectors:
             if vectors is None:
                 raise ValueError("vectors are required when store_vectors=True")
-            vectors = np.asarray(vectors, dtype=np.float32)
-            if vectors.shape != (ids_np.size, self.dim):
+            if tuple(vectors.shape) != (n, self.dim):
                 raise ValueError(
-                    f"vectors must have shape ({ids_np.size}, {self.dim}); "
-                    f"received {vectors.shape}"
+                    f"vectors must have shape ({n}, {self.dim}); "
+                    f"received {tuple(vectors.shape)}"
                 )
 
         ids32 = ids_np.astype(np.int32)
         with self._lock:
             if self._slot_of is not None:
+                words = np.asarray(words, dtype=np.uint32)
+                if vectors is not None:
+                    vectors = np.asarray(vectors, dtype=np.float32)
                 # Within-batch duplicates: keep the last occurrence (upsert
                 # semantics), preserving order of last occurrences.
                 _, last_pos = np.unique(ids32[::-1], return_index=True)
                 keep = np.sort(ids32.size - 1 - last_pos)
                 if keep.size != ids32.size:
-                    ids32, words_np = ids32[keep], words_np[keep]
+                    ids32, words = ids32[keep], words[keep]
                     if vectors is not None:
                         vectors = vectors[keep]
                 existing_mask = np.fromiter(
@@ -211,14 +269,17 @@ class DeviceStore(BaseStorage):
                         dtype=np.int32,
                         count=int(existing_mask.sum()),
                     )
-                    self._overwrite(slots, words_np[existing_mask],
-                                    vectors[existing_mask] if vectors is not None else None)
+                    self._overwrite(
+                        slots,
+                        words[existing_mask],
+                        vectors[existing_mask] if vectors is not None else None,
+                    )
                     ids32 = ids32[~existing_mask]
-                    words_np = words_np[~existing_mask]
+                    words = words[~existing_mask]
                     if vectors is not None:
                         vectors = vectors[~existing_mask]
             if ids32.size:
-                self._append(ids32, words_np, vectors)
+                self._append(ids32, words, vectors)
 
     def _overwrite(self, slots: np.ndarray, words_np: np.ndarray, vectors) -> None:
         pad = _next_pow2(slots.size)
@@ -226,54 +287,94 @@ class DeviceStore(BaseStorage):
         slots_p[: slots.size] = slots
         words_p = np.zeros((pad, self.words), dtype=np.uint32)
         words_p[: slots.size] = words_np
-        self._sig = _scatter_rows_jit(self._sig, jnp.asarray(slots_p), jnp.asarray(words_p))
+        self._sig_t = _scatter_cols_jit(
+            self._sig_t, jnp.asarray(slots_p), jnp.asarray(words_p.T)
+        )
         if self._payload is not None and vectors is not None:
             rows_p = np.zeros((pad, self.dim), dtype=np.float32)
             rows_p[: slots.size] = vectors
             self._payload = _scatter_rows_jit(
                 self._payload, jnp.asarray(slots_p), jnp.asarray(rows_p)
             )
+            self._pnorm = self._pnorm.at[jnp.asarray(slots_p)].set(
+                jnp.linalg.norm(jnp.asarray(rows_p), axis=1), mode="drop"
+            )
         # ids unchanged -> ranks unchanged.
 
-    def _append(self, ids32: np.ndarray, words_np: np.ndarray, vectors) -> None:
+    def _append(self, ids32: np.ndarray, words, vectors) -> None:
         n = ids32.size
         pad = _next_pow2(n)
         if self._size + pad > self._capacity:
             self._grow(max(2 * self._capacity, _next_pow2(self._size + pad)))
         ids_p = np.full(pad, -1, dtype=np.int32)
         ids_p[:n] = ids32
-        words_p = np.zeros((pad, self.words), dtype=np.uint32)
-        words_p[:n] = words_np
+        # Device-resident batches are padded/transposed on device (no d2h).
+        words_dev = jnp.asarray(words, dtype=jnp.uint32)
+        words_t = words_dev.T
+        if pad != n:
+            words_t = jnp.pad(words_t, ((0, 0), (0, pad - n)))
         offset = jnp.int32(self._size)
-        self._sig, self._ids = _append_sig_jit(
-            self._sig, self._ids, jnp.asarray(words_p), jnp.asarray(ids_p), offset
+        self._sig_t, self._ids = _append_jit(
+            self._sig_t, self._ids, words_t, jnp.asarray(ids_p), offset
         )
         if self._payload is not None:
-            rows_p = np.zeros((pad, self.dim), dtype=np.float32)
-            rows_p[:n] = vectors
-            self._payload = _append_rows_jit(self._payload, jnp.asarray(rows_p), offset)
+            rows = jnp.asarray(vectors, dtype=jnp.float32)
+            if pad != n:
+                rows = jnp.pad(rows, ((0, pad - n), (0, 0)))
+            self._payload = _append_rows_jit(self._payload, rows, offset)
+            self._pnorm = jax.lax.dynamic_update_slice(
+                self._pnorm, jnp.linalg.norm(rows, axis=1), (offset,)
+            )
         if self._slot_of is not None:
             base = self._size
             for j, i in enumerate(ids32):
                 self._slot_of[int(i)] = base + j
         self._size += n
-        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+        self._refresh_ranks()
 
     def _grow(self, new_cap: int) -> None:
-        new_cap = -(-new_cap // self.chunk) * self.chunk
-        sig = jnp.zeros((new_cap, self.words), dtype=jnp.uint32)
+        new_cap = _next_pow2(new_cap)
+        sig_t = jnp.zeros((self.words, new_cap), dtype=jnp.uint32)
         ids = jnp.full((new_cap,), -1, dtype=jnp.int32)
-        self._sig = sig.at[: self._capacity].set(self._sig)
+        self._sig_t = sig_t.at[:, : self._capacity].set(self._sig_t)
         self._ids = ids.at[: self._capacity].set(self._ids)
         if self._payload is not None:
             payload = jnp.zeros((new_cap, self.dim), dtype=jnp.float32)
             self._payload = payload.at[: self._capacity].set(self._payload)
+            pnorm = jnp.zeros((new_cap,), dtype=jnp.float32)
+            self._pnorm = pnorm.at[: self._capacity].set(self._pnorm)
         self._capacity = new_cap
-        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+        self._refresh_ranks()
 
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
+
+    def _query_topk_dev(self, qw: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+        """Device-resident top-k (no host transfer of the results)."""
+        k_eff = max(1, min(k, self._capacity))
+        if self._use_grouped():
+            return collision_topk_grouped(
+                self._sig_t,
+                self._ids,
+                self._tie,
+                qw,
+                num_bands=self.num_bands,
+                k=k_eff,
+                group=min(self.group, self._capacity),
+                pallas_chunk=self._pallas_chunk(),
+                q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+                use_pallas=self._use_pallas(),
+            )
+        return collision_topk(
+            self._sig_t,
+            self._ids,
+            self._ranks,
+            qw,
+            num_bands=self.num_bands,
+            k=k_eff,
+            chunk=self.chunk,
+        )
 
     def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact (count desc, id asc) top-k for a query batch.
@@ -288,17 +389,22 @@ class DeviceStore(BaseStorage):
         if self._size == 0:
             q = qw.shape[0]
             return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-        k_eff = max(1, min(k, self._capacity))
-        counts, ids = collision_topk(
-            self._sig, self._ids, self._ranks, qw,
-            num_bands=self.num_bands, k=k_eff, chunk=self.chunk,
-        )
+        counts, ids = self._query_topk_dev(qw, k)
         counts, ids = np.asarray(counts), np.asarray(ids)
+        k_eff = counts.shape[1]
         if k_eff < k:
             q = counts.shape[0]
             counts = np.pad(counts, ((0, 0), (0, k - k_eff)))
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return counts, ids
+
+    def query_topk_ids(self, qwords, k: int) -> jax.Array:
+        """Device-resident id-only top-k (serving fast path, one readback)."""
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        if self._size == 0:
+            return jnp.full((qw.shape[0], k), -1, jnp.int32)
+        _, ids = self._query_topk_dev(qw, k)
+        return ids
 
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
         """Full per-slot collision counts plus the slot-id map.
@@ -314,9 +420,37 @@ class DeviceStore(BaseStorage):
                 np.full((self._capacity,), -1, np.int32),
             )
         counts = collision_counts(
-            self._sig, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+            self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
         )
         return np.asarray(counts), np.asarray(self._ids)
+
+    def query_topp(
+        self, qwords, qvec: np.ndarray, max_out: int
+    ) -> tuple[np.ndarray, np.ndarray, int]:
+        """Fused top-p rerank: collision counts + cosine ranking, on device.
+
+        Requires ``store_vectors``. Returns the first ``max_out`` colliding
+        candidates ordered by (cosine desc, id asc) plus the total
+        candidate count; only ``O(max_out)`` bytes reach the host.
+        """
+        if self._payload is None:
+            raise RuntimeError("store_vectors=False: no resident payload to rerank")
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        if self._size == 0:
+            return (np.full(max_out, -1, np.int32), np.zeros(max_out, np.float32), 0)
+        out = max(1, min(max_out, self._capacity))
+        counts = collision_counts(
+            self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+        )
+        ids, sims, n = rerank_topp(
+            self._payload,
+            self._pnorm,
+            self._ids,
+            counts[0],
+            jnp.asarray(qvec, dtype=jnp.float32),
+            max_out=out,
+        )
+        return np.asarray(ids), np.asarray(sims), int(n)
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
         """Fetch resident payload rows by id (requires ``store_vectors``)."""
@@ -371,8 +505,8 @@ class DeviceStore(BaseStorage):
             return set()
         w = self.words // self.num_bands
         q_band = band_bytes_to_words((bytes(hash_val),), rows_per_band=self.rows_per_band)
-        band_words = self._sig[:, band_id * w : (band_id + 1) * w]
-        match = _band_bucket_jit(band_words, self._ids, jnp.asarray(q_band), w=w)
+        band_words_t = self._sig_t[band_id * w : (band_id + 1) * w, :]
+        match = _band_bucket_jit(band_words_t, self._ids, jnp.asarray(q_band), w=w)
         ids = np.asarray(self._ids)
         return set(int(i) for i in ids[np.asarray(match)])
 
@@ -400,14 +534,13 @@ class DeviceStore(BaseStorage):
                 dels = np.unique(np.asarray(to_remove, dtype=np.int32))
                 self._ids, hits = _mask_delete_jit(self._ids, jnp.asarray(dels))
                 self._tombstones += int(hits)
+            # Relative order of surviving slots is unchanged, but the tie
+            # array must mark the dead slots so the fast path skips them.
+            self._tie = compute_global_tie(self._ids)
 
     def clear(self) -> None:
         with self._lock:
-            self._sig = jnp.zeros_like(self._sig)
-            self._ids = jnp.full_like(self._ids, -1)
-            self._ranks = jnp.zeros_like(self._ranks)
-            if self._payload is not None:
-                self._payload = jnp.zeros_like(self._payload)
+            self._alloc(self._capacity)
             self._size = 0
             self._tombstones = 0
             if self._slot_of is not None:
@@ -416,7 +549,7 @@ class DeviceStore(BaseStorage):
 
     def close(self) -> None:
         """Drop device buffers."""
-        self._sig = self._ids = self._ranks = self._payload = None  # type: ignore[assignment]
+        self._sig_t = self._ids = self._ranks = self._tie = self._payload = None  # type: ignore[assignment]
 
     # ------------------------------------------------------------------
     # introspection / persistence
@@ -435,6 +568,8 @@ class DeviceStore(BaseStorage):
             "tombstones": self._tombstones,
             "capacity": self._capacity,
             "chunk_size": self.chunk,
+            "fast_path": self._use_grouped(),
+            "pallas": self._use_grouped() and self._use_pallas(),
             "signature_bytes": sig_bytes,
             "payload_bytes": payload_bytes,
         }
@@ -444,7 +579,7 @@ class DeviceStore(BaseStorage):
         n = self._size
         out = {
             "ids": np.asarray(self._ids[:n]),
-            "sig": np.asarray(self._sig[:n]),
+            "sig": np.asarray(self._sig_t[:, :n].T),
         }
         if self._payload is not None:
             out["payload"] = np.asarray(self._payload[:n])
