@@ -223,16 +223,29 @@ class LSHRS:
     # ingestion
     # ------------------------------------------------------------------
 
-    def create_signatures(self, *, format: str = "postgres", **loader_kwargs: Any) -> None:
+    def create_signatures(
+        self,
+        *,
+        format: str = "postgres",
+        prefetch: int = 2,
+        **loader_kwargs: Any,
+    ) -> None:
         """Bulk-build the index by streaming ``(indices, vectors)`` batches.
 
         ``format`` selects a loader: ``postgres``/``pg``, ``parquet``/``pq``
         or ``numpy``/``npz`` (see `lshrs_tpu.io`). Loader keyword arguments
         are passed through. Each streamed batch is indexed and flushed
-        atomically (`index` semantics).
+        atomically (`index` semantics). ``prefetch`` batches are pulled
+        ahead on a background thread so host IO overlaps device ingestion
+        (set 0 to disable).
         """
         loader = self._resolve_loader(format)
-        for indices, vectors in loader(**loader_kwargs):
+        stream: Iterable = loader(**loader_kwargs)
+        if prefetch > 0:
+            from lshrs_tpu.io.prefetch import prefetch_batches
+
+            stream = prefetch_batches(stream, depth=prefetch)
+        for indices, vectors in stream:
             self.index(indices, vectors)
 
     def ingest(self, index: int, vector: np.ndarray) -> None:
