@@ -89,31 +89,15 @@ def main() -> None:
     # warmup / compile
     _ = np.asarray(submit(raw_batches[0]))
 
-    # Host hashing runs on worker threads (NumPy releases the GIL in sgemm)
-    # so it fully overlaps the device scans; the timed window still covers
-    # every hash, every transfer and every readback.
-    from concurrent.futures import ThreadPoolExecutor
-
-    work = raw_batches[1:]
-    lookahead = 2
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        t0 = time.perf_counter()
-        hash_futs = [
-            pool.submit(hasher.hash_batch_words_host, b) for b in work[:lookahead]
-        ]
-        inflight: list = []
-        for i in range(len(work)):
-            if i + lookahead < len(work):
-                hash_futs.append(
-                    pool.submit(hasher.hash_batch_words_host, work[i + lookahead])
-                )
-            qwords = hash_futs[i].result()
-            inflight.append(store.query_topk_ids(qwords, TOP_K))
-            if len(inflight) >= PIPELINE_DEPTH:
-                _ = np.asarray(inflight.pop(0))
-        while inflight:
+    t0 = time.perf_counter()
+    inflight: list = []
+    for qnp in raw_batches[1:]:
+        inflight.append(submit(qnp))
+        if len(inflight) >= PIPELINE_DEPTH:
             _ = np.asarray(inflight.pop(0))
-        elapsed = time.perf_counter() - t0
+    while inflight:
+        _ = np.asarray(inflight.pop(0))
+    elapsed = time.perf_counter() - t0
     n_queries = n_batches * QUERY_BATCH
     qps = n_queries / elapsed
 
