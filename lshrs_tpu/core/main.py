@@ -168,6 +168,16 @@ class LSHRS:
         self._buffer: list = []
         self._buffer_lock = Lock()
 
+        # Runtime counters (observability the reference lacks: its stats()
+        # is a pure config snapshot, /root/reference/lshrs/core/main.py:798).
+        self._counters = {
+            "vectors_ingested": 0,
+            "queries_served": 0,
+            "flushes": 0,
+            "deletes": 0,
+        }
+        self._counter_lock = Lock()
+
         self._config: dict[str, Any] = {
             "dim": dim,
             "num_perm": num_perm,
@@ -267,6 +277,7 @@ class LSHRS:
             with self._buffer_lock:
                 for band_id, sig in enumerate(signatures):
                     self._buffer.append((band_id, sig, int(index)))
+        self._count("vectors_ingested")
         self._flush_buffer_if_needed()
 
     def index(self, indices: Sequence[int], vectors: Optional[np.ndarray] = None) -> None:
@@ -314,6 +325,7 @@ class LSHRS:
                     sig = self._hasher.words_to_signature(words[j])
                     for band_id, band in enumerate(sig):
                         self._buffer.append((band_id, band, idx))
+        self._count("vectors_ingested", len(idx_list))
         self.flush()
 
     def flush(self) -> None:
@@ -339,11 +351,16 @@ class LSHRS:
                 self._storage.add_signature_batch(ids, words, vecs)  # type: ignore[attr-defined]
             else:
                 self._storage.batch_add(pending)
+            self._count("flushes")
         except Exception as e:
             logger.error(f"Failed to flush buffer to storage: {e}")
             with self._buffer_lock:
                 self._buffer[0:0] = pending
             raise
+
+    def _count(self, key: str, n: int = 1) -> None:
+        with self._counter_lock:
+            self._counters[key] += n
 
     def _buffered_ops(self) -> int:
         """Pending operation count (vector records count num_bands each)."""
@@ -380,6 +397,7 @@ class LSHRS:
         additionally capped by ``top_k`` when given.
         """
         query_vector = self._prepare_vector(vector)
+        self._count("queries_served")
 
         # Fast path: bounded top-k against the device store never
         # materialises the candidate set on host.
@@ -448,6 +466,7 @@ class LSHRS:
                 f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
             )
         if self._device_mode:
+            self._count("queries_served", arr.shape[0])
             qwords = self._hasher.hash_batch_words(arr)
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [
@@ -536,6 +555,7 @@ class LSHRS:
     def delete(self, indices: Union[int, Sequence[int]]) -> None:
         """Hard-delete ids from the index (tombstoned on device)."""
         to_remove = [indices] if isinstance(indices, int) else [int(i) for i in indices]
+        self._count("deletes", len(to_remove))
         self._storage.remove_indices(to_remove)
 
     def clear(self) -> None:
@@ -555,6 +575,7 @@ class LSHRS:
             "redis_prefix": self._redis_config["prefix"],
             "backend": self._tpu_config["backend"],
             "buffered_operations": self._buffered_ops(),
+            "counters": dict(self._counters),
         }
         if isinstance(self._storage, DeviceStore):
             out["index"] = self._storage.stats()
