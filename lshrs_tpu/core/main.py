@@ -268,8 +268,12 @@ class LSHRS:
             raise ValueError("index must be non-negative")
         vec = self._prepare_vector(vector)
         if self._device_mode:
-            words = np.asarray(self._hasher.hash_batch_words(vec[None, :]))[0]
-            record = (int(index), words, vec if self._store_vectors else None)
+            words = self._hasher.hash_batch_words(vec[None, :])  # stays on device
+            record = (
+                np.asarray([index], dtype=np.int64),
+                words,
+                vec[None, :] if self._store_vectors else None,
+            )
             with self._buffer_lock:
                 self._buffer.append(record)
         else:
@@ -312,12 +316,14 @@ class LSHRS:
             )
 
         if self._device_mode:
-            words = np.asarray(self._hasher.hash_batch_words(arr))
+            words = self._hasher.hash_batch_words(arr)  # stays on device
+            record = (
+                np.asarray(idx_list, dtype=np.int64),
+                words,
+                arr if self._store_vectors else None,
+            )
             with self._buffer_lock:
-                for j, idx in enumerate(idx_list):
-                    self._buffer.append(
-                        (idx, words[j], arr[j] if self._store_vectors else None)
-                    )
+                self._buffer.append(record)
         else:
             words = self._hasher.hash_batch_words_host(arr)
             with self._buffer_lock:
@@ -343,11 +349,22 @@ class LSHRS:
 
         try:
             if self._device_mode:
-                ids = np.asarray([rec[0] for rec in pending], dtype=np.int64)
-                words = np.stack([rec[1] for rec in pending])
-                vecs = (
-                    np.stack([rec[2] for rec in pending]) if self._store_vectors else None
-                )
+                # Buffer holds batch records (ids, device-resident words,
+                # vectors?); a multi-record flush concatenates on device.
+                if len(pending) == 1:
+                    ids, words, vecs = pending[0]
+                else:
+                    import jax.numpy as jnp
+
+                    ids = np.concatenate([rec[0] for rec in pending])
+                    words = jnp.concatenate(
+                        [jnp.asarray(rec[1]) for rec in pending]
+                    )
+                    vecs = (
+                        np.concatenate([rec[2] for rec in pending])
+                        if self._store_vectors
+                        else None
+                    )
                 self._storage.add_signature_batch(ids, words, vecs)  # type: ignore[attr-defined]
             else:
                 self._storage.batch_add(pending)
@@ -363,9 +380,10 @@ class LSHRS:
             self._counters[key] += n
 
     def _buffered_ops(self) -> int:
-        """Pending operation count (vector records count num_bands each)."""
+        """Pending operation count (each vector counts num_bands ops)."""
         if self._device_mode:
-            return len(self._buffer) * self._config["num_bands"]
+            vectors = sum(rec[0].size for rec in self._buffer)
+            return vectors * self._config["num_bands"]
         return len(self._buffer)
 
     def _flush_buffer_if_needed(self) -> None:

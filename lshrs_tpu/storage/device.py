@@ -246,7 +246,9 @@ class DeviceStore(BaseStorage):
 
         ids32 = ids_np.astype(np.int32)
         with self._lock:
-            if self._slot_of is not None:
+            if self._slot_of is not None and self._needs_upsert(ids32):
+                # Slow path: duplicate or already-present ids; resolve the
+                # upserts host-side (pulls the words to host).
                 words = np.asarray(words, dtype=np.uint32)
                 if vectors is not None:
                     vectors = np.asarray(vectors, dtype=np.float32)
@@ -280,6 +282,17 @@ class DeviceStore(BaseStorage):
                         vectors = vectors[~existing_mask]
             if ids32.size:
                 self._append(ids32, words, vectors)
+
+    def _needs_upsert(self, ids32: np.ndarray) -> bool:
+        """True when the batch contains duplicate or already-present ids.
+
+        The common streaming case (all-new unique ids) takes the device-only
+        append path; only genuine upserts pay a host round trip.
+        """
+        if np.unique(ids32).size != ids32.size:
+            return True
+        slot_of = self._slot_of
+        return any(int(i) in slot_of for i in ids32)
 
     def _overwrite(self, slots: np.ndarray, words_np: np.ndarray, vectors) -> None:
         pad = _next_pow2(slots.size)
