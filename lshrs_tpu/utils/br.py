@@ -238,3 +238,12 @@ def print_config_analysis(num_perm: int, threshold: float = 0.5) -> None:
     for s in (0.3, 0.5, 0.7, 0.9):
         p = compute_collision_probability(s, b, r)
         print(f"  Similarity {s}: {p:.2%} chance of detection")
+
+
+if __name__ == "__main__":
+    # Demo: tuning analysis across common hash budgets (mirrors the
+    # reference's __main__ block behaviourally).
+    for num_perm in (128, 256, 4096):
+        for threshold in (0.5, 0.8, 0.9):
+            print_config_analysis(num_perm, threshold)
+            print()
