@@ -79,6 +79,8 @@ class LSHRS:
         redis_*: connection settings used when ``backend="redis"``.
         seed: projection seed (determinism / reproducibility).
         initial_capacity / chunk_size: device store sizing knobs.
+        shards: shard the index over this many devices (1-D mesh); queries
+            merge shard-local top-k over ICI. Power of two.
     """
 
     def __init__(
@@ -104,6 +106,7 @@ class LSHRS:
         seed: int = 42,
         initial_capacity: int = 1 << 14,
         chunk_size: int = 2048,
+        shards: Optional[int] = None,
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -132,14 +135,27 @@ class LSHRS:
             self._storage: BaseStorage = storage
             backend = "device" if storage.supports_signature_batches else "custom"
         elif backend == "device":
-            self._storage = DeviceStore(
-                num_bands=num_bands,
-                rows_per_band=rows_per_band,
-                dim=dim,
-                store_vectors=store_vectors,
-                initial_capacity=initial_capacity,
-                chunk_size=chunk_size,
-            )
+            if shards is not None and shards > 1:
+                from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+                self._storage = ShardedDeviceStore(
+                    mesh=make_mesh(shards),
+                    num_bands=num_bands,
+                    rows_per_band=rows_per_band,
+                    dim=dim,
+                    store_vectors=store_vectors,
+                    initial_capacity=initial_capacity,
+                    chunk_size=chunk_size,
+                )
+            else:
+                self._storage = DeviceStore(
+                    num_bands=num_bands,
+                    rows_per_band=rows_per_band,
+                    dim=dim,
+                    store_vectors=store_vectors,
+                    initial_capacity=initial_capacity,
+                    chunk_size=chunk_size,
+                )
         elif backend == "memory":
             self._storage = MemoryStorage()
         elif backend == "redis":

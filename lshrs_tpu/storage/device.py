@@ -551,6 +551,23 @@ class DeviceStore(BaseStorage):
             # array must mark the dead slots so the fast path skips them.
             self._tie = compute_global_tie(self._ids)
 
+    def compact(self) -> int:
+        """Reclaim tombstoned slots by rebuilding the dense prefix.
+
+        Returns the number of slots reclaimed. The reference's deletes
+        shrink Redis sets in place; here dead slots still occupy scan
+        capacity until compaction. Cheap (one snapshot + one append), so
+        callers can run it after large deletion waves.
+        """
+        with self._lock:
+            reclaimed = self._tombstones
+            if reclaimed == 0:
+                return 0
+            snapshot = self.state_arrays()
+        self.clear()
+        self.load_state_arrays(snapshot)
+        return reclaimed
+
     def clear(self) -> None:
         with self._lock:
             self._alloc(self._capacity)

@@ -189,3 +189,21 @@ def test_query_counts_full(hasher, rng):
     eq = (words == words[7][None, :]).reshape(40, B, -1).all(-1).sum(-1)
     for i in range(40):
         assert by_id[i] == eq[i]
+
+
+def test_compact_reclaims_tombstones(hasher, rng):
+    X = rng.standard_normal((40, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store(store_vectors=True, dim=D)
+    store.add_signature_batch(np.arange(40), words, X)
+    store.remove_indices(list(range(10)))
+    assert store.stats()["tombstones"] == 10
+
+    assert store.compact() == 10
+    assert store.stats()["tombstones"] == 0
+    assert len(store) == 30
+    # contents intact after compaction
+    counts, ids = store.query_topk(words[25:26], 1)
+    assert ids[0][0] == 25 and counts[0][0] == B
+    np.testing.assert_array_equal(store.get_vectors([25])[0], X[25])
+    assert store.compact() == 0  # idempotent

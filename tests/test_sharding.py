@@ -108,3 +108,28 @@ def test_orchestrator_over_sharded_store(mesh, rng):
     ref.index(list(range(120)), X)
     q = rng.standard_normal(D).astype(np.float32)
     assert lsh.query(q, top_k=None) == ref.query(q, top_k=None)
+
+
+def test_orchestrator_shards_param(rng):
+    lsh = LSHRS(
+        dim=D, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", shards=8, chunk_size=64, initial_capacity=64,
+    )
+    assert lsh.stats()["index"]["n_shards"] == 8
+    X = rng.standard_normal((80, D)).astype(np.float32)
+    lsh.index(list(range(80)), X)
+    assert lsh.get_top_k(X[5], topk=1) == [5]
+
+
+def test_sharded_save_load_roundtrip(tmp_path, rng):
+    lsh = LSHRS(
+        dim=D, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", shards=8, chunk_size=64, initial_capacity=64,
+    )
+    X = rng.standard_normal((50, D)).astype(np.float32)
+    lsh.index(list(range(50)), X)
+    lsh.save_to_disk(tmp_path / "m")
+    # restores as a single-device store (mesh topology is a runtime choice)
+    back = LSHRS.load_from_disk(tmp_path / "m")
+    q = rng.standard_normal(D).astype(np.float32)
+    assert lsh.query(q, top_k=None) == back.query(q, top_k=None)
