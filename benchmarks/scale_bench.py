@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--num-perm", type=int, default=256)
     ap.add_argument("--batch", type=int, default=131_072)
     ap.add_argument("--query-batch", type=int, default=8192)
+    ap.add_argument("--mode", choices=["scan", "bucket"], default="scan",
+                    help="query engine: full scan or sorted-bucket search")
     ap.add_argument("--parquet", action="store_true",
                     help="stream via a Parquet file (exercises create_signatures)")
     args = ap.parse_args()
@@ -38,12 +40,21 @@ def main() -> None:
     from lshrs_tpu import LSHRS
 
     rng = np.random.default_rng(0)
+    from lshrs_tpu.storage.device import DeviceStore
+
+    store0 = DeviceStore(
+        num_bands=16,
+        rows_per_band=args.num_perm // 16,
+        dim=args.dim,
+        initial_capacity=args.n,
+        query_mode=args.mode,
+    )
     lsh = LSHRS(
         dim=args.dim,
         num_perm=args.num_perm,
         num_bands=16,
         rows_per_band=args.num_perm // 16,
-        initial_capacity=args.n,
+        storage=store0,
         buffer_size=args.batch * 16,
     )
     # direct store handle for the serving fast path
@@ -112,6 +123,7 @@ def main() -> None:
         "n_indexed": alive,
         "dim": args.dim,
         "via": "parquet" if args.parquet else "arrays",
+        "mode": args.mode,
         "build_s": round(build_s, 2),
         "build_vectors_per_s": round(build_rate, 1),
         "query_qps": round(qps, 1),

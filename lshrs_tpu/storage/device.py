@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lshrs_tpu.ops.bitpack import band_bytes_to_words, words_per_band
+from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
 from lshrs_tpu.ops.rerank import rerank_topp
 from lshrs_tpu.ops.scan import (
     collision_counts,
@@ -139,6 +140,8 @@ class DeviceStore(BaseStorage):
         chunk_size: int = 2048,
         group_size: int = 32,
         dedupe: bool = True,
+        query_mode: str = "scan",
+        bucket_cap: int = 128,
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
             raise ValueError("chunk_size must be in (0, 16384]")
@@ -148,6 +151,8 @@ class DeviceStore(BaseStorage):
             raise ValueError("dim is required when store_vectors=True")
         if group_size & (group_size - 1):
             raise ValueError("group_size must be a power of two")
+        if query_mode not in ("scan", "bucket"):
+            raise ValueError("query_mode must be 'scan' or 'bucket'")
 
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
@@ -157,6 +162,11 @@ class DeviceStore(BaseStorage):
         self.chunk = chunk_size
         self.group = group_size
         self.dedupe = dedupe
+        self.query_mode = query_mode
+        self.bucket_cap = bucket_cap
+        # Lazily (re)built sorted bucket index (see lshrs_tpu.ops.bucketed).
+        self._bucket_index: tuple | None = None
+        self._bucket_overflows = 0
 
         cap = _next_pow2(max(chunk_size, initial_capacity))
         self._capacity = cap
@@ -204,6 +214,7 @@ class DeviceStore(BaseStorage):
     def _refresh_ranks(self) -> None:
         self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
         self._tie = compute_global_tie(self._ids)
+        self._bucket_index = None  # any mutation invalidates the index
 
     # ------------------------------------------------------------------
     # signature-batch ingestion (the TPU-native path)
@@ -366,6 +377,20 @@ class DeviceStore(BaseStorage):
     def _query_topk_dev(self, qw: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         """Device-resident top-k (no host transfer of the results)."""
         k_eff = max(1, min(k, self._capacity))
+        if self.query_mode == "bucket":
+            if self._bucket_index is None:
+                self._bucket_index = build_bucket_index(
+                    self._sig_t, self._ids, num_bands=self.num_bands
+                )
+            skeys, order = self._bucket_index
+            counts, out_ids, overflows = bucketed_topk(
+                self._sig_t, self._ids, self._tie, skeys, order, qw,
+                num_bands=self.num_bands,
+                k=k_eff,
+                bucket_cap=min(self.bucket_cap, self._capacity),
+            )
+            self._bucket_overflows += int(overflows)
+            return counts, out_ids
         if self._use_grouped():
             return collision_topk_grouped(
                 self._sig_t,
@@ -598,6 +623,8 @@ class DeviceStore(BaseStorage):
             "tombstones": self._tombstones,
             "capacity": self._capacity,
             "chunk_size": self.chunk,
+            "query_mode": self.query_mode,
+            "bucket_overflows": self._bucket_overflows,
             "fast_path": self._use_grouped(),
             "pallas": self._use_grouped() and self._use_pallas(),
             "signature_bytes": sig_bytes,
