@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--num-perm", type=int, default=256)
     ap.add_argument("--batch", type=int, default=131_072)
     ap.add_argument("--query-batch", type=int, default=8192)
+    ap.add_argument("--bucket-cap", type=int, default=128)
     ap.add_argument("--mode", choices=["scan", "bucket"], default="scan",
                     help="query engine: full scan or sorted-bucket search")
     ap.add_argument("--parquet", action="store_true",
@@ -48,6 +49,7 @@ def main() -> None:
         dim=args.dim,
         initial_capacity=args.n,
         query_mode=args.mode,
+        bucket_cap=args.bucket_cap,
     )
     lsh = LSHRS(
         dim=args.dim,
