@@ -107,6 +107,7 @@ class LSHRS:
         initial_capacity: int = 1 << 14,
         chunk_size: int = 2048,
         shards: Optional[int] = None,
+        enable_hamming: bool = False,
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -146,6 +147,7 @@ class LSHRS:
                     store_vectors=store_vectors,
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
+                    enable_hamming=enable_hamming,
                 )
             else:
                 self._storage = DeviceStore(
@@ -155,6 +157,7 @@ class LSHRS:
                     store_vectors=store_vectors,
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
+                    enable_hamming=enable_hamming,
                 )
         elif backend == "memory":
             self._storage = MemoryStorage()
@@ -508,6 +511,33 @@ class LSHRS:
                 for row_ids, row_counts in zip(ids, counts)
             ]
         return [self.query(v, top_k=top_k) for v in arr]  # type: ignore[misc]
+
+    def query_hamming(
+        self, vector: np.ndarray, *, top_k: int = 10
+    ) -> CandidateScores:
+        """Rank by full-signature Hamming distance (TPU-native extension).
+
+        Uses every bit of the hash budget as a SimHash angular estimator
+        (one int8 MXU matmul over the store) instead of quantising bands
+        to hit/miss; typically higher recall than collision counting at
+        equal memory. Requires ``enable_hamming=True`` and the device
+        backend. Returns ``(id, estimated_cosine)`` tuples, where
+        ``estimated_cosine = cos(pi * hamming / num_perm)``.
+        """
+        if not self._device_mode:
+            raise RuntimeError("query_hamming requires the device backend")
+        if top_k is None or top_k <= 0:
+            raise ValueError("top_k must be greater than zero when provided")
+        query_vector = self._prepare_vector(vector)
+        self._count("queries_served")
+        qwords = self._hasher.hash_batch_words(query_vector[None, :])
+        hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+        num_perm = self._config["num_perm"]
+        return [
+            (int(i), float(math.cos(math.pi * int(h) / num_perm)))
+            for i, h in zip(ids[0], hamming[0])
+            if i >= 0
+        ]
 
     def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
         """Top ``topk`` candidate ids by band-collision count."""

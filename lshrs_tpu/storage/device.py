@@ -46,6 +46,7 @@ import numpy as np
 
 from lshrs_tpu.ops.bitpack import band_bytes_to_words, words_per_band
 from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
+from lshrs_tpu.ops.hamming import hamming_topk, unpack_bitplanes
 from lshrs_tpu.ops.rerank import rerank_topp
 from lshrs_tpu.ops.scan import (
     collision_counts,
@@ -142,6 +143,7 @@ class DeviceStore(BaseStorage):
         dedupe: bool = True,
         query_mode: str = "scan",
         bucket_cap: int = 128,
+        enable_hamming: bool = False,
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
             raise ValueError("chunk_size must be in (0, 16384]")
@@ -164,6 +166,7 @@ class DeviceStore(BaseStorage):
         self.dedupe = dedupe
         self.query_mode = query_mode
         self.bucket_cap = bucket_cap
+        self.enable_hamming = enable_hamming
         # Lazily (re)built sorted bucket index (see lshrs_tpu.ops.bucketed).
         self._bucket_index: tuple | None = None
         self._bucket_overflows = 0
@@ -190,6 +193,11 @@ class DeviceStore(BaseStorage):
         )
         self._pnorm = (
             jnp.zeros((cap,), dtype=jnp.float32) if self.store_vectors else None
+        )
+        self._planes = (
+            jnp.zeros((cap, self.num_bands * self.rows_per_band), dtype=jnp.int8)
+            if self.enable_hamming
+            else None
         )
 
     # -- query path selection ------------------------------------------------
@@ -323,6 +331,15 @@ class DeviceStore(BaseStorage):
             self._pnorm = self._pnorm.at[jnp.asarray(slots_p)].set(
                 jnp.linalg.norm(jnp.asarray(rows_p), axis=1), mode="drop"
             )
+        if self._planes is not None:
+            planes_rows = unpack_bitplanes(
+                jnp.asarray(words_p),
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+            )
+            self._planes = _scatter_rows_jit(
+                self._planes, jnp.asarray(slots_p), planes_rows
+            )
         # ids unchanged -> ranks unchanged.
 
     def _append(self, ids32: np.ndarray, words, vectors) -> None:
@@ -349,6 +366,11 @@ class DeviceStore(BaseStorage):
             self._pnorm = jax.lax.dynamic_update_slice(
                 self._pnorm, jnp.linalg.norm(rows, axis=1), (offset,)
             )
+        if self._planes is not None:
+            planes_rows = unpack_bitplanes(
+                words_t.T, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+            )
+            self._planes = _append_rows_jit(self._planes, planes_rows, offset)
         if self._slot_of is not None:
             base = self._size
             for j, i in enumerate(ids32):
@@ -367,6 +389,11 @@ class DeviceStore(BaseStorage):
             self._payload = payload.at[: self._capacity].set(self._payload)
             pnorm = jnp.zeros((new_cap,), dtype=jnp.float32)
             self._pnorm = pnorm.at[: self._capacity].set(self._pnorm)
+        if self._planes is not None:
+            planes = jnp.zeros(
+                (new_cap, self.num_bands * self.rows_per_band), dtype=jnp.int8
+            )
+            self._planes = planes.at[: self._capacity].set(self._planes)
         self._capacity = new_cap
         self._refresh_ranks()
 
@@ -461,6 +488,37 @@ class DeviceStore(BaseStorage):
             self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
         )
         return np.asarray(counts), np.asarray(self._ids)
+
+    def query_hamming(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k by full-signature Hamming distance (MXU ranking mode).
+
+        Requires ``enable_hamming=True``. Returns ``(hamming (Q, k),
+        ids (Q, k))`` ordered by (hamming asc, id asc); empty tail entries
+        carry id -1.
+        """
+        if self._planes is None:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for Hamming-mode queries"
+            )
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        p = self.num_bands * self.rows_per_band
+        if self._size == 0:
+            q = qw.shape[0]
+            return (np.full((q, k), p + 1, np.int32), np.full((q, k), -1, np.int32))
+        qbits = unpack_bitplanes(
+            qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )
+        k_eff = max(1, min(k, self._capacity))
+        hamming, ids = hamming_topk(
+            self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
+        )
+        hamming, ids = np.asarray(hamming), np.asarray(ids)
+        if k_eff < k:
+            q = hamming.shape[0]
+            hamming = np.pad(hamming, ((0, 0), (0, k - k_eff)), constant_values=p + 1)
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return hamming, ids
 
     def query_topp(
         self, qwords, qvec: np.ndarray, max_out: int

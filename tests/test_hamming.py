@@ -1,0 +1,125 @@
+"""Hamming-mode (MXU) ranking: oracle exactness and recall dominance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lshrs_tpu import LSHRS
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.storage.device import DeviceStore
+
+B, R, D = 4, 8, 32
+P = B * R
+
+
+@pytest.fixture
+def hasher():
+    return LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+
+
+def bits_of(words, hasher):
+    """Unpack to 0/1 bit matrix using the reference packing layout."""
+    n = words.shape[0]
+    out = np.zeros((n, P), np.uint8)
+    for j in range(P):
+        band, row = j // R, j % R
+        word, bit = row // 32, row % 32
+        out[:, j] = (words[:, band * hasher.words_per_band + word] >> bit) & 1
+    return out
+
+
+def test_hamming_topk_matches_oracle(hasher, rng):
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    n = 500
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(30_000)[:n]
+    words = hasher.hash_batch_words_host(X)
+    store.add_signature_batch(ids, words)
+
+    queries = rng.standard_normal((10, D)).astype(np.float32)
+    qw = hasher.hash_batch_words_host(queries)
+    hamming, out_ids = store.query_hamming(qw, 15)
+
+    xb = bits_of(words, hasher).astype(np.int32)
+    qb = bits_of(qw, hasher).astype(np.int32)
+    for qi in range(10):
+        h = np.abs(xb - qb[qi]).sum(axis=1)
+        expected = sorted(zip(h.tolist(), ids.tolist()))[:15]
+        got = list(zip(hamming[qi].tolist(), out_ids[qi].tolist()))
+        assert got == expected, f"query {qi}"
+
+
+def test_hamming_after_mutations(hasher, rng):
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    X = rng.standard_normal((100, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store.add_signature_batch(np.arange(100), words)
+
+    h, out = store.query_hamming(words[5:6], 1)
+    assert out[0][0] == 5 and h[0][0] == 0  # exact self-match
+
+    store.remove_indices([5])
+    h, out = store.query_hamming(words[5:6], 3)
+    assert 5 not in out[0]
+
+    # upsert keeps bitplanes in sync
+    x_new = rng.standard_normal((1, D)).astype(np.float32)
+    w_new = hasher.hash_batch_words_host(x_new)
+    store.add_signature_batch([7], w_new)
+    h, out = store.query_hamming(w_new, 1)
+    assert out[0][0] == 7 and h[0][0] == 0
+
+
+def test_orchestrator_query_hamming(rng):
+    lsh = LSHRS(
+        dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+        backend="device", enable_hamming=True,
+        chunk_size=64, initial_capacity=64,
+    )
+    X = rng.standard_normal((80, D)).astype(np.float32)
+    lsh.index(list(range(80)), X)
+    out = lsh.query_hamming(X[42], top_k=5)
+    assert out[0][0] == 42
+    assert abs(out[0][1] - 1.0) < 1e-9  # hamming 0 -> cos estimate 1.0
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+
+    plain = LSHRS(dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+                  backend="device", chunk_size=64, initial_capacity=64)
+    with pytest.raises(RuntimeError, match="enable_hamming"):
+        plain.index([0], X[:1]) or plain.query_hamming(X[0])
+
+
+def test_hamming_recall_dominates_collision(rng):
+    """At equal memory, full-signature Hamming ranking should beat
+    band-collision counting for recall@k on clustered data."""
+    n, k = 400, 10
+    centers = rng.standard_normal((40, D)).astype(np.float32)
+    X = (centers[rng.integers(0, 40, n)] +
+         0.4 * rng.standard_normal((n, D))).astype(np.float32)
+    lsh = LSHRS(
+        dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+        backend="device", enable_hamming=True,
+        chunk_size=64, initial_capacity=512,
+    )
+    lsh.index(list(range(n)), X)
+
+    xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    queries = X[:50] + 0.05 * rng.standard_normal((50, D)).astype(np.float32)
+    hits_h = hits_c = 0
+    for q in queries:
+        qn = q / np.linalg.norm(q)
+        gt = set(np.argsort(-(xn @ qn))[:k].tolist())
+        ham = {i for i, _ in lsh.query_hamming(q, top_k=k)}
+        col = set(lsh.get_top_k(q, topk=k))
+        hits_h += len(gt & ham)
+        hits_c += len(gt & col)
+    assert hits_h >= hits_c, (hits_h, hits_c)
+    assert hits_h / (50 * k) > 0.5
