@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=131_072)
     ap.add_argument("--query-batch", type=int, default=8192)
     ap.add_argument("--bucket-cap", type=int, default=128)
-    ap.add_argument("--mode", choices=["scan", "bucket"], default="scan",
+    ap.add_argument("--mode", choices=["scan", "bucket", "hamming"], default="scan",
                     help="query engine: full scan or sorted-bucket search")
     ap.add_argument("--parquet", action="store_true",
                     help="stream via a Parquet file (exercises create_signatures)")
@@ -48,8 +48,9 @@ def main() -> None:
         rows_per_band=args.num_perm // 16,
         dim=args.dim,
         initial_capacity=args.n,
-        query_mode=args.mode,
+        query_mode=args.mode if args.mode != "hamming" else "scan",
         bucket_cap=args.bucket_cap,
+        enable_hamming=args.mode == "hamming",
     )
     lsh = LSHRS(
         dim=args.dim,
@@ -105,8 +106,12 @@ def main() -> None:
         for _ in range(n_batches + 1)
     ]
 
-    def submit(qnp):
-        return store.query_topk_ids(hasher.hash_batch_words_host(qnp), 10)
+    if args.mode == "hamming":
+        def submit(qnp):
+            return store.query_hamming_ids(hasher.hash_batch_words_host(qnp), 10)
+    else:
+        def submit(qnp):
+            return store.query_topk_ids(hasher.hash_batch_words_host(qnp), 10)
 
     _ = np.asarray(submit(raw[0]))
     t0 = time.perf_counter()

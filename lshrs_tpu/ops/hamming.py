@@ -8,12 +8,20 @@ signatures — the classic SimHash angular estimator
 budget and maps perfectly onto the MXU:
 
     signatures as +-1 int8 bitplanes:  (C, num_perm)
-    dots = qbits @ planes.T            one int8 matmul, dot = P - 2*hamming
-    rank by (dot desc, id asc)         same packed-key selection as the scan
+    dots = qbits @ planes.T            int8 MXU matmuls, dot = P - 2*hamming
+    select by (dot desc, id asc)       packed keys + contiguous group-max,
+                                       top-k groups, popcount-exact refine
+
+Selection reuses the group-max exactness argument from the scan engine
+(`lshrs_tpu.ops.scan`): keys embed each slot's global id-rank so they are
+globally distinct, hence the top-k groups by max provably contain every
+true top-k slot; the refine stage recomputes those candidates' Hamming
+distances from the *packed* words (XOR + popcount — 4x less gather traffic
+than re-reading bitplanes).
 
 This is an extension beyond reference parity (`query_hamming` on `LSHRS`):
-it typically *dominates* collision counting for recall at equal memory
-while running at matmul throughput instead of VPU compare throughput.
+it typically dominates collision counting for recall at equal memory while
+running at matmul throughput instead of VPU compare throughput.
 """
 
 from __future__ import annotations
@@ -23,9 +31,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lshrs_tpu.ops.pallas_scan import key_scale
 from lshrs_tpu.ops.scan import merge_topk_pools
 
-__all__ = ["unpack_bitplanes", "hamming_topk"]
+__all__ = ["unpack_bitplanes", "hamming_topk", "hamming_topk_chunked", "supports_hamming_grouped"]
+
+
+def supports_hamming_grouped(num_perm: int, capacity: int) -> bool:
+    """True when the (scaled-dot, tie) key packs into a positive int32."""
+    return (num_perm + 2) * key_scale(capacity) < 2**31
 
 
 @partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
@@ -49,8 +63,96 @@ def unpack_bitplanes(
     return (2 * bits.astype(jnp.int8) - 1).reshape(n, num_bands * rows_per_band)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "group"))
 def hamming_topk(
+    planes: jax.Array,
+    sig_t: jax.Array,
+    ids: jax.Array,
+    tie: jax.Array,
+    qbits: jax.Array,
+    qwords: jax.Array,
+    *,
+    k: int,
+    chunk: int,
+    group: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k by (hamming asc, id asc), grouped MXU path.
+
+    Args:
+        planes: ``(C, P)`` int8 store bitplanes (dead slots arbitrary).
+        sig_t: ``(BW, C)`` uint32 packed store (for the refine stage).
+        ids / tie: slot ids (-1 dead) and global tie keys.
+        qbits / qwords: ``(Q, P)`` int8 and ``(Q, BW)`` uint32 queries.
+        chunk / group: scan tile and group width (group | chunk | C).
+
+    Returns:
+        ``(hamming (Q, k), out_ids (Q, k))``; empty tail entries carry
+        id -1 and hamming P+1.
+    """
+    c, p = planes.shape
+    q = qbits.shape[0]
+    scale = key_scale(c)
+    nchunks = c // chunk
+
+    planes_c = planes.reshape(nchunks, chunk, p)
+    ids_c = ids.reshape(nchunks, chunk)
+    tie_c = tie.reshape(nchunks, chunk)
+
+    def body(carry, xs):
+        chunk_planes, chunk_ids, chunk_tie = xs
+        dots = jax.lax.dot_general(
+            qbits,
+            chunk_planes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Q, chunk) — MXU int8 matmul
+        # scaled similarity in [1, P+1] for alive slots, 0 for dead; +1
+        # keeps the worst alive slot above every dead slot.
+        alive = (chunk_ids >= 0)[None, :]
+        scaled = jnp.where(alive, (dots + p) // 2 + 1, 0)
+        key = scaled * scale + jnp.maximum(chunk_tie, 0)[None, :]
+        gmax = key.reshape(q, chunk // group, group).max(axis=-1)
+        return carry, gmax
+
+    _, gmax = jax.lax.scan(body, 0, (planes_c, ids_c, tie_c))  # (nc, Q, CH/G)
+    gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
+
+    # Top-k groups by max contain every true top-k slot (keys distinct).
+    ng = c // group
+    m = min(k, ng)
+    _, top_groups = jax.lax.top_k(gmax, m)
+    slots = (
+        top_groups[..., None] * group + jnp.arange(group)[None, None, :]
+    ).reshape(q, m * group)
+
+    # Refine from packed words: hamming = sum popcount(xor) over BW words.
+    bw = sig_t.shape[0]
+    cand_words = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, m * group)
+    hamming = None
+    for wi in range(bw):
+        pc = jax.lax.population_count(cand_words[wi] ^ qwords[:, wi][:, None])
+        hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
+    cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, m * group)
+    alive = cand_tie >= 0
+    scaled = jnp.where(alive, p + 1 - hamming, 0)
+    key = scaled * scale + jnp.maximum(cand_tie, 0)
+
+    k_eff = min(k, m * group)
+    top_key, top_pos = jax.lax.top_k(key, k_eff)
+    sel_scaled = top_key // scale
+    sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
+    sel_ids = jnp.where(
+        sel_scaled > 0, jnp.take(ids, sel_slots.reshape(-1)).reshape(q, k_eff), -1
+    )
+    out_h = jnp.where(sel_scaled > 0, p + 1 - sel_scaled, p + 1)
+    if k_eff < k:
+        out_h = jnp.pad(out_h, ((0, 0), (0, k - k_eff)), constant_values=p + 1)
+        sel_ids = jnp.pad(sel_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+    return out_h, sel_ids
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def hamming_topk_chunked(
     planes: jax.Array,
     ids: jax.Array,
     ranks: jax.Array,
@@ -59,17 +161,8 @@ def hamming_topk(
     k: int,
     chunk: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k by (hamming asc, id asc) over +-1 bitplanes.
-
-    Args:
-        planes: ``(C, P)`` int8 store bitplanes (dead slots arbitrary).
-        ids / ranks: slot ids (-1 dead) and per-chunk id-ranks.
-        qbits: ``(Q, P)`` int8 query bitplanes.
-
-    Returns:
-        ``(hamming (Q, k), out_ids (Q, k))``; empty tail entries carry
-        id -1 and hamming P+1.
-    """
+    """Chunked-selection fallback (very wide num_perm where the grouped
+    key cannot pack into int32). Same results, slower selection."""
     c, p = planes.shape
     q = qbits.shape[0]
     nchunks = c // chunk
@@ -86,12 +179,8 @@ def hamming_topk(
             chunk_planes,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (Q, chunk) — MXU int8 matmul
-        # scaled similarity in [1, P+1] for alive slots, 0 for dead; the
-        # +1 shift keeps even the worst alive slot above every dead slot.
-        scaled = jnp.where(
-            chunk_ids[None, :] >= 0, (dots + p) // 2 + 1, 0
         )
+        scaled = jnp.where(chunk_ids[None, :] >= 0, (dots + p) // 2 + 1, 0)
         key = scaled * chunk + (chunk - 1 - chunk_ranks)[None, :]
         top_key, top_pos = jax.lax.top_k(key, k_chunk)
         sel_scaled = top_key // chunk
@@ -104,6 +193,5 @@ def hamming_topk(
     pool_scaled = jnp.moveaxis(pool_scaled, 0, 1).reshape(q, -1)
     pool_ids = jnp.moveaxis(pool_ids, 0, 1).reshape(q, -1)
     scaled_out, ids_out = merge_topk_pools(pool_scaled, pool_ids, k=k)
-    # scaled = (dot + P)/2 + 1 and hamming = (P - dot)/2  =>  h = P+1-scaled
     hamming = jnp.where(ids_out >= 0, p + 1 - scaled_out, p + 1)
     return hamming, ids_out

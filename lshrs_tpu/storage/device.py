@@ -46,7 +46,12 @@ import numpy as np
 
 from lshrs_tpu.ops.bitpack import band_bytes_to_words, words_per_band
 from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
-from lshrs_tpu.ops.hamming import hamming_topk, unpack_bitplanes
+from lshrs_tpu.ops.hamming import (
+    hamming_topk,
+    hamming_topk_chunked,
+    supports_hamming_grouped,
+    unpack_bitplanes,
+)
 from lshrs_tpu.ops.rerank import rerank_topp
 from lshrs_tpu.ops.scan import (
     collision_counts,
@@ -489,6 +494,26 @@ class DeviceStore(BaseStorage):
         )
         return np.asarray(counts), np.asarray(self._ids)
 
+    def _query_hamming_dev(self, qw: jax.Array, k: int):
+        """Device-resident Hamming top-k, grouped MXU path when the packed
+        key fits int32, chunked selection otherwise."""
+        p = self.num_bands * self.rows_per_band
+        qbits = unpack_bitplanes(
+            qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )
+        k_eff = max(1, min(k, self._capacity))
+        if (
+            supports_hamming_grouped(p, self._capacity)
+            and self._capacity % self.group == 0
+        ):
+            return hamming_topk(
+                self._planes, self._sig_t, self._ids, self._tie, qbits, qw,
+                k=k_eff, chunk=self.chunk, group=min(self.group, self._capacity),
+            )
+        return hamming_topk_chunked(
+            self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
+        )
+
     def query_hamming(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Top-k by full-signature Hamming distance (MXU ranking mode).
 
@@ -506,19 +531,27 @@ class DeviceStore(BaseStorage):
         if self._size == 0:
             q = qw.shape[0]
             return (np.full((q, k), p + 1, np.int32), np.full((q, k), -1, np.int32))
-        qbits = unpack_bitplanes(
-            qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
-        )
-        k_eff = max(1, min(k, self._capacity))
-        hamming, ids = hamming_topk(
-            self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
-        )
+        hamming, ids = self._query_hamming_dev(qw, k)
         hamming, ids = np.asarray(hamming), np.asarray(ids)
+        k_eff = hamming.shape[1]
         if k_eff < k:
             q = hamming.shape[0]
             hamming = np.pad(hamming, ((0, 0), (0, k - k_eff)), constant_values=p + 1)
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return hamming, ids
+
+    def query_hamming_ids(self, qwords, k: int) -> jax.Array:
+        """Device-resident id-only Hamming top-k (serving fast path)."""
+        if self._planes is None:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for Hamming-mode queries"
+            )
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        if self._size == 0:
+            return jnp.full((qw.shape[0], k), -1, jnp.int32)
+        _, ids = self._query_hamming_dev(qw, k)
+        return ids
 
     def query_topp(
         self, qwords, qvec: np.ndarray, max_out: int
