@@ -80,6 +80,11 @@ class ShardedDeviceStore(DeviceStore):
             self._payload = jax.device_put(
                 self._payload, NamedSharding(self.mesh, P(self.axis, None))
             )
+            self._pnorm = jax.device_put(self._pnorm, row)
+        if self._planes is not None:
+            self._planes = jax.device_put(
+                self._planes, NamedSharding(self.mesh, P(self.axis, None))
+            )
         # Tie keys must be *shard-local*: each shard's selection-key scale
         # derives from its local column count, so ranks are computed per
         # shard (order isomorphism within a shard is all the proof needs).

@@ -131,6 +131,12 @@ class DeviceStore(BaseStorage):
         dedupe: track id -> slot on host so re-ingesting an id overwrites
             its slot (upsert) and deletes are O(1) lookups. Disable for
             maximum-scale streaming ingest of known-unique ids.
+        query_mode: ``"scan"`` (dense fused scan, default) or ``"bucket"``
+            (sorted band keys + binary search, see `lshrs_tpu.ops.bucketed`).
+        bucket_cap: per-(query, band) candidate window of the bucketed
+            engine; longer bucket runs are truncated and counted.
+        enable_hamming: maintain +-1 int8 bitplanes so `query_hamming`
+            (full-signature MXU ranking) is available.
     """
 
     supports_signature_batches = True
@@ -695,7 +701,9 @@ class DeviceStore(BaseStorage):
 
     def close(self) -> None:
         """Drop device buffers."""
-        self._sig_t = self._ids = self._ranks = self._tie = self._payload = None  # type: ignore[assignment]
+        self._sig_t = self._ids = self._ranks = self._tie = None  # type: ignore[assignment]
+        self._payload = self._pnorm = self._planes = None
+        self._bucket_index = None
 
     # ------------------------------------------------------------------
     # introspection / persistence
