@@ -11,6 +11,7 @@ persistence, and mesh-sharded scale-out.
 from typing import Final
 
 from lshrs_tpu.core.main import LSHRS, lshrs
+from lshrs_tpu.storage import BaseStorage, DeviceStore, MemoryStorage
 
 __version__: Final[str] = "0.1.0"
 
@@ -26,4 +27,11 @@ for _dependency in _hard_dependencies:
         ) from _e
 del _hard_dependencies, _dependency
 
-__all__ = ["LSHRS", "lshrs", "__version__"]
+__all__ = [
+    "LSHRS",
+    "lshrs",
+    "BaseStorage",
+    "DeviceStore",
+    "MemoryStorage",
+    "__version__",
+]
