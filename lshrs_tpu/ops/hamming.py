@@ -34,7 +34,14 @@ import jax.numpy as jnp
 from lshrs_tpu.ops.pallas_scan import key_scale
 from lshrs_tpu.ops.scan import merge_topk_pools
 
-__all__ = ["unpack_bitplanes", "hamming_topk", "hamming_topk_chunked", "supports_hamming_grouped"]
+__all__ = [
+    "unpack_bitplanes",
+    "hamming_topk",
+    "hamming_topk_core",
+    "hamming_topk_chunked",
+    "hamming_topk_chunked_core",
+    "supports_hamming_grouped",
+]
 
 
 def supports_hamming_grouped(num_perm: int, capacity: int) -> bool:
@@ -63,8 +70,7 @@ def unpack_bitplanes(
     return (2 * bits.astype(jnp.int8) - 1).reshape(n, num_bands * rows_per_band)
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "group"))
-def hamming_topk(
+def hamming_topk_core(
     planes: jax.Array,
     sig_t: jax.Array,
     ids: jax.Array,
@@ -151,8 +157,7 @@ def hamming_topk(
     return out_h, sel_ids
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
-def hamming_topk_chunked(
+def hamming_topk_chunked_core(
     planes: jax.Array,
     ids: jax.Array,
     ranks: jax.Array,
@@ -195,3 +200,11 @@ def hamming_topk_chunked(
     scaled_out, ids_out = merge_topk_pools(pool_scaled, pool_ids, k=k)
     hamming = jnp.where(ids_out >= 0, p + 1 - scaled_out, p + 1)
     return hamming, ids_out
+
+
+hamming_topk = partial(jax.jit, static_argnames=("k", "chunk", "group"))(
+    hamming_topk_core
+)
+hamming_topk_chunked = partial(jax.jit, static_argnames=("k", "chunk"))(
+    hamming_topk_chunked_core
+)

@@ -30,6 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lshrs_tpu.ops.hamming import (
+    hamming_topk_chunked_core,
+    hamming_topk_core,
+    supports_hamming_grouped,
+    unpack_bitplanes,
+)
 from lshrs_tpu.ops.scan import (
     collision_counts_core,
     collision_topk_core,
@@ -170,6 +176,32 @@ class ShardedDeviceStore(DeviceStore):
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return counts, ids
 
+    def _query_hamming_dev(self, qw: jax.Array, k: int):
+        p = self.num_bands * self.rows_per_band
+        qbits = unpack_bitplanes(
+            qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )
+        local = self._local_rows()
+        k_eff = max(1, min(k, local))
+        return _sharded_hamming(
+            self.mesh,
+            self.axis,
+            self._planes,
+            self._sig_t,
+            self._ids,
+            self._ranks,
+            self._tie,
+            qbits,
+            qw,
+            num_perm=p,
+            k=k_eff,
+            chunk=min(self.chunk, local),
+            grouped=(
+                supports_hamming_grouped(p, local) and local % self.group == 0
+            ),
+            group=min(self.group, local),
+        )
+
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
         if self._size == 0:
@@ -249,6 +281,45 @@ def _sharded_topk(
         out_specs=(P(), P()),
         check_vma=False,
     )(sig_t, ids, ranks, tie, qwords)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "num_perm", "k", "chunk", "grouped", "group"),
+)
+def _sharded_hamming(
+    mesh, axis, planes, sig_t, ids, ranks, tie, qbits, qwords,
+    *, num_perm, k, chunk, grouped, group,
+):
+    def local(planes_l, sig_l, ids_l, ranks_l, tie_l, qb, qw):
+        if grouped:
+            hamming, out_ids = hamming_topk_core(
+                planes_l, sig_l, ids_l, tie_l, qb, qw,
+                k=k, chunk=chunk, group=group,
+            )
+        else:
+            hamming, out_ids = hamming_topk_chunked_core(
+                planes_l, ids_l, ranks_l, qb, k=k, chunk=chunk
+            )
+        # merge by (similarity desc, id asc): similarity = P + 1 - hamming
+        scaled = jnp.where(out_ids >= 0, num_perm + 1 - hamming, 0)
+        scaled_g = jax.lax.all_gather(scaled, axis)
+        ids_g = jax.lax.all_gather(out_ids, axis)
+        q = qb.shape[0]
+        pool_scaled = jnp.moveaxis(scaled_g, 0, 1).reshape(q, -1)
+        pool_ids = jnp.moveaxis(ids_g, 0, 1).reshape(q, -1)
+        m_scaled, m_ids = merge_topk_pools(pool_scaled, pool_ids, k=k)
+        return jnp.where(m_ids >= 0, num_perm + 1 - m_scaled, num_perm + 1), m_ids
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(None, axis), P(axis), P(axis), P(axis), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(planes, sig_t, ids, ranks, tie, qbits, qwords)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))

@@ -123,3 +123,30 @@ def test_hamming_recall_dominates_collision(rng):
         hits_c += len(gt & col)
     assert hits_h >= hits_c, (hits_h, hits_c)
     assert hits_h / (50 * k) > 0.5
+
+
+def test_sharded_hamming(rng):
+    import jax
+
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+    st = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    n = 200
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(9999)[:n]
+    words = h.hash_batch_words_host(X)
+    st.add_signature_batch(ids, words)
+
+    hamming, out = st.query_hamming(words[:3], 5)
+    xb = bits_of(words, h).astype(np.int32)
+    for qi in range(3):
+        hh = np.abs(xb - xb[qi]).sum(axis=1)
+        expected = sorted(zip(hh.tolist(), ids.tolist()))[:5]
+        got = list(zip(hamming[qi].tolist(), out[qi].tolist()))
+        assert got == expected
