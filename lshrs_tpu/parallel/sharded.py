@@ -132,7 +132,7 @@ class ShardedDeviceStore(DeviceStore):
         )
 
     def _pallas_chunk(self) -> int:
-        return min(8192, self._local_rows())
+        return min(4096, self._local_rows())
 
     def _use_pallas(self) -> bool:
         local = self._local_rows()

