@@ -98,3 +98,26 @@ def test_sharded_store_with_payload_rerank(rng):
     assert abs(out[0][1] - 1.0) < 1e-4
     scores = [s for _, s in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_very_wide_bands_w4(rng):
+    """r = 128 (W = 4 words per band) through the grouped engine."""
+    h = LSHHasher(num_bands=2, rows_per_band=128, dim=24, seed=11)
+    store = DeviceStore(
+        num_bands=2, rows_per_band=128, chunk_size=128, initial_capacity=128
+    )
+    X = rng.standard_normal((200, 24)).astype(np.float32)
+    ids = rng.permutation(5000)[:200]
+    words = h.hash_batch_words_host(X)
+    store.add_signature_batch(ids, words)
+
+    qw = h.hash_batch_words_host(rng.standard_normal((5, 24)).astype(np.float32))
+    counts, out_ids = store.query_topk(qw, 10)
+    for qi in range(5):
+        expected = oracle_topk(words, ids, qw[qi], 2, 10)
+        got = [(int(i), int(c)) for i, c in zip(out_ids[qi], counts[qi]) if c > 0]
+        assert got == expected
+
+    # self-query must match both bands exactly
+    counts, out_ids = store.query_topk(words[:1], 1)
+    assert out_ids[0][0] == ids[0] and counts[0][0] == 2
