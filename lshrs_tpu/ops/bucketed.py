@@ -37,13 +37,15 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lshrs_tpu.ops.pallas_scan import key_scale
 
 __all__ = ["build_bucket_index", "bucketed_topk"]
 
-_INT32_MAX = jnp.int32(2**31 - 1)
-_MIX = jnp.uint32(2654435761)  # Knuth multiplicative constant
+# Host-side constants: module import must not touch the device backend.
+_INT32_MAX = np.int32(2**31 - 1)
+_MIX = np.uint32(2654435761)  # Knuth multiplicative constant
 
 
 def fold_band_keys(sig_t: jax.Array, *, num_bands: int) -> jax.Array:

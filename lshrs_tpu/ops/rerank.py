@@ -18,10 +18,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["rerank_topp_core", "rerank_topp"]
 
-_INT32_MAX = jnp.int32(2**31 - 1)
+# Host-side constant: module import must not touch the device backend.
+_INT32_MAX = np.int32(2**31 - 1)
 
 
 def rerank_topp_core(

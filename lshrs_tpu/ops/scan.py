@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lshrs_tpu.ops.pallas_scan import group_max_keys, key_scale, supports_fast_path
 
@@ -52,7 +53,8 @@ __all__ = [
     "supports_fast_path",
 ]
 
-_INT32_MAX = jnp.int32(2**31 - 1)
+# Host-side constant: module import must not touch the device backend.
+_INT32_MAX = np.int32(2**31 - 1)
 
 
 def _band_counts_t(

@@ -367,7 +367,7 @@ class DeviceStore(BaseStorage):
         words_t = words_dev.T
         if pad != n:
             words_t = jnp.pad(words_t, ((0, 0), (0, pad - n)))
-        offset = jnp.int32(self._size)
+        offset = np.int32(self._size)
         self._sig_t, self._ids = _append_jit(
             self._sig_t, self._ids, words_t, jnp.asarray(ids_p), offset
         )
