@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lshrs_tpu.ops.pallas_scan import key_scale
+from lshrs_tpu.ops.pallas_scan import hamming_group_max_keys, key_scale
 from lshrs_tpu.ops.scan import merge_topk_pools
 
 __all__ = [
@@ -81,6 +81,9 @@ def hamming_topk_core(
     k: int,
     chunk: int,
     group: int,
+    use_pallas: bool = False,
+    q_tile: int = 128,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k by (hamming asc, id asc), grouped MXU path.
 
@@ -120,16 +123,36 @@ def hamming_topk_core(
         gmax = key.reshape(q, chunk // group, group).max(axis=-1)
         return carry, gmax
 
-    _, gmax = jax.lax.scan(body, 0, (planes_c, ids_c, tie_c))  # (nc, Q, CH/G)
-    gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
+    if use_pallas:
+        q_pad = -(-q // q_tile) * q_tile
+        qb = jnp.pad(qbits, ((0, q_pad - q), (0, 0))) if q_pad != q else qbits
+        gmax = hamming_group_max_keys(
+            planes, tie, qb,
+            group=group, chunk=chunk, q_tile=q_tile, scale=scale,
+            interpret=interpret,
+        )[:q]
+    else:
+        _, gmax = jax.lax.scan(body, 0, (planes_c, ids_c, tie_c))  # (nc, Q, CH/G)
+        gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
 
     # Top-k groups by max contain every true top-k slot (keys distinct).
     ng = c // group
     m = min(k, ng)
     _, top_groups = jax.lax.top_k(gmax, m)
-    slots = (
-        top_groups[..., None] * group + jnp.arange(group)[None, None, :]
-    ).reshape(q, m * group)
+    if use_pallas:
+        # Pallas grouping is strided within each chunk (see pallas_scan).
+        ngc = chunk // group
+        ci = top_groups // ngc
+        j = top_groups % ngc
+        slots = (
+            ci[..., None] * chunk
+            + j[..., None]
+            + jnp.arange(group)[None, None, :] * ngc
+        ).reshape(q, m * group)
+    else:
+        slots = (
+            top_groups[..., None] * group + jnp.arange(group)[None, None, :]
+        ).reshape(q, m * group)
 
     # Refine from packed words: hamming = sum popcount(xor) over BW words.
     bw = sig_t.shape[0]
@@ -202,9 +225,10 @@ def hamming_topk_chunked_core(
     return hamming, ids_out
 
 
-hamming_topk = partial(jax.jit, static_argnames=("k", "chunk", "group"))(
-    hamming_topk_core
-)
+hamming_topk = partial(
+    jax.jit,
+    static_argnames=("k", "chunk", "group", "use_pallas", "q_tile", "interpret"),
+)(hamming_topk_core)
 hamming_topk_chunked = partial(jax.jit, static_argnames=("k", "chunk"))(
     hamming_topk_chunked_core
 )

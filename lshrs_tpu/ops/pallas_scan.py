@@ -33,7 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["group_max_keys", "key_scale", "supports_fast_path"]
+__all__ = [
+    "group_max_keys",
+    "hamming_group_max_keys",
+    "key_scale",
+    "supports_fast_path",
+]
 
 
 def key_scale(capacity: int) -> int:
@@ -84,6 +89,94 @@ def _make_kernel(num_bands: int, words: int, group: int, scale: int):
         out_ref[:, :] = gmax
 
     return kernel
+
+
+def _make_hamming_kernel(group: int, scale: int):
+    """Kernel: MXU dots over +-1 bitplanes -> packed keys -> group-max.
+
+    q_ref:   (QT, P)   int8  — query bitplanes
+    sig_ref: (CH, P)   int8  — store bitplane chunk
+    tie_ref: (1, CH)   int32 — S-1-rank for alive slots, -1 dead
+    out_ref: (QT, CH // group) int32 — strided per-group max keys
+
+    Fusing the dot with key construction keeps the (QT, CH) dot matrix in
+    VMEM instead of round-tripping it through HBM (the XLA formulation's
+    dominant cost at large capacities).
+    """
+
+    def kernel(q_ref, sig_ref, tie_ref, out_ref):
+        p = q_ref.shape[1]
+        ch = sig_ref.shape[0]
+        dots = jax.lax.dot_general(
+            q_ref[:, :],
+            sig_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (QT, CH) on the MXU
+        tie = tie_ref[0, :]
+        alive = (tie >= 0).astype(jnp.int32)[None, :]
+        scaled = ((dots + p) // 2 + 1) * alive
+        key = scaled * scale + jnp.maximum(tie, 0)[None, :]
+        ngc = ch // group
+        gmax = key[:, :ngc]
+        for i in range(1, group):
+            gmax = jnp.maximum(gmax, key[:, i * ngc : (i + 1) * ngc])
+        out_ref[:, :] = gmax
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("group", "chunk", "q_tile", "scale", "interpret"),
+)
+def hamming_group_max_keys(
+    planes: jax.Array,
+    tie: jax.Array,
+    qbits: jax.Array,
+    *,
+    group: int,
+    chunk: int,
+    q_tile: int,
+    scale: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-group maxima of packed (scaled-dot, tie) keys over bitplanes.
+
+    Args:
+        planes: ``(C, P)`` int8 +-1 store bitplanes.
+        tie: ``(C,)`` int32 tie keys (-1 dead).
+        qbits: ``(Q, P)`` int8 +-1 queries; Q a multiple of q_tile.
+
+    Returns:
+        ``(Q, C // group)`` int32 group-max keys, strided-in-chunk grouping
+        (same mapping as :func:`group_max_keys`).
+    """
+    c, p = planes.shape
+    q = qbits.shape[0]
+    assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
+
+    kernel = _make_hamming_kernel(group, scale)
+    grid = (q // q_tile, c // chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, p), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, p), lambda qi, ci: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_tile, chunk // group), lambda qi, ci: (qi, ci), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q * c * p,
+            bytes_accessed=c * p + q * p + c * 4 + q * (c // group) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qbits, planes, tie.reshape(1, c))
 
 
 @partial(

@@ -517,6 +517,8 @@ class DeviceStore(BaseStorage):
             return hamming_topk(
                 self._planes, self._sig_t, self._ids, self._tie, qbits, qw,
                 k=k_eff, chunk=self.chunk, group=min(self.group, self._capacity),
+                use_pallas=self._use_pallas(),
+                q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             )
         return hamming_topk_chunked(
             self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk

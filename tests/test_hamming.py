@@ -150,3 +150,37 @@ def test_sharded_hamming(rng):
         expected = sorted(zip(hh.tolist(), ids.tolist()))[:5]
         got = list(zip(hamming[qi].tolist(), out[qi].tolist()))
         assert got == expected
+
+
+def test_hamming_pallas_interpret_matches_xla(hasher, rng):
+    """Fused pallas gmax path (interpret mode) == XLA scan path."""
+    import jax.numpy as jnp
+
+    from lshrs_tpu.ops.hamming import hamming_topk, unpack_bitplanes
+    from lshrs_tpu.ops.scan import compute_global_tie
+
+    c = 512
+    X = rng.standard_normal((300, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    ids = np.full(c, -1, np.int32)
+    ids[:300] = rng.permutation(4000)[:300]
+    sig_t = np.zeros((hasher.words_per_band * B, c), np.uint32)
+    sig_t[:, :300] = words.T
+    tie = compute_global_tie(jnp.asarray(ids))
+    planes = unpack_bitplanes(
+        jnp.asarray(sig_t.T.copy()), num_bands=B, rows_per_band=R
+    )
+    qw = hasher.hash_batch_words_host(rng.standard_normal((6, D)).astype(np.float32))
+    qbits = unpack_bitplanes(jnp.asarray(qw), num_bands=B, rows_per_band=R)
+
+    kw = dict(k=12, chunk=128, group=32)
+    h1, i1 = hamming_topk(
+        planes, jnp.asarray(sig_t), jnp.asarray(ids), tie, qbits, jnp.asarray(qw),
+        use_pallas=False, **kw,
+    )
+    h2, i2 = hamming_topk(
+        planes, jnp.asarray(sig_t), jnp.asarray(ids), tie, qbits, jnp.asarray(qw),
+        use_pallas=True, interpret=True, q_tile=8, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
