@@ -514,10 +514,16 @@ class DeviceStore(BaseStorage):
             supports_hamming_grouped(p, self._capacity)
             and self._capacity % self.group == 0
         ):
+            group = min(self.group, self._capacity)
+            # Pallas output blocks need a >=128 minor dim: tile = group*128.
+            pallas_tile = group * 128
+            use_pallas = self._use_pallas() and self._capacity % pallas_tile == 0
             return hamming_topk(
                 self._planes, self._sig_t, self._ids, self._tie, qbits, qw,
-                k=k_eff, chunk=self.chunk, group=min(self.group, self._capacity),
-                use_pallas=self._use_pallas(),
+                k=k_eff,
+                chunk=pallas_tile if use_pallas else self.chunk,
+                group=group,
+                use_pallas=use_pallas,
                 q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             )
         return hamming_topk_chunked(
