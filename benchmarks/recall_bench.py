@@ -66,6 +66,7 @@ def main() -> None:
         num_perm=args.num_perm,
         similarity_threshold=args.threshold,
         store_vectors=True,
+        enable_hamming=True,
         initial_capacity=1 << max(14, (args.n - 1).bit_length()),
     )
     t0 = time.perf_counter()
@@ -81,13 +82,24 @@ def main() -> None:
         np.mean([len(set(g) & set(t.tolist())) / args.k for g, t in zip(got, gt)])
     )
 
+    # hamming (full-signature) recall — batched through the store
+    qwords = lsh._hasher.hash_batch_words_host(queries)
+    _, ham_ids = lsh._storage.query_hamming(qwords, args.k)
+    recall_hamming = float(
+        np.mean([
+            len(set(ham_ids[qi].tolist()) & set(gt[qi].tolist())) / args.k
+            for qi in range(args.queries)
+        ])
+    )
+
     # cosine-reranked recall (top-p pipeline, resident payload)
+    n_rerank = min(args.queries, 100)  # sequential queries are RTT-bound
     hits = 0
-    for qi in range(args.queries):
+    for qi in range(n_rerank):
         scored = lsh.query(queries[qi], top_k=args.k, top_p=1.0)
         ids = [i for i, _ in scored]
         hits += len(set(ids) & set(gt[qi].tolist()))
-    recall_rerank = hits / (args.queries * args.k)
+    recall_rerank = hits / (n_rerank * args.k)
 
     print(
         json.dumps(
@@ -98,6 +110,7 @@ def main() -> None:
                 "bands": f"{stats['num_bands']}x{stats['rows_per_band']}",
                 "threshold": args.threshold,
                 f"recall@{args.k}_collision": round(recall_topk, 4),
+                f"recall@{args.k}_hamming": round(recall_hamming, 4),
                 f"recall@{args.k}_reranked": round(recall_rerank, 4),
                 "build_s": round(build_s, 2),
                 "query_batch_s": round(query_s, 3),
