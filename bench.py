@@ -36,6 +36,13 @@ BASELINE_QPS = 100_000.0
 def main() -> None:
     import jax
 
+    try:  # reuse compiled kernels across runs (first compile is minutes
+        # through the remote compile helper; cached runs start in seconds)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lshrs_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from lshrs_tpu.hash.hasher import LSHHasher
     from lshrs_tpu.storage.device import DeviceStore
 
