@@ -82,8 +82,10 @@ def main() -> None:
         np.mean([len(set(g) & set(t.tolist())) / args.k for g, t in zip(got, gt)])
     )
 
-    # hamming (full-signature) recall — batched through the store
-    qwords = lsh._hasher.hash_batch_words_host(queries)
+    # hamming (full-signature) recall — batched through the store. Hash
+    # with the same (device) path used at index time: the host matmul can
+    # round differently and flip near-zero projection signs.
+    qwords = lsh._hasher.hash_batch_words(queries)
     _, ham_ids = lsh._storage.query_hamming(qwords, args.k)
     recall_hamming = float(
         np.mean([

@@ -81,6 +81,10 @@ class LSHRS:
         initial_capacity / chunk_size: device store sizing knobs.
         shards: shard the index over this many devices (1-D mesh); queries
             merge shard-local top-k over ICI. Power of two.
+        enable_hamming: maintain int8 bitplanes so `query_hamming` (full
+            signature SimHash ranking on the MXU) is available.
+        group_size / dedupe / query_mode / bucket_cap: device store
+            engine knobs, see `lshrs_tpu.storage.device.DeviceStore`.
     """
 
     def __init__(
@@ -108,6 +112,10 @@ class LSHRS:
         chunk_size: int = 2048,
         shards: Optional[int] = None,
         enable_hamming: bool = False,
+        group_size: int = 32,
+        dedupe: bool = True,
+        query_mode: str = "scan",
+        bucket_cap: int = 128,
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -148,6 +156,10 @@ class LSHRS:
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
                     enable_hamming=enable_hamming,
+                    group_size=group_size,
+                    dedupe=dedupe,
+                    query_mode=query_mode,
+                    bucket_cap=bucket_cap,
                 )
             else:
                 self._storage = DeviceStore(
@@ -158,6 +170,10 @@ class LSHRS:
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
                     enable_hamming=enable_hamming,
+                    group_size=group_size,
+                    dedupe=dedupe,
+                    query_mode=query_mode,
+                    bucket_cap=bucket_cap,
                 )
         elif backend == "memory":
             self._storage = MemoryStorage()
@@ -211,6 +227,12 @@ class LSHRS:
             "store_vectors": store_vectors,
             "initial_capacity": initial_capacity,
             "chunk_size": chunk_size,
+            "shards": shards,
+            "enable_hamming": enable_hamming,
+            "group_size": group_size,
+            "dedupe": dedupe,
+            "query_mode": query_mode,
+            "bucket_cap": bucket_cap,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -629,6 +651,8 @@ class LSHRS:
 
     def stats(self) -> dict[str, Any]:
         """Configuration snapshot plus backend counters."""
+        with self._buffer_lock:
+            buffered = self._buffered_ops()
         out: dict[str, Any] = {
             "dimension": self._dim,
             "num_perm": self._config["num_perm"],
@@ -638,7 +662,7 @@ class LSHRS:
             "similarity_threshold": self._config["similarity_threshold"],
             "redis_prefix": self._redis_config["prefix"],
             "backend": self._tpu_config["backend"],
-            "buffered_operations": self._buffered_ops(),
+            "buffered_operations": buffered,
             "counters": dict(self._counters),
         }
         if isinstance(self._storage, DeviceStore):
@@ -717,8 +741,6 @@ class LSHRS:
             buffer_size=config["buffer_size"],
             vector_fetch_fn=vector_fetch_fn,
             storage=storage,
-            backend=tpu_config.get("backend", "device"),
-            store_vectors=tpu_config.get("store_vectors", False),
             redis_host=stored_redis["host"],
             redis_port=stored_redis["port"],
             redis_db=stored_redis["db"],
@@ -727,8 +749,7 @@ class LSHRS:
             decode_responses=stored_redis["decode_responses"],
             redis_max_connections=stored_redis.get("max_connections", 50),
             seed=config["seed"],
-            initial_capacity=tpu_config.get("initial_capacity", 1 << 14),
-            chunk_size=tpu_config.get("chunk_size", 2048),
+            **cls._restore_tpu_kwargs(tpu_config),
         )
 
         proj_path = input_dir / "projections.npz"
@@ -742,6 +763,41 @@ class LSHRS:
             with np.load(index_path) as data:
                 instance._storage.load_state_arrays({k: data[k] for k in data.files})
         return instance
+
+    @classmethod
+    def _restore_tpu_kwargs(cls, tpu_config: dict[str, Any]) -> dict[str, Any]:
+        """Constructor kwargs reproducing a saved instance's capabilities.
+
+        ``shards`` degrades (with a warning) to a single-device store when
+        the restoring process exposes fewer devices than the index was
+        sharded over; every other capability round-trips exactly.
+        """
+        shards = tpu_config.get("shards")
+        if shards is not None and shards > 1:
+            import jax
+
+            available = len(jax.devices())
+            if shards > available:
+                logger.warning(
+                    "Index was saved with shards=%d but only %d device(s) "
+                    "are available; restoring unsharded (results are "
+                    "identical, capacity is single-device).",
+                    shards,
+                    available,
+                )
+                shards = None
+        return {
+            "backend": tpu_config.get("backend", "device"),
+            "store_vectors": tpu_config.get("store_vectors", False),
+            "initial_capacity": tpu_config.get("initial_capacity", 1 << 14),
+            "chunk_size": tpu_config.get("chunk_size", 2048),
+            "shards": shards,
+            "enable_hamming": tpu_config.get("enable_hamming", False),
+            "group_size": tpu_config.get("group_size", 32),
+            "dedupe": tpu_config.get("dedupe", True),
+            "query_mode": tpu_config.get("query_mode", "scan"),
+            "bucket_cap": tpu_config.get("bucket_cap", 128),
+        }
 
     # ------------------------------------------------------------------
     # pickle protocol
@@ -773,8 +829,6 @@ class LSHRS:
             similarity_threshold=config["similarity_threshold"],
             buffer_size=config["buffer_size"],
             vector_fetch_fn=None,  # callables are not persisted
-            backend=tpu_config.get("backend", "device"),
-            store_vectors=tpu_config.get("store_vectors", False),
             redis_host=redis_config["host"],
             redis_port=redis_config["port"],
             redis_db=redis_config["db"],
@@ -783,8 +837,7 @@ class LSHRS:
             decode_responses=redis_config["decode_responses"],
             redis_max_connections=redis_config.get("max_connections", 50),
             seed=config["seed"],
-            initial_capacity=tpu_config.get("initial_capacity", 1 << 14),
-            chunk_size=tpu_config.get("chunk_size", 2048),
+            **self._restore_tpu_kwargs(tpu_config),
         )
         self.__dict__ = restored.__dict__
         self._hasher.projections = [

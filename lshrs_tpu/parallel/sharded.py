@@ -132,7 +132,7 @@ class ShardedDeviceStore(DeviceStore):
         )
 
     def _pallas_chunk(self) -> int:
-        return min(4096, self._local_rows())
+        return min(max(4096, self.group * 128), self._local_rows())
 
     def _use_pallas(self) -> bool:
         local = self._local_rows()
@@ -164,10 +164,11 @@ class ShardedDeviceStore(DeviceStore):
 
     def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            q = qw.shape[0]
-            return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-        counts, ids = self._query_topk_dev(qw, k)
+        with self._lock:
+            if self._size == 0:
+                q = qw.shape[0]
+                return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
+            counts, ids = self._query_topk_dev(qw, k)
         counts, ids = np.asarray(counts), np.asarray(ids)
         k_eff = counts.shape[1]
         if k_eff < k:
@@ -204,21 +205,23 @@ class ShardedDeviceStore(DeviceStore):
 
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            return (
-                np.zeros((qw.shape[0], self._capacity), np.int32),
-                np.full((self._capacity,), -1, np.int32),
+        with self._lock:
+            if self._size == 0:
+                return (
+                    np.zeros((qw.shape[0], self._capacity), np.int32),
+                    np.full((self._capacity,), -1, np.int32),
+                )
+            counts = _sharded_counts(
+                self.mesh,
+                self.axis,
+                self._sig_t,
+                self._ids,
+                qw,
+                num_bands=self.num_bands,
+                chunk=min(self.chunk, self._local_rows()),
             )
-        counts = _sharded_counts(
-            self.mesh,
-            self.axis,
-            self._sig_t,
-            self._ids,
-            qw,
-            num_bands=self.num_bands,
-            chunk=min(self.chunk, self._local_rows()),
-        )
-        return np.asarray(counts), np.asarray(self._ids)
+            ids = self._ids
+        return np.asarray(counts), np.asarray(ids)
 
     def stats(self) -> dict:
         out = super().stats()

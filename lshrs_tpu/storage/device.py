@@ -188,7 +188,9 @@ class DeviceStore(BaseStorage):
         self._size = 0  # high-water mark of used slots (including tombstones)
         self._tombstones = 0
         self._slot_of: dict[int, int] | None = {} if dedupe else None
-        self._lock = threading.Lock()
+        # Re-entrant: compact() holds it across snapshot + clear + reload,
+        # which re-enter add_signature_batch.
+        self._lock = threading.RLock()
         # Bucket-op staging: index -> {band_id: bytes}, flushed to the array
         # store once all bands of a vector have arrived (bucket-level parity
         # path only; the signature-batch path never stages).
@@ -229,8 +231,10 @@ class DeviceStore(BaseStorage):
 
     def _pallas_chunk(self) -> int:
         # 4096 measured ~10% faster than 8192 on v5e (smaller VMEM
-        # working set per grid cell).
-        return min(4096, self._capacity)
+        # working set per grid cell). The output block is
+        # (q_tile, chunk // group); Mosaic needs its minor dim >= 128,
+        # so the chunk scales with group_size.
+        return min(max(4096, self.group * 128), self._capacity)
 
     def _refresh_ranks(self) -> None:
         self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
@@ -417,7 +421,11 @@ class DeviceStore(BaseStorage):
     def _query_topk_dev(self, qw: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         """Device-resident top-k (no host transfer of the results)."""
         k_eff = max(1, min(k, self._capacity))
-        if self.query_mode == "bucket":
+        # The bucketed engine packs (count, tie) into int32; past the packing
+        # limit it would silently corrupt keys, so fall through to the scan.
+        if self.query_mode == "bucket" and supports_fast_path(
+            self.num_bands, self._capacity
+        ):
             if self._bucket_index is None:
                 self._bucket_index = build_bucket_index(
                     self._sig_t, self._ids, num_bands=self.num_bands
@@ -464,10 +472,14 @@ class DeviceStore(BaseStorage):
             padding carries id -1.
         """
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            q = qw.shape[0]
-            return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-        counts, ids = self._query_topk_dev(qw, k)
+        # Dispatch under the lock: appends donate (alias) the state arrays,
+        # so a concurrently-dispatched query could read deleted buffers.
+        # The device->host readback happens outside (latency not serialised).
+        with self._lock:
+            if self._size == 0:
+                q = qw.shape[0]
+                return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
+            counts, ids = self._query_topk_dev(qw, k)
         counts, ids = np.asarray(counts), np.asarray(ids)
         k_eff = counts.shape[1]
         if k_eff < k:
@@ -479,9 +491,10 @@ class DeviceStore(BaseStorage):
     def query_topk_ids(self, qwords, k: int) -> jax.Array:
         """Device-resident id-only top-k (serving fast path, one readback)."""
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            return jnp.full((qw.shape[0], k), -1, jnp.int32)
-        _, ids = self._query_topk_dev(qw, k)
+        with self._lock:
+            if self._size == 0:
+                return jnp.full((qw.shape[0], k), -1, jnp.int32)
+            _, ids = self._query_topk_dev(qw, k)
         return ids
 
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
@@ -492,15 +505,17 @@ class DeviceStore(BaseStorage):
         unbounded-candidate paths (``top_k=None``, top-p rerank).
         """
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            return (
-                np.zeros((qw.shape[0], self._capacity), np.int32),
-                np.full((self._capacity,), -1, np.int32),
+        with self._lock:
+            if self._size == 0:
+                return (
+                    np.zeros((qw.shape[0], self._capacity), np.int32),
+                    np.full((self._capacity,), -1, np.int32),
+                )
+            counts = collision_counts(
+                self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
             )
-        counts = collision_counts(
-            self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
-        )
-        return np.asarray(counts), np.asarray(self._ids)
+            ids = self._ids
+        return np.asarray(counts), np.asarray(ids)
 
     def _query_hamming_dev(self, qw: jax.Array, k: int):
         """Device-resident Hamming top-k, grouped MXU path when the packed
@@ -544,10 +559,11 @@ class DeviceStore(BaseStorage):
             )
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
         p = self.num_bands * self.rows_per_band
-        if self._size == 0:
-            q = qw.shape[0]
-            return (np.full((q, k), p + 1, np.int32), np.full((q, k), -1, np.int32))
-        hamming, ids = self._query_hamming_dev(qw, k)
+        with self._lock:
+            if self._size == 0:
+                q = qw.shape[0]
+                return (np.full((q, k), p + 1, np.int32), np.full((q, k), -1, np.int32))
+            hamming, ids = self._query_hamming_dev(qw, k)
         hamming, ids = np.asarray(hamming), np.asarray(ids)
         k_eff = hamming.shape[1]
         if k_eff < k:
@@ -564,9 +580,10 @@ class DeviceStore(BaseStorage):
                 "enable_hamming=True for Hamming-mode queries"
             )
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            return jnp.full((qw.shape[0], k), -1, jnp.int32)
-        _, ids = self._query_hamming_dev(qw, k)
+        with self._lock:
+            if self._size == 0:
+                return jnp.full((qw.shape[0], k), -1, jnp.int32)
+            _, ids = self._query_hamming_dev(qw, k)
         return ids
 
     def query_topp(
@@ -581,20 +598,21 @@ class DeviceStore(BaseStorage):
         if self._payload is None:
             raise RuntimeError("store_vectors=False: no resident payload to rerank")
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
-        if self._size == 0:
-            return (np.full(max_out, -1, np.int32), np.zeros(max_out, np.float32), 0)
-        out = max(1, min(max_out, self._capacity))
-        counts = collision_counts(
-            self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
-        )
-        ids, sims, n = rerank_topp(
-            self._payload,
-            self._pnorm,
-            self._ids,
-            counts[0],
-            jnp.asarray(qvec, dtype=jnp.float32),
-            max_out=out,
-        )
+        with self._lock:
+            if self._size == 0:
+                return (np.full(max_out, -1, np.int32), np.zeros(max_out, np.float32), 0)
+            out = max(1, min(max_out, self._capacity))
+            counts = collision_counts(
+                self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+            )
+            ids, sims, n = rerank_topp(
+                self._payload,
+                self._pnorm,
+                self._ids,
+                counts[0],
+                jnp.asarray(qvec, dtype=jnp.float32),
+                max_out=out,
+            )
         return np.asarray(ids), np.asarray(sims), int(n)
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
@@ -603,10 +621,14 @@ class DeviceStore(BaseStorage):
             raise RuntimeError("store_vectors=False: no resident payload to fetch")
         if self._slot_of is None:
             raise RuntimeError("get_vectors requires dedupe=True (id -> slot map)")
-        slots = np.fromiter(
-            (self._slot_of[int(i)] for i in indices), dtype=np.int64, count=len(indices)
-        )
-        return np.asarray(self._payload)[slots]
+        with self._lock:
+            slots = np.fromiter(
+                (self._slot_of[int(i)] for i in indices),
+                dtype=np.int64,
+                count=len(indices),
+            )
+            payload = self._payload
+        return np.asarray(payload)[slots]
 
     # ------------------------------------------------------------------
     # bucket-level parity API
@@ -646,13 +668,17 @@ class DeviceStore(BaseStorage):
         """Enumerate one implicit band bucket (device compare over the band)."""
         if not 0 <= band_id < self.num_bands:
             raise ValueError(f"band_id must be in [0, {self.num_bands})")
-        if self._size == 0:
-            return set()
-        w = self.words // self.num_bands
-        q_band = band_bytes_to_words((bytes(hash_val),), rows_per_band=self.rows_per_band)
-        band_words_t = self._sig_t[band_id * w : (band_id + 1) * w, :]
-        match = _band_bucket_jit(band_words_t, self._ids, jnp.asarray(q_band), w=w)
-        ids = np.asarray(self._ids)
+        with self._lock:
+            if self._size == 0:
+                return set()
+            w = self.words // self.num_bands
+            q_band = band_bytes_to_words(
+                (bytes(hash_val),), rows_per_band=self.rows_per_band
+            )
+            band_words_t = self._sig_t[band_id * w : (band_id + 1) * w, :]
+            match = _band_bucket_jit(band_words_t, self._ids, jnp.asarray(q_band), w=w)
+            ids_dev = self._ids
+        ids = np.asarray(ids_dev)
         return set(int(i) for i in ids[np.asarray(match)])
 
     # ------------------------------------------------------------------
@@ -696,8 +722,8 @@ class DeviceStore(BaseStorage):
             if reclaimed == 0:
                 return 0
             snapshot = self.state_arrays()
-        self.clear()
-        self.load_state_arrays(snapshot)
+            self.clear()
+            self.load_state_arrays(snapshot)
         return reclaimed
 
     def clear(self) -> None:
@@ -742,13 +768,14 @@ class DeviceStore(BaseStorage):
 
     def state_arrays(self) -> dict[str, np.ndarray]:
         """Dense host snapshot of the used slots (for checkpointing)."""
-        n = self._size
-        out = {
-            "ids": np.asarray(self._ids[:n]),
-            "sig": np.asarray(self._sig_t[:, :n].T),
-        }
-        if self._payload is not None:
-            out["payload"] = np.asarray(self._payload[:n])
+        with self._lock:
+            n = self._size
+            out = {
+                "ids": np.asarray(self._ids[:n]),
+                "sig": np.asarray(self._sig_t[:, :n].T),
+            }
+            if self._payload is not None:
+                out["payload"] = np.asarray(self._payload[:n])
         return out
 
     def load_state_arrays(self, state: dict[str, np.ndarray]) -> None:

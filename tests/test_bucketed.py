@@ -103,3 +103,29 @@ def test_bucket_wide_words(rng):
 def test_bucket_mode_validation():
     with pytest.raises(ValueError, match="query_mode"):
         DeviceStore(num_bands=B, rows_per_band=R, query_mode="sideways")
+
+
+def test_bucket_falls_back_when_keys_would_overflow(hasher, rng, monkeypatch):
+    """Past the int32 (count, tie) packing limit the bucket engine must
+    yield to the chunked scan instead of silently corrupting keys."""
+    import lshrs_tpu.storage.device as device_mod
+
+    scan, bucket = make_pair()
+    X = rng.standard_normal((200, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    scan.add_signature_batch(np.arange(200), words)
+    bucket.add_signature_batch(np.arange(200), words)
+
+    # Simulate a capacity where (num_bands+1)*key_scale(C) >= 2**31.
+    monkeypatch.setattr(device_mod, "supports_fast_path", lambda *a: False)
+    called = []
+    monkeypatch.setattr(
+        device_mod, "bucketed_topk",
+        lambda *a, **k: called.append(1),
+    )
+    qw = hasher.hash_batch_words_host(rng.standard_normal((6, D)).astype(np.float32))
+    c1, i1 = scan.query_topk(qw, 10)
+    c2, i2 = bucket.query_topk(qw, 10)
+    assert not called  # the bucket engine was gated off
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(i1, i2)

@@ -7,6 +7,8 @@ import threading
 import numpy as np
 
 from lshrs_tpu import LSHRS
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.storage.device import DeviceStore
 
 
 def test_concurrent_ingest_exact_counts(mock_storage, make_lsh):
@@ -70,3 +72,81 @@ def test_concurrent_ingest_device_store():
         t.join()
     lsh.flush()
     assert lsh.stats()["index"]["alive"] == 200
+
+
+def test_device_store_threaded_appends_and_queries():
+    """Hammer DeviceStore.add_signature_batch / query_topk from threads.
+
+    The serving story is multi-threaded hosts over one store; mutation is
+    lock-serialised, queries are read-only over immutable arrays. Every
+    indexed id must be findable afterwards, with no lost updates.
+    """
+    h = LSHHasher(num_bands=2, rows_per_band=8, dim=16, seed=0)
+    store = DeviceStore(
+        num_bands=2, rows_per_band=8, chunk_size=128, initial_capacity=128
+    )
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((16, 20, 16)).astype(np.float32)
+    words = [h.hash_batch_words_host(X[t]) for t in range(16)]
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        try:
+            ids = np.arange(tid * 20, tid * 20 + 20)
+            for j in range(0, 20, 5):
+                store.add_signature_batch(ids[j : j + 5], words[tid][j : j + 5])
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    def reader(tid: int) -> None:
+        try:
+            for _ in range(10):
+                store.query_topk(words[tid][:4], 5)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(8)]
+    threads += [threading.Thread(target=reader, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert len(store) == 160
+    for tid in range(8):
+        _, ids = store.query_topk(words[tid][:1], 1)
+        assert ids[0][0] == tid * 20
+
+
+def test_device_store_compact_holds_lock_against_writers():
+    """compact() must not erase appends that land mid-compaction."""
+    h = LSHHasher(num_bands=2, rows_per_band=8, dim=16, seed=1)
+    store = DeviceStore(
+        num_bands=2, rows_per_band=8, chunk_size=128, initial_capacity=128
+    )
+    rng = np.random.default_rng(4)
+    X = rng.standard_normal((120, 16)).astype(np.float32)
+    words = h.hash_batch_words_host(X)
+    store.add_signature_batch(np.arange(100), words[:100])
+    store.remove_indices(list(range(0, 100, 2)))  # 50 tombstones
+
+    stop = threading.Event()
+
+    def compactor() -> None:
+        while not stop.is_set():
+            store.compact()
+
+    t = threading.Thread(target=compactor)
+    t.start()
+    try:
+        for j in range(100, 120):
+            store.add_signature_batch([j], words[j : j + 1])
+    finally:
+        stop.set()
+        t.join()
+    store.compact()
+    assert len(store) == 70  # 50 survivors + 20 concurrent appends
+    for j in (100, 110, 119):
+        _, ids = store.query_topk(words[j : j + 1], 1)
+        assert ids[0][0] == j

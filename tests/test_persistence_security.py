@@ -93,6 +93,43 @@ def test_pickle_keeps_unredacted_password():
     assert state["redis_config"]["password"] == "hunter2"
 
 
+def test_save_load_preserves_capabilities(tmp_path, rng):
+    """enable_hamming + engine knobs round-trip (ref main.py:880-976 keeps
+    the full constructor config; the TPU extensions must too)."""
+    lsh = LSHRS(
+        dim=16, num_perm=8, num_bands=2, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        enable_hamming=True, group_size=64, dedupe=False,
+        query_mode="bucket", bucket_cap=64,
+    )
+    X = rng.standard_normal((30, 16)).astype(np.float32)
+    lsh.index(list(range(30)), X)
+    ham_before = lsh.query_hamming(X[7], top_k=3)
+    lsh.save_to_disk(tmp_path / "m")
+
+    back = LSHRS.load_from_disk(tmp_path / "m")
+    store = back._storage
+    assert store.enable_hamming and store._planes is not None
+    assert store.query_mode == "bucket"
+    assert store.bucket_cap == 64
+    assert store.group == 64
+    assert store.dedupe is False and store._slot_of is None
+    # a Hamming query works after restore, with identical results
+    assert back.query_hamming(X[7], top_k=3) == ham_before
+
+
+def test_pickle_preserves_capabilities(rng):
+    lsh = LSHRS(
+        dim=16, num_perm=8, num_bands=2, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        enable_hamming=True,
+    )
+    X = rng.standard_normal((20, 16)).astype(np.float32)
+    lsh.index(list(range(20)), X)
+    clone = pickle.loads(pickle.dumps(lsh))
+    assert clone.query_hamming(X[3], top_k=2) == lsh.query_hamming(X[3], top_k=2)
+
+
 def test_save_flushes_buffer(tmp_path, make_device_lsh, rng):
     lsh = make_device_lsh(dim=16, num_bands=2, rows_per_band=4, num_perm=8)
     lsh.ingest(0, rng.standard_normal(16).astype(np.float32))

@@ -129,7 +129,26 @@ def test_sharded_save_load_roundtrip(tmp_path, rng):
     X = rng.standard_normal((50, D)).astype(np.float32)
     lsh.index(list(range(50)), X)
     lsh.save_to_disk(tmp_path / "m")
-    # restores as a single-device store (mesh topology is a runtime choice)
+    # restores sharded when enough devices exist (8 virtual CPU devices here)
     back = LSHRS.load_from_disk(tmp_path / "m")
+    assert back.stats()["index"]["n_shards"] == 8
+    q = rng.standard_normal(D).astype(np.float32)
+    assert lsh.query(q, top_k=None) == back.query(q, top_k=None)
+
+
+def test_sharded_save_load_downgrades_when_devices_scarce(tmp_path, rng, monkeypatch):
+    lsh = LSHRS(
+        dim=D, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", shards=8, chunk_size=64, initial_capacity=64,
+    )
+    X = rng.standard_normal((50, D)).astype(np.float32)
+    lsh.index(list(range(50)), X)
+    lsh.save_to_disk(tmp_path / "m")
+
+    only_one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: only_one)
+    back = LSHRS.load_from_disk(tmp_path / "m")
+    # documented downgrade: single-device store, identical query results
+    assert "n_shards" not in back.stats()["index"]
     q = rng.standard_normal(D).astype(np.float32)
     assert lsh.query(q, top_k=None) == back.query(q, top_k=None)
