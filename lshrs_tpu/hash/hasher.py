@@ -32,6 +32,7 @@ import numpy as np
 from lshrs_tpu._config.config import HashSignatures
 from lshrs_tpu.ops.bitpack import (
     band_bytes_to_words,
+    pack_bits_dense_np,
     pack_bits_to_words,
     pack_bits_to_words_np,
     words_per_band,
@@ -185,6 +186,19 @@ class LSHHasher:
         arr = np.asarray(vectors, dtype=np.float32)
         bits = arr @ self._proj.T > 0
         return pack_bits_to_words_np(
+            bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )
+
+    def hash_batch_dense_host(self, vectors: np.ndarray) -> np.ndarray:
+        """Host hash to the dense wire format, ``(n, B * ceil(r/8))`` uint8.
+
+        The minimal-byte signature encoding for shipping query batches to a
+        remote device store (`lshrs_tpu.ops.bitpack.pack_bits_dense_np`);
+        decode on device with `lshrs_tpu.ops.bitpack.dense_to_words`.
+        """
+        arr = np.asarray(vectors, dtype=np.float32)
+        bits = arr @ self._proj.T > 0
+        return pack_bits_dense_np(
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
 

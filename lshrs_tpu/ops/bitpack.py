@@ -25,16 +25,63 @@ import numpy as np
 
 __all__ = [
     "words_per_band",
+    "bytes_per_band",
     "pack_bits_to_words",
     "pack_bits_to_words_np",
     "words_to_band_bytes",
     "band_bytes_to_words",
+    "pack_bits_dense_np",
+    "dense_to_words",
 ]
 
 
 def words_per_band(rows_per_band: int) -> int:
     """Number of uint32 words needed to hold one band's bits."""
     return -(-rows_per_band // 32)
+
+
+def bytes_per_band(rows_per_band: int) -> int:
+    """Number of bytes in one band's dense (wire) signature."""
+    return -(-rows_per_band // 8)
+
+
+def pack_bits_dense_np(
+    bits: np.ndarray, *, num_bands: int, rows_per_band: int
+) -> np.ndarray:
+    """Sign bits -> dense wire signatures, ``(n, num_bands * ceil(r/8))`` u8.
+
+    The minimal byte encoding of a signature (the reference's per-band
+    ``packbits(little)`` bytes, concatenated). Used as the serving wire
+    format: for ``r = 16`` this is 32 bytes per query instead of the 64
+    bytes of the uint32 word layout — transfer-bound serving ships half
+    the bits. Decode on device with :func:`dense_to_words`.
+    """
+    n = bits.shape[0]
+    banded = bits.reshape(n, num_bands, rows_per_band).astype(np.uint8)
+    packed = np.packbits(banded, axis=-1, bitorder="little")
+    return np.ascontiguousarray(packed.reshape(n, -1))
+
+
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
+def dense_to_words(
+    dense: jax.Array, *, num_bands: int, rows_per_band: int
+) -> jax.Array:
+    """Dense wire signatures -> ``(n, num_bands * W)`` uint32 words (device).
+
+    Inverse of :func:`pack_bits_dense_np` into the storage engine's native
+    word layout; a handful of shifts/ors, negligible next to the scan.
+    """
+    n = dense.shape[0]
+    w = words_per_band(rows_per_band)
+    nb = bytes_per_band(rows_per_band)
+    banded = dense.reshape(n, num_bands, nb).astype(jnp.uint32)
+    pad = w * 4 - nb
+    if pad:
+        banded = jnp.pad(banded, ((0, 0), (0, 0), (0, pad)))
+    banded = banded.reshape(n, num_bands, w, 4)
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, None, :]
+    words = jnp.sum(banded << shifts, axis=-1, dtype=jnp.uint32)
+    return words.reshape(n, num_bands * w)
 
 
 @partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))

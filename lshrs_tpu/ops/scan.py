@@ -211,6 +211,7 @@ def collision_topk_grouped_core(
     q_tile: int,
     use_pallas: bool,
     interpret: bool = False,
+    sig_rows: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k via group-max keys + candidate-group refinement.
 
@@ -221,6 +222,13 @@ def collision_topk_grouped_core(
             -1 for dead (see :func:`compute_global_tie`).
         use_pallas: run the fused Pallas kernel (TPU); otherwise an
             equivalent jnp formulation (CPU tests / tiny stores).
+        sig_rows: optional ``(C, BW + 2)`` row-major refine table:
+            columns ``[0:BW]`` = signature words, ``[BW]`` = tie key
+            (bitcast), ``[BW+1]`` = slot id (bitcast). When given, the
+            refinement gathers one contiguous row per candidate slot —
+            words, tie and id together — instead of minor-axis element
+            gathers of ``sig_t``/``tie``/``ids`` (row gathers are what the
+            TPU gather unit is fast at).
     """
     bw, c = sig_t.shape
     q = qwords.shape[0]
@@ -272,21 +280,38 @@ def collision_topk_grouped_core(
             top_groups[..., None] * group + jnp.arange(group)[None, None, :]
         ).reshape(q, m * group)  # (Q, m*group)
 
-    cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, m * group)
-    counts = None
-    for b in range(num_bands):
-        eq = cand_sig[b * w] == qwords[:, b * w][:, None]
-        for j in range(1, w):
-            eq &= cand_sig[b * w + j] == qwords[:, b * w + j][:, None]
-        counts = eq.astype(jnp.int32) if counts is None else counts + eq
-    cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, m * group)
+    mg = m * group
+    if sig_rows is not None:
+        rows = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(q, mg, bw + 2)
+        counts = None
+        for b in range(num_bands):
+            eq = rows[:, :, b * w] == qwords[:, b * w][:, None]
+            for j in range(1, w):
+                eq &= rows[:, :, b * w + j] == qwords[:, b * w + j][:, None]
+            counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        cand_tie = jax.lax.bitcast_convert_type(rows[:, :, bw], jnp.int32)
+        cand_ids = jax.lax.bitcast_convert_type(rows[:, :, bw + 1], jnp.int32)
+    else:
+        cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
+        counts = None
+        for b in range(num_bands):
+            eq = cand_sig[b * w] == qwords[:, b * w][:, None]
+            for j in range(1, w):
+                eq &= cand_sig[b * w + j] == qwords[:, b * w + j][:, None]
+            counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, mg)
+        cand_ids = None
     key = counts * (cand_tie >= 0).astype(jnp.int32) * scale + jnp.maximum(cand_tie, 0)
 
-    k_eff = min(k, m * group)
+    k_eff = min(k, mg)
     top_key, top_pos = jax.lax.top_k(key, k_eff)
     sel_counts = top_key // scale
-    sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
-    sel_ids = jnp.where(sel_counts > 0, jnp.take(ids, sel_slots.reshape(-1)).reshape(q, k_eff), -1)
+    if cand_ids is not None:
+        picked = jnp.take_along_axis(cand_ids, top_pos, axis=1)
+    else:
+        sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
+        picked = jnp.take(ids, sel_slots.reshape(-1)).reshape(q, k_eff)
+    sel_ids = jnp.where(sel_counts > 0, picked, -1)
     if k_eff < k:
         sel_counts = jnp.pad(sel_counts, ((0, 0), (0, k - k_eff)))
         sel_ids = jnp.pad(sel_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)

@@ -80,6 +80,10 @@ class ShardedDeviceStore(DeviceStore):
         col = NamedSharding(self.mesh, P(None, self.axis))
         row = NamedSharding(self.mesh, P(self.axis))
         self._sig_t = jax.device_put(self._sig_t, col)
+        self._sig_rows = jax.device_put(
+            self._sig_rows, NamedSharding(self.mesh, P(self.axis, None))
+        )
+        self._rows_ext = None
         self._ids = jax.device_put(self._ids, row)
         self._ranks = jax.device_put(self._ranks, row)
         if self._payload is not None:
@@ -139,7 +143,7 @@ class ShardedDeviceStore(DeviceStore):
         return (
             jax.default_backend() == "tpu"
             and local % self._pallas_chunk() == 0
-            and local >= 1024
+            and local >= self.group * 128
         )
 
     def _query_topk_dev(self, qw: jax.Array, k: int):
@@ -148,6 +152,7 @@ class ShardedDeviceStore(DeviceStore):
             self.mesh,
             self.axis,
             self._sig_t,
+            self._refine_rows() if self._use_grouped() else self._sig_rows,
             self._ids,
             self._ranks,
             self._tie,
@@ -255,15 +260,16 @@ def _sharded_tie(mesh, axis, ids):
     ),
 )
 def _sharded_topk(
-    mesh, axis, sig_t, ids, ranks, tie, qwords,
+    mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_bands, k, chunk, grouped, group, pallas_chunk, q_tile, use_pallas,
 ):
-    def local(sig_l, ids_l, ranks_l, tie_l, qw):
+    def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
             counts, out_ids = collision_topk_grouped_core(
                 sig_l, ids_l, tie_l, qw,
                 num_bands=num_bands, k=k, group=group,
                 pallas_chunk=pallas_chunk, q_tile=q_tile, use_pallas=use_pallas,
+                sig_rows=rows_l,
             )
         else:
             counts, out_ids = collision_topk_core(
@@ -280,10 +286,10 @@ def _sharded_topk(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(None, axis), P(axis, None), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(sig_t, ids, ranks, tie, qwords)
+    )(sig_t, rows, ids, ranks, tie, qwords)
 
 
 @partial(

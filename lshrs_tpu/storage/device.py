@@ -56,7 +56,9 @@ from lshrs_tpu.ops.rerank import rerank_topp
 from lshrs_tpu.ops.scan import (
     collision_counts,
     collision_topk,
+    collision_topk_core,
     collision_topk_grouped,
+    collision_topk_grouped_core,
     compute_chunk_ranks,
     compute_global_tie,
     supports_fast_path,
@@ -150,7 +152,7 @@ class DeviceStore(BaseStorage):
         store_vectors: bool = False,
         initial_capacity: int = 1 << 14,
         chunk_size: int = 2048,
-        group_size: int = 32,
+        group_size: int = 64,
         dedupe: bool = True,
         query_mode: str = "scan",
         bucket_cap: int = 128,
@@ -198,6 +200,11 @@ class DeviceStore(BaseStorage):
 
     def _alloc(self, cap: int) -> None:
         self._sig_t = jnp.zeros((self.words, cap), dtype=jnp.uint32)
+        # Row-major twin of sig_t: refinement gathers whole contiguous rows
+        # (words + tie + id appended lazily, see _refine_rows) instead of
+        # minor-axis elements — the fast shape for the TPU gather unit.
+        self._sig_rows = jnp.zeros((cap, self.words), dtype=jnp.uint32)
+        self._rows_ext: jax.Array | None = None
         self._ids = jnp.full((cap,), -1, dtype=jnp.int32)
         self._ranks = jnp.zeros((cap,), dtype=jnp.int32)
         self._tie = jnp.full((cap,), -1, dtype=jnp.int32)
@@ -226,7 +233,8 @@ class DeviceStore(BaseStorage):
         return (
             jax.default_backend() == "tpu"
             and self._capacity % self._pallas_chunk() == 0
-            and self._capacity >= 1024
+            # out block minor dim (chunk // group) must be >= 128 for Mosaic
+            and self._capacity >= self.group * 128
         )
 
     def _pallas_chunk(self) -> int:
@@ -240,6 +248,20 @@ class DeviceStore(BaseStorage):
         self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
         self._tie = compute_global_tie(self._ids)
         self._bucket_index = None  # any mutation invalidates the index
+        self._rows_ext = None
+
+    def _refine_rows(self) -> jax.Array:
+        """Lazily built ``(C, BW + 2)`` refine table: words | tie | id."""
+        if self._rows_ext is None:
+            self._rows_ext = jnp.concatenate(
+                [
+                    self._sig_rows,
+                    jax.lax.bitcast_convert_type(self._tie, jnp.uint32)[:, None],
+                    jax.lax.bitcast_convert_type(self._ids, jnp.uint32)[:, None],
+                ],
+                axis=1,
+            )
+        return self._rows_ext
 
     # ------------------------------------------------------------------
     # signature-batch ingestion (the TPU-native path)
@@ -339,6 +361,10 @@ class DeviceStore(BaseStorage):
         self._sig_t = _scatter_cols_jit(
             self._sig_t, jnp.asarray(slots_p), jnp.asarray(words_p.T)
         )
+        self._sig_rows = _scatter_rows_jit(
+            self._sig_rows, jnp.asarray(slots_p), jnp.asarray(words_p)
+        )
+        self._rows_ext = None
         if self._payload is not None and vectors is not None:
             rows_p = np.zeros((pad, self.dim), dtype=np.float32)
             rows_p[: slots.size] = vectors
@@ -375,6 +401,8 @@ class DeviceStore(BaseStorage):
         self._sig_t, self._ids = _append_jit(
             self._sig_t, self._ids, words_t, jnp.asarray(ids_p), offset
         )
+        rows_new = words_dev if pad == n else jnp.pad(words_dev, ((0, pad - n), (0, 0)))
+        self._sig_rows = _append_rows_jit(self._sig_rows, rows_new, offset)
         if self._payload is not None:
             rows = jnp.asarray(vectors, dtype=jnp.float32)
             if pad != n:
@@ -400,6 +428,11 @@ class DeviceStore(BaseStorage):
         sig_t = jnp.zeros((self.words, new_cap), dtype=jnp.uint32)
         ids = jnp.full((new_cap,), -1, dtype=jnp.int32)
         self._sig_t = sig_t.at[:, : self._capacity].set(self._sig_t)
+        self._sig_rows = (
+            jnp.zeros((new_cap, self.words), dtype=jnp.uint32)
+            .at[: self._capacity]
+            .set(self._sig_rows)
+        )
         self._ids = ids.at[: self._capacity].set(self._ids)
         if self._payload is not None:
             payload = jnp.zeros((new_cap, self.dim), dtype=jnp.float32)
@@ -451,6 +484,7 @@ class DeviceStore(BaseStorage):
                 pallas_chunk=self._pallas_chunk(),
                 q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
                 use_pallas=self._use_pallas(),
+                sig_rows=self._refine_rows(),
             )
         return collision_topk(
             self._sig_t,
@@ -496,6 +530,79 @@ class DeviceStore(BaseStorage):
                 return jnp.full((qw.shape[0], k), -1, jnp.int32)
             _, ids = self._query_topk_dev(qw, k)
         return ids
+
+    def snapshot_query_fn(self, k: int, *, wire: str = "words", dev_batch: int | None = None):
+        """Compiled single-dispatch serving closure over the CURRENT contents.
+
+        For remote-attached devices every un-fused op costs a transport
+        round trip, so the serving hot loop wants exactly one dispatch per
+        query batch. The returned callable closes over the current state
+        arrays (later mutations are NOT visible — take a new snapshot after
+        ingesting) and fuses wire decode + scan + exact top-k + id select
+        into one jitted program.
+
+        Args:
+            k: result depth.
+            wire: ``"words"`` (uint32 word signatures) or ``"dense"``
+                (minimal-byte signatures from
+                `LSHHasher.hash_batch_dense_host` — half the upload bytes
+                for ``rows_per_band <= 16``).
+            dev_batch: optionally split the batch into this many-query
+                slices inside the program (bounds the scan working set for
+                very large batches).
+
+        Returns:
+            callable ``(signatures) -> (Q, k) int32 device array of ids``.
+        """
+        if wire not in ("words", "dense"):
+            raise ValueError("wire must be 'words' or 'dense'")
+        with self._lock:
+            if self._size == 0:
+                raise RuntimeError("snapshot_query_fn requires a non-empty store")
+            sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
+            rows = self._refine_rows() if self._use_grouped() else None
+            grouped, use_pallas = self._use_grouped(), self._use_pallas()
+            group = min(self.group, self._capacity)
+            pallas_chunk = self._pallas_chunk()
+            k_eff = max(1, min(k, self._capacity))
+            num_bands, rows_per_band, chunk = (
+                self.num_bands, self.rows_per_band, self.chunk,
+            )
+
+        from lshrs_tpu.ops.bitpack import dense_to_words
+
+        def run_slice(qw):
+            if grouped:
+                _, out = collision_topk_grouped_core(
+                    sig_t, ids, tie, qw,
+                    num_bands=num_bands, k=k_eff, group=group,
+                    pallas_chunk=pallas_chunk,
+                    q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+                    use_pallas=use_pallas, sig_rows=rows,
+                )
+            else:
+                _, out = collision_topk_core(
+                    sig_t, ids, ranks, qw,
+                    num_bands=num_bands, k=k_eff, chunk=chunk,
+                )
+            return out
+
+        @jax.jit
+        def serve(q):
+            if wire == "dense":
+                q = dense_to_words(
+                    q, num_bands=num_bands, rows_per_band=rows_per_band
+                )
+            n = q.shape[0]
+            if dev_batch is None or n <= dev_batch:
+                return run_slice(q)
+            outs = [
+                run_slice(jax.lax.slice_in_dim(q, i, i + dev_batch))
+                for i in range(0, n, dev_batch)
+            ]
+            return jnp.concatenate(outs)
+
+        return serve
 
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
         """Full per-slot collision counts plus the slot-id map.
@@ -708,6 +815,8 @@ class DeviceStore(BaseStorage):
             # Relative order of surviving slots is unchanged, but the tie
             # array must mark the dead slots so the fast path skips them.
             self._tie = compute_global_tie(self._ids)
+            self._rows_ext = None
+            self._bucket_index = None
 
     def compact(self) -> int:
         """Reclaim tombstoned slots by rebuilding the dense prefix.
@@ -740,6 +849,7 @@ class DeviceStore(BaseStorage):
         self._sig_t = self._ids = self._ranks = self._tie = None  # type: ignore[assignment]
         self._payload = self._pnorm = self._planes = None
         self._bucket_index = None
+        self._sig_rows = self._rows_ext = None
 
     # ------------------------------------------------------------------
     # introspection / persistence

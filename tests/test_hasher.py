@@ -132,3 +132,25 @@ def test_hash_signatures_normalizes_bytearray():
     assert sig[0] == b"\x01\x02"
     assert list(sig) == [b"\x01\x02", b"\xff"]
     assert len(sig) == 2
+
+
+def test_dense_wire_roundtrip():
+    """dense wire bytes -> device words == direct word hashing, any r."""
+    import jax.numpy as jnp
+
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.ops.bitpack import dense_to_words
+
+    rng = np.random.default_rng(5)
+    for bands, rows in ((16, 16), (4, 8), (3, 40), (2, 64)):
+        h = LSHHasher(num_bands=bands, rows_per_band=rows, dim=24, seed=1)
+        X = rng.standard_normal((33, 24)).astype(np.float32)
+        dense = h.hash_batch_dense_host(X)
+        assert dense.dtype == np.uint8
+        assert dense.shape == (33, bands * (-(-rows // 8)))
+        words = dense_to_words(
+            jnp.asarray(dense), num_bands=bands, rows_per_band=rows
+        )
+        np.testing.assert_array_equal(
+            np.asarray(words), h.hash_batch_words_host(X)
+        )

@@ -99,7 +99,7 @@ def test_save_load_preserves_capabilities(tmp_path, rng):
     lsh = LSHRS(
         dim=16, num_perm=8, num_bands=2, rows_per_band=4,
         backend="device", chunk_size=128, initial_capacity=128,
-        enable_hamming=True, group_size=64, dedupe=False,
+        enable_hamming=True, group_size=16, dedupe=False,
         query_mode="bucket", bucket_cap=64,
     )
     X = rng.standard_normal((30, 16)).astype(np.float32)
@@ -112,7 +112,7 @@ def test_save_load_preserves_capabilities(tmp_path, rng):
     assert store.enable_hamming and store._planes is not None
     assert store.query_mode == "bucket"
     assert store.bucket_cap == 64
-    assert store.group == 64
+    assert store.group == 16
     assert store.dedupe is False and store._slot_of is None
     # a Hamming query works after restore, with identical results
     assert back.query_hamming(X[7], top_k=3) == ham_before
