@@ -34,9 +34,19 @@ def main() -> None:
                     help="query engine: full scan or sorted-bucket search")
     ap.add_argument("--parquet", action="store_true",
                     help="stream via a Parquet file (exercises create_signatures)")
+    ap.add_argument("--hash-mode", choices=["device", "host"], default="host",
+                    help="hash on device (ships raw vectors) or host (ships "
+                    "64B packed words; wins when the link is the bottleneck)")
     args = ap.parse_args()
 
     import jax
+
+    try:  # reuse compiled kernels across runs (first compile is minutes
+        # through the remote helper; cached runs start in seconds)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lshrs_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from lshrs_tpu import LSHRS
 
@@ -51,6 +61,7 @@ def main() -> None:
         query_mode=args.mode if args.mode != "hamming" else "scan",
         bucket_cap=args.bucket_cap,
         enable_hamming=args.mode == "hamming",
+        dedupe=False,  # streaming build of known-unique ids
     )
     lsh = LSHRS(
         dim=args.dim,
@@ -59,6 +70,7 @@ def main() -> None:
         rows_per_band=args.num_perm // 16,
         storage=store0,
         buffer_size=args.batch * 16,
+        hash_mode=args.hash_mode,
     )
     # direct store handle for the serving fast path
     store = lsh._storage
@@ -90,39 +102,56 @@ def main() -> None:
         lsh.create_signatures(format="parquet", source=path, batch_size=args.batch)
         build_s = time.perf_counter() - t0
     else:
-        t0 = time.perf_counter()
+        # Pre-generate outside the timed region (standard_normal at this
+        # size costs multiple seconds per batch on a 1-core host and is
+        # not part of the ingest path being measured).
+        batches = []
         for start in range(0, args.n, args.batch):
             m = min(args.batch, args.n - start)
-            vecs = rng.standard_normal((m, args.dim)).astype(np.float32)
-            lsh.index(list(range(start, start + m)), vecs)
+            batches.append(
+                (
+                    np.arange(start, start + m, dtype=np.int64),
+                    rng.standard_normal((m, args.dim)).astype(np.float32),
+                )
+            )
+        t0 = time.perf_counter()
+        for ids_b, vecs in batches:
+            lsh.index(ids_b, vecs)
+        # completion barrier: a readback ordered after every append
+        # (block_until_ready alone is unreliable over the tunnel)
+        _ = np.asarray(store._ids[:8])
         build_s = time.perf_counter() - t0
+        del batches
     alive = lsh.stats()["index"]["alive"]
     build_rate = alive / build_s
 
     # ---- query ------------------------------------------------------------
+    # Same three-stage serving pipeline as bench.py: hasher thread ->
+    # single-dispatch compiled query -> reader thread.
+    from concurrent.futures import ThreadPoolExecutor
+
     n_batches = 8
     raw = [
         rng.standard_normal((args.query_batch, args.dim)).astype(np.float32)
-        for _ in range(n_batches + 1)
+        for _ in range(n_batches)
     ]
+    serve = store.snapshot_query_fn(
+        10, wire="dense", mode="hamming" if args.mode == "hamming" else "collision"
+    )
+    _ = np.asarray(serve(hasher.hash_batch_dense_host(raw[0])))
 
-    if args.mode == "hamming":
-        def submit(qnp):
-            return store.query_hamming_ids(hasher.hash_batch_words_host(qnp), 10)
-    else:
-        def submit(qnp):
-            return store.query_topk_ids(hasher.hash_batch_words_host(qnp), 10)
+    def trial() -> float:
+        hp = ThreadPoolExecutor(max_workers=1)
+        rp = ThreadPoolExecutor(max_workers=1)
+        t0 = time.perf_counter()
+        hashed = [hp.submit(hasher.hash_batch_dense_host, q) for q in raw]
+        reads = [rp.submit(np.asarray, serve(f.result())) for f in hashed]
+        _ = [f.result() for f in reads]
+        dt = time.perf_counter() - t0
+        hp.shutdown(); rp.shutdown()
+        return dt
 
-    _ = np.asarray(submit(raw[0]))
-    t0 = time.perf_counter()
-    inflight = []
-    for qnp in raw[1:]:
-        inflight.append(submit(qnp))
-        if len(inflight) >= 3:
-            _ = np.asarray(inflight.pop(0))
-    while inflight:
-        _ = np.asarray(inflight.pop(0))
-    elapsed = time.perf_counter() - t0
+    elapsed = min(trial() for _ in range(2))
     qps = n_batches * args.query_batch / elapsed
 
     stats = lsh.stats()["index"]
@@ -131,6 +160,7 @@ def main() -> None:
         "dim": args.dim,
         "via": "parquet" if args.parquet else "arrays",
         "mode": args.mode,
+        "hash_mode": args.hash_mode,
         "build_s": round(build_s, 2),
         "build_vectors_per_s": round(build_rate, 1),
         "query_qps": round(qps, 1),

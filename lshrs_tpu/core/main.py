@@ -85,6 +85,11 @@ class LSHRS:
             signature SimHash ranking on the MXU) is available.
         group_size / dedupe / query_mode / bucket_cap: device store
             engine knobs, see `lshrs_tpu.storage.device.DeviceStore`.
+        hash_mode: where this instance hashes — ``"device"`` (one MXU
+            matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
+            ships 64-byte packed signatures; wins when the host->device
+            link is the ingest bottleneck). One path per instance, so
+            stored and query signatures always agree bit-for-bit.
     """
 
     def __init__(
@@ -112,10 +117,11 @@ class LSHRS:
         chunk_size: int = 2048,
         shards: Optional[int] = None,
         enable_hamming: bool = False,
-        group_size: int = 32,
+        group_size: int = 64,
         dedupe: bool = True,
         query_mode: str = "scan",
         bucket_cap: int = 128,
+        hash_mode: str = "device",
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -123,6 +129,8 @@ class LSHRS:
             raise ValueError("num_perm must be greater than zero")
         if buffer_size <= 0:
             raise ValueError("buffer_size must be greater than zero")
+        if hash_mode not in ("device", "host"):
+            raise ValueError("hash_mode must be 'device' or 'host'")
 
         if num_bands is None or rows_per_band is None:
             num_bands, rows_per_band = get_optimal_config(num_perm, similarity_threshold)
@@ -135,6 +143,12 @@ class LSHRS:
         self._dim = dim
         self._buffer_size = buffer_size
         self._vector_fetch_fn = vector_fetch_fn
+        # One hash path per instance: stored and query signatures always
+        # come from the same matmul implementation, so they agree
+        # bit-for-bit. "host" hashes on CPU and ships 64-byte packed words
+        # instead of raw vectors — the right choice when the host->device
+        # link, not the MXU, is the ingest bottleneck.
+        self._hash_on_device = hash_mode == "device"
 
         self._hasher = LSHHasher(
             num_bands=num_bands, rows_per_band=rows_per_band, dim=dim, seed=seed
@@ -233,6 +247,7 @@ class LSHRS:
             "dedupe": dedupe,
             "query_mode": query_mode,
             "bucket_cap": bucket_cap,
+            "hash_mode": hash_mode,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -309,7 +324,7 @@ class LSHRS:
             raise ValueError("index must be non-negative")
         vec = self._prepare_vector(vector)
         if self._device_mode:
-            words = self._hasher.hash_batch_words(vec[None, :])  # stays on device
+            words = self._hash_for_ingest(vec[None, :])  # stays on device
             record = (
                 np.asarray([index], dtype=np.int64),
                 words,
@@ -347,8 +362,8 @@ class LSHRS:
                 "Number of vectors does not match number of indices "
                 f"(received {arr.shape[0]} vectors for {len(indices)} indices)"
             )
-        idx_list = [int(i) for i in indices]
-        if any(i < 0 for i in idx_list):
+        idx_arr = np.asarray(indices, dtype=np.int64).reshape(-1)
+        if idx_arr.size and int(idx_arr.min()) < 0:
             raise ValueError("index must be non-negative")
         zero_rows = np.all(np.abs(arr) <= 1e-8, axis=1)
         if zero_rows.any():
@@ -357,9 +372,9 @@ class LSHRS:
             )
 
         if self._device_mode:
-            words = self._hasher.hash_batch_words(arr)  # stays on device
+            words = self._hash_for_ingest(arr)  # stays on device
             record = (
-                np.asarray(idx_list, dtype=np.int64),
+                idx_arr,
                 words,
                 arr if self._store_vectors else None,
             )
@@ -367,12 +382,13 @@ class LSHRS:
                 self._buffer.append(record)
         else:
             words = self._hasher.hash_batch_words_host(arr)
+            idx_list = idx_arr.tolist()
             with self._buffer_lock:
                 for j, idx in enumerate(idx_list):
                     sig = self._hasher.words_to_signature(words[j])
                     for band_id, band in enumerate(sig):
                         self._buffer.append((band_id, band, idx))
-        self._count("vectors_ingested", len(idx_list))
+        self._count("vectors_ingested", idx_arr.size)
         self.flush()
 
     def flush(self) -> None:
@@ -466,7 +482,7 @@ class LSHRS:
             and top_k is not None
             and top_k > 0
         ):
-            qwords = self._hasher.hash_batch_words(query_vector[None, :])
+            qwords = self._hash_words(query_vector[None, :])
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
 
@@ -526,7 +542,7 @@ class LSHRS:
             )
         if self._device_mode:
             self._count("queries_served", arr.shape[0])
-            qwords = self._hasher.hash_batch_words(arr)
+            qwords = self._hash_words(arr)
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [
                 [int(i) for i, c in zip(row_ids, row_counts) if c > 0]
@@ -552,7 +568,7 @@ class LSHRS:
             raise ValueError("top_k must be greater than zero when provided")
         query_vector = self._prepare_vector(vector)
         self._count("queries_served")
-        qwords = self._hasher.hash_batch_words(query_vector[None, :])
+        qwords = self._hash_words(query_vector[None, :])
         hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
         num_perm = self._config["num_perm"]
         return [
@@ -560,6 +576,63 @@ class LSHRS:
             for i, h in zip(ids[0], hamming[0])
             if i >= 0
         ]
+
+    def get_above_p_batch(
+        self,
+        vectors: np.ndarray,
+        p: float = 0.95,
+        *,
+        top_k: Optional[int] = None,
+        max_candidates: int = 4096,
+    ) -> list[CandidateScores]:
+        """Batched cosine-reranked top-p (device fused path).
+
+        One device dispatch reranks the whole batch against the resident
+        payload (requires ``store_vectors=True`` on the device backend);
+        other configurations fall back to per-query :meth:`query`. Each
+        query returns its top ``max(1, ceil(p * n_candidates))`` scored
+        results (capped by ``top_k`` and ``max_candidates``).
+        """
+        if not 0 < p <= 1:
+            raise ValueError("top_p must be within the range (0, 1]")
+        if top_k is not None and top_k <= 0:
+            raise ValueError("top_k must be greater than zero when provided")
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self._dim:
+            raise ValueError(
+                f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
+            )
+        fused = (
+            self._device_mode
+            and self._store_vectors
+            and self._vector_fetch_fn is None
+            and hasattr(self._storage, "query_topp_batch")
+        )
+        if not fused:
+            return [self.query(v, top_k=top_k, top_p=p) for v in arr]  # type: ignore[misc]
+        self._count("queries_served", arr.shape[0])
+        qwords = self._hash_words(arr)
+        ids, sims, n = self._storage.query_topp_batch(  # type: ignore[attr-defined]
+            qwords, arr, max_candidates
+        )
+        results: list[CandidateScores] = []
+        for qi in range(arr.shape[0]):
+            n_q = int(n[qi])
+            if n_q == 0:
+                results.append([])
+                continue
+            limit = max(1, math.ceil(n_q * p))
+            if top_k is not None:
+                limit = min(limit, top_k)
+            limit = min(limit, ids.shape[1])
+            results.append(
+                [
+                    (int(i), float(s))
+                    for i, s in zip(ids[qi, :limit], sims[qi, :limit])
+                    if i >= 0
+                ]
+            )
+        return results
 
     def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
         """Top ``topk`` candidate ids by band-collision count."""
@@ -577,7 +650,7 @@ class LSHRS:
         self, query_vector: np.ndarray, top_k: Optional[int], top_p: float
     ) -> Optional[CandidateScores]:
         """Fused top-p on the device store; None -> caller falls back."""
-        qwords = self._hasher.hash_batch_words(query_vector[None, :])
+        qwords = self._hash_words(query_vector[None, :])
         ids, sims, n = self._storage.query_topp(  # type: ignore[attr-defined]
             qwords, query_vector, self._MAX_DEVICE_RERANK
         )
@@ -597,7 +670,7 @@ class LSHRS:
     def _ordered_candidates(self, query_vector: np.ndarray) -> list[tuple[int, int]]:
         """All colliding candidates ordered by ``(-count, id)``."""
         if self._device_mode:
-            qwords = self._hasher.hash_batch_words(query_vector[None, :])
+            qwords = self._hash_words(query_vector[None, :])
             counts, ids = self._storage.query_counts(qwords)  # type: ignore[attr-defined]
             counts, ids = counts[0], ids
             hit = counts > 0
@@ -797,6 +870,7 @@ class LSHRS:
             "dedupe": tpu_config.get("dedupe", True),
             "query_mode": tpu_config.get("query_mode", "scan"),
             "bucket_cap": tpu_config.get("bucket_cap", 128),
+            "hash_mode": tpu_config.get("hash_mode", "device"),
         }
 
     # ------------------------------------------------------------------
@@ -849,6 +923,19 @@ class LSHRS:
     # ------------------------------------------------------------------
     # helpers
     # ------------------------------------------------------------------
+
+    def _hash_words(self, arr: np.ndarray):
+        """Batch-hash through this instance's single hash path."""
+        if self._hash_on_device:
+            return self._hasher.hash_batch_words(arr)
+        return self._hasher.hash_batch_words_host(arr)
+
+    def _hash_for_ingest(self, arr: np.ndarray):
+        """Ingest-path hashing: host mode ships the dense wire encoding
+        (half the bytes over the host->device link; the store decodes)."""
+        if self._hash_on_device:
+            return self._hasher.hash_batch_words(arr)
+        return self._hasher.hash_batch_dense_host(arr)
 
     def _prepare_vector(self, vector: np.ndarray) -> np.ndarray:
         arr = np.asarray(vector, dtype=np.float32).reshape(-1)

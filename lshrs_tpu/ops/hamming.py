@@ -84,6 +84,7 @@ def hamming_topk_core(
     use_pallas: bool = False,
     q_tile: int = 128,
     interpret: bool = False,
+    sig_rows: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k by (hamming asc, id asc), grouped MXU path.
 
@@ -93,6 +94,10 @@ def hamming_topk_core(
         ids / tie: slot ids (-1 dead) and global tie keys.
         qbits / qwords: ``(Q, P)`` int8 and ``(Q, BW)`` uint32 queries.
         chunk / group: scan tile and group width (group | chunk | C).
+        sig_rows: optional ``(C, BW + 2)`` row-major refine table
+            (words | tie | id, see `lshrs_tpu.ops.scan`); refinement then
+            gathers one contiguous row per candidate instead of minor-axis
+            elements.
 
     Returns:
         ``(hamming (Q, k), out_ids (Q, k))``; empty tail entries carry
@@ -156,23 +161,36 @@ def hamming_topk_core(
 
     # Refine from packed words: hamming = sum popcount(xor) over BW words.
     bw = sig_t.shape[0]
-    cand_words = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, m * group)
-    hamming = None
-    for wi in range(bw):
-        pc = jax.lax.population_count(cand_words[wi] ^ qwords[:, wi][:, None])
-        hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
-    cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, m * group)
+    mg = m * group
+    if sig_rows is not None:
+        rows = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(q, mg, bw + 2)
+        hamming = None
+        for wi in range(bw):
+            pc = jax.lax.population_count(rows[:, :, wi] ^ qwords[:, wi][:, None])
+            hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
+        cand_tie = jax.lax.bitcast_convert_type(rows[:, :, bw], jnp.int32)
+        cand_ids = jax.lax.bitcast_convert_type(rows[:, :, bw + 1], jnp.int32)
+    else:
+        cand_words = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
+        hamming = None
+        for wi in range(bw):
+            pc = jax.lax.population_count(cand_words[wi] ^ qwords[:, wi][:, None])
+            hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
+        cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, mg)
+        cand_ids = None
     alive = cand_tie >= 0
     scaled = jnp.where(alive, p + 1 - hamming, 0)
     key = scaled * scale + jnp.maximum(cand_tie, 0)
 
-    k_eff = min(k, m * group)
+    k_eff = min(k, mg)
     top_key, top_pos = jax.lax.top_k(key, k_eff)
     sel_scaled = top_key // scale
-    sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
-    sel_ids = jnp.where(
-        sel_scaled > 0, jnp.take(ids, sel_slots.reshape(-1)).reshape(q, k_eff), -1
-    )
+    if cand_ids is not None:
+        picked = jnp.take_along_axis(cand_ids, top_pos, axis=1)
+    else:
+        sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
+        picked = jnp.take(ids, sel_slots.reshape(-1)).reshape(q, k_eff)
+    sel_ids = jnp.where(sel_scaled > 0, picked, -1)
     out_h = jnp.where(sel_scaled > 0, p + 1 - sel_scaled, p + 1)
     if k_eff < k:
         out_h = jnp.pad(out_h, ((0, 0), (0, k - k_eff)), constant_values=p + 1)

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rerank_topp_core", "rerank_topp"]
+__all__ = [
+    "rerank_topp_core",
+    "rerank_topp",
+    "rerank_topp_batch_core",
+    "rerank_topp_batch",
+]
 
 # Host-side constant: module import must not touch the device backend.
 _INT32_MAX = np.int32(2**31 - 1)
@@ -67,3 +72,47 @@ def rerank_topp_core(
 
 
 rerank_topp = partial(jax.jit, static_argnames=("max_out",))(rerank_topp_core)
+
+
+def rerank_topp_batch_core(
+    payload: jax.Array,
+    pnorm: jax.Array,
+    ids: jax.Array,
+    counts: jax.Array,
+    qvecs: jax.Array,
+    *,
+    max_out: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched :func:`rerank_topp_core`: one MXU matmul for all queries.
+
+    Args:
+        counts: ``(Q, C)`` int32 per-query collision counts.
+        qvecs: ``(Q, dim)`` float32 queries.
+
+    Returns:
+        ``(ids (Q, max_out), sims (Q, max_out), n (Q,))`` per query,
+        ordered by (cosine desc, id asc).
+    """
+    dots = jnp.dot(qvecs, payload.T, preferred_element_type=jnp.float32)  # (Q, C)
+    qn = jnp.sqrt(jnp.sum(qvecs * qvecs, axis=1, keepdims=True))
+    denom = jnp.maximum(pnorm[None, :] * qn, 1e-30)
+    sims = dots / denom
+    mask = (counts > 0) & (ids >= 0)[None, :]
+    n = mask.sum(axis=1)
+    neg = jnp.where(mask, -sims, jnp.inf)
+    q = qvecs.shape[0]
+    ids_b = jnp.broadcast_to(ids[None, :], mask.shape)
+    tie = jnp.where(mask, ids_b, _INT32_MAX)
+    _, _, sorted_sims, sorted_ids = jax.lax.sort(
+        (neg, tie, sims, ids_b), num_keys=2
+    )
+    out = min(max_out, sorted_ids.shape[1])
+    out_ids = jnp.where(
+        jnp.arange(out)[None, :] < n[:, None], sorted_ids[:, :out], -1
+    )
+    return out_ids, sorted_sims[:, :out], n
+
+
+rerank_topp_batch = partial(jax.jit, static_argnames=("max_out",))(
+    rerank_topp_batch_core
+)

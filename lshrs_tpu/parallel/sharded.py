@@ -194,6 +194,7 @@ class ShardedDeviceStore(DeviceStore):
             self.axis,
             self._planes,
             self._sig_t,
+            self._refine_rows(),
             self._ids,
             self._ranks,
             self._tie,
@@ -297,14 +298,15 @@ def _sharded_topk(
     static_argnames=("mesh", "axis", "num_perm", "k", "chunk", "grouped", "group"),
 )
 def _sharded_hamming(
-    mesh, axis, planes, sig_t, ids, ranks, tie, qbits, qwords,
+    mesh, axis, planes, sig_t, rows, ids, ranks, tie, qbits, qwords,
     *, num_perm, k, chunk, grouped, group,
 ):
-    def local(planes_l, sig_l, ids_l, ranks_l, tie_l, qb, qw):
+    def local(planes_l, sig_l, rows_l, ids_l, ranks_l, tie_l, qb, qw):
         if grouped:
             hamming, out_ids = hamming_topk_core(
                 planes_l, sig_l, ids_l, tie_l, qb, qw,
                 k=k, chunk=chunk, group=group,
+                sig_rows=rows_l,
             )
         else:
             hamming, out_ids = hamming_topk_chunked_core(
@@ -324,11 +326,12 @@ def _sharded_hamming(
         local,
         mesh=mesh,
         in_specs=(
-            P(axis, None), P(None, axis), P(axis), P(axis), P(axis), P(), P(),
+            P(axis, None), P(None, axis), P(axis, None),
+            P(axis), P(axis), P(axis), P(), P(),
         ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(planes, sig_t, ids, ranks, tie, qbits, qwords)
+    )(planes, sig_t, rows, ids, ranks, tie, qbits, qwords)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))

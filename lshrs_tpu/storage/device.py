@@ -44,15 +44,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lshrs_tpu.ops.bitpack import band_bytes_to_words, words_per_band
+from lshrs_tpu.ops.bitpack import (
+    band_bytes_to_words,
+    bytes_per_band,
+    dense_to_words,
+    words_per_band,
+)
 from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
 from lshrs_tpu.ops.hamming import (
     hamming_topk,
     hamming_topk_chunked,
+    hamming_topk_chunked_core,
+    hamming_topk_core,
     supports_hamming_grouped,
     unpack_bitplanes,
 )
-from lshrs_tpu.ops.rerank import rerank_topp
+from lshrs_tpu.ops.rerank import rerank_topp, rerank_topp_batch_core
 from lshrs_tpu.ops.scan import (
     collision_counts,
     collision_topk,
@@ -115,6 +122,16 @@ def _band_bucket_jit(band_words_t, ids, q_band, *, w):
     for j in range(w):
         match &= band_words_t[j, :] == q_band[j]
     return match & (ids >= 0)
+
+
+@partial(jax.jit, static_argnames=("num_bands", "chunk", "max_out"))
+def _topp_batch_jit(
+    sig_t, ids, payload, pnorm, qw, qv, *, num_bands, chunk, max_out
+):
+    from lshrs_tpu.ops.scan import collision_counts_core
+
+    counts = collision_counts_core(sig_t, ids, qw, num_bands=num_bands, chunk=chunk)
+    return rerank_topp_batch_core(payload, pnorm, ids, counts, qv, max_out=max_out)
 
 
 class DeviceStore(BaseStorage):
@@ -190,6 +207,9 @@ class DeviceStore(BaseStorage):
         self._size = 0  # high-water mark of used slots (including tombstones)
         self._tombstones = 0
         self._slot_of: dict[int, int] | None = {} if dedupe else None
+        # Bumped on every mutation; snapshot_query_fn closures check it
+        # (appends donate the state buffers, so captured arrays die).
+        self._generation = 0
         # Re-entrant: compact() holds it across snapshot + clear + reload,
         # which re-enter add_signature_batch.
         self._lock = threading.RLock()
@@ -249,6 +269,7 @@ class DeviceStore(BaseStorage):
         self._tie = compute_global_tie(self._ids)
         self._bucket_index = None  # any mutation invalidates the index
         self._rows_ext = None
+        self._generation += 1
 
     def _refine_rows(self) -> jax.Array:
         """Lazily built ``(C, BW + 2)`` refine table: words | tie | id."""
@@ -278,7 +299,10 @@ class DeviceStore(BaseStorage):
         Args:
             indices: integer ids, each in ``[0, 2**31)``.
             words: ``(n, num_bands * W)`` uint32 signature words (host or
-                device array; device arrays stay on device).
+                device array; device arrays stay on device), or the dense
+                uint8 wire encoding ``(n, num_bands * ceil(r/8))`` from
+                `LSHHasher.hash_batch_dense_host` — half the transfer
+                bytes for ``rows_per_band <= 16``; decoded on device.
             vectors: ``(n, dim)`` float32 payload rows, required when
                 ``store_vectors``.
         """
@@ -288,6 +312,18 @@ class DeviceStore(BaseStorage):
         if ids_np.min() < 0 or ids_np.max() > _MAX_ID:
             raise ValueError("indices must be in [0, 2**31) for the device store")
         n = ids_np.size
+        if getattr(words, "dtype", None) == np.uint8:
+            nb = self.num_bands * bytes_per_band(self.rows_per_band)
+            if tuple(words.shape) != (n, nb):
+                raise ValueError(
+                    f"dense signatures must have shape ({n}, {nb}); "
+                    f"received {tuple(words.shape)}"
+                )
+            words = dense_to_words(
+                jnp.asarray(words),
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+            )
         if tuple(words.shape) != (n, self.words):
             raise ValueError(
                 f"signature words must have shape ({n}, {self.words}); "
@@ -318,14 +354,15 @@ class DeviceStore(BaseStorage):
                     ids32, words = ids32[keep], words[keep]
                     if vectors is not None:
                         vectors = vectors[keep]
+                id_list = ids32.tolist()
                 existing_mask = np.fromiter(
-                    (int(i) in self._slot_of for i in ids32),
+                    (i in self._slot_of for i in id_list),
                     dtype=bool,
                     count=ids32.size,
                 )
                 if existing_mask.any():
                     slots = np.fromiter(
-                        (self._slot_of[int(i)] for i in ids32[existing_mask]),
+                        (self._slot_of[i] for i in ids32[existing_mask].tolist()),
                         dtype=np.int32,
                         count=int(existing_mask.sum()),
                     )
@@ -350,7 +387,8 @@ class DeviceStore(BaseStorage):
         if np.unique(ids32).size != ids32.size:
             return True
         slot_of = self._slot_of
-        return any(int(i) in slot_of for i in ids32)
+        id_list = ids32.tolist()  # one C-level conversion, not per-element
+        return any(i in slot_of for i in id_list)
 
     def _overwrite(self, slots: np.ndarray, words_np: np.ndarray, vectors) -> None:
         pad = _next_pow2(slots.size)
@@ -365,6 +403,7 @@ class DeviceStore(BaseStorage):
             self._sig_rows, jnp.asarray(slots_p), jnp.asarray(words_p)
         )
         self._rows_ext = None
+        self._generation += 1
         if self._payload is not None and vectors is not None:
             rows_p = np.zeros((pad, self.dim), dtype=np.float32)
             rows_p[: slots.size] = vectors
@@ -418,8 +457,7 @@ class DeviceStore(BaseStorage):
             self._planes = _append_rows_jit(self._planes, planes_rows, offset)
         if self._slot_of is not None:
             base = self._size
-            for j, i in enumerate(ids32):
-                self._slot_of[int(i)] = base + j
+            self._slot_of.update(zip(ids32.tolist(), range(base, base + n)))
         self._size += n
         self._refresh_ranks()
 
@@ -531,15 +569,23 @@ class DeviceStore(BaseStorage):
             _, ids = self._query_topk_dev(qw, k)
         return ids
 
-    def snapshot_query_fn(self, k: int, *, wire: str = "words", dev_batch: int | None = None):
+    def snapshot_query_fn(
+        self,
+        k: int,
+        *,
+        wire: str = "words",
+        dev_batch: int | None = None,
+        mode: str = "collision",
+    ):
         """Compiled single-dispatch serving closure over the CURRENT contents.
 
         For remote-attached devices every un-fused op costs a transport
         round trip, so the serving hot loop wants exactly one dispatch per
         query batch. The returned callable closes over the current state
-        arrays (later mutations are NOT visible — take a new snapshot after
-        ingesting) and fuses wire decode + scan + exact top-k + id select
-        into one jitted program.
+        arrays and fuses wire decode + scan + exact top-k + id select into
+        one jitted program. Mutating the store invalidates the snapshot
+        (appends donate the underlying buffers); a stale closure raises
+        RuntimeError — take a new snapshot after ingesting.
 
         Args:
             k: result depth.
@@ -550,16 +596,27 @@ class DeviceStore(BaseStorage):
             dev_batch: optionally split the batch into this many-query
                 slices inside the program (bounds the scan working set for
                 very large batches).
+            mode: ``"collision"`` (band-collision counting) or
+                ``"hamming"`` (full-signature MXU ranking; requires
+                ``enable_hamming=True``).
 
         Returns:
             callable ``(signatures) -> (Q, k) int32 device array of ids``.
         """
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
+        if mode not in ("collision", "hamming"):
+            raise ValueError("mode must be 'collision' or 'hamming'")
+        if mode == "hamming" and self._planes is None:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for Hamming-mode queries"
+            )
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
             sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
+            planes = self._planes
             rows = self._refine_rows() if self._use_grouped() else None
             grouped, use_pallas = self._use_grouped(), self._use_pallas()
             group = min(self.group, self._capacity)
@@ -568,39 +625,80 @@ class DeviceStore(BaseStorage):
             num_bands, rows_per_band, chunk = (
                 self.num_bands, self.rows_per_band, self.chunk,
             )
+            num_perm = num_bands * rows_per_band
+            ham_grouped = (
+                supports_hamming_grouped(num_perm, self._capacity)
+                and self._capacity % group == 0
+            )
+            ham_tile = group * 128
+            ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
 
         from lshrs_tpu.ops.bitpack import dense_to_words
 
-        def run_slice(qw):
+        snapshot_gen = self._generation
+        # State rides as jit ARGUMENTS, not captured constants: captured
+        # arrays are embedded in the program (and shipped to remote compile
+        # services), which blows up for multi-hundred-MB stores.
+        state = (sig_t, ids, tie, ranks, rows, planes)
+
+        def run_slice(qw, st):
+            sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
+            if mode == "hamming":
+                qbits = unpack_bitplanes(
+                    qw, num_bands=num_bands, rows_per_band=rows_per_band
+                )
+                if ham_grouped:
+                    _, out = hamming_topk_core(
+                        planes_, sig_t_, ids_, tie_, qbits, qw,
+                        k=k_eff,
+                        chunk=ham_tile if ham_pallas else chunk,
+                        group=group,
+                        use_pallas=ham_pallas,
+                        q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+                        sig_rows=rows_,
+                    )
+                else:
+                    _, out = hamming_topk_chunked_core(
+                        planes_, ids_, ranks_, qbits, k=k_eff, chunk=chunk
+                    )
+                return out
             if grouped:
                 _, out = collision_topk_grouped_core(
-                    sig_t, ids, tie, qw,
+                    sig_t_, ids_, tie_, qw,
                     num_bands=num_bands, k=k_eff, group=group,
                     pallas_chunk=pallas_chunk,
                     q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
-                    use_pallas=use_pallas, sig_rows=rows,
+                    use_pallas=use_pallas, sig_rows=rows_,
                 )
             else:
                 _, out = collision_topk_core(
-                    sig_t, ids, ranks, qw,
+                    sig_t_, ids_, ranks_, qw,
                     num_bands=num_bands, k=k_eff, chunk=chunk,
                 )
             return out
 
         @jax.jit
-        def serve(q):
+        def _serve(q, st):
             if wire == "dense":
                 q = dense_to_words(
                     q, num_bands=num_bands, rows_per_band=rows_per_band
                 )
             n = q.shape[0]
             if dev_batch is None or n <= dev_batch:
-                return run_slice(q)
+                return run_slice(q, st)
             outs = [
-                run_slice(jax.lax.slice_in_dim(q, i, i + dev_batch))
+                run_slice(jax.lax.slice_in_dim(q, i, min(i + dev_batch, n)), st)
                 for i in range(0, n, dev_batch)
             ]
             return jnp.concatenate(outs)
+
+        def serve(q):
+            if self._generation != snapshot_gen:
+                raise RuntimeError(
+                    "snapshot_query_fn is stale: the store was mutated after "
+                    "the snapshot was taken; call snapshot_query_fn again"
+                )
+            return _serve(q, state)
 
         return serve
 
@@ -647,6 +745,7 @@ class DeviceStore(BaseStorage):
                 group=group,
                 use_pallas=use_pallas,
                 q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+                sig_rows=self._refine_rows(),
             )
         return hamming_topk_chunked(
             self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
@@ -721,6 +820,40 @@ class DeviceStore(BaseStorage):
                 max_out=out,
             )
         return np.asarray(ids), np.asarray(sims), int(n)
+
+    def query_topp_batch(
+        self, qwords, qvecs: np.ndarray, max_out: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched fused top-p rerank (one device dispatch for the batch).
+
+        Requires ``store_vectors``. Returns ``(ids (Q, max_out),
+        sims (Q, max_out), n (Q,))`` ordered by (cosine desc, id asc);
+        ``n[i]`` is query i's total colliding-candidate count.
+        """
+        if self._payload is None:
+            raise RuntimeError("store_vectors=False: no resident payload to rerank")
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        q = qw.shape[0]
+        if self._size == 0:
+            return (
+                np.full((q, max_out), -1, np.int32),
+                np.zeros((q, max_out), np.float32),
+                np.zeros((q,), np.int32),
+            )
+        with self._lock:
+            out = max(1, min(max_out, self._capacity))
+            ids, sims, n = _topp_batch_jit(
+                self._sig_t,
+                self._ids,
+                self._payload,
+                self._pnorm,
+                qw,
+                jnp.asarray(qvecs, dtype=jnp.float32),
+                num_bands=self.num_bands,
+                chunk=self.chunk,
+                max_out=out,
+            )
+        return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
         """Fetch resident payload rows by id (requires ``store_vectors``)."""
@@ -817,6 +950,7 @@ class DeviceStore(BaseStorage):
             self._tie = compute_global_tie(self._ids)
             self._rows_ext = None
             self._bucket_index = None
+            self._generation += 1
 
     def compact(self) -> int:
         """Reclaim tombstoned slots by rebuilding the dense prefix.
@@ -840,6 +974,7 @@ class DeviceStore(BaseStorage):
             self._alloc(self._capacity)
             self._size = 0
             self._tombstones = 0
+            self._generation += 1
             if self._slot_of is not None:
                 self._slot_of.clear()
             self._pending_ops.clear()

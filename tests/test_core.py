@@ -380,3 +380,37 @@ def test_different_seed_diverges(make_device_lsh, rng):
     a.index(list(range(200)), X)
     b.index(list(range(200)), X)
     assert a.query(q, top_k=None) != b.query(q, top_k=None)
+
+
+def test_hash_mode_host_device_backend(rng):
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=24, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        hash_mode="host",
+    )
+    X = rng.standard_normal((50, 24)).astype(np.float32)
+    lsh.index(list(range(50)), X)
+    assert lsh.get_top_k(X[7], topk=1) == [7]
+    assert lsh.query_batch(X[:3], top_k=1) == [[0], [1], [2]]
+    assert lsh._tpu_config["hash_mode"] == "host"
+
+    with pytest.raises(ValueError, match="hash_mode"):
+        LSHRS(dim=8, num_perm=4, num_bands=2, rows_per_band=2, hash_mode="gpu")
+
+
+def test_hash_mode_roundtrips_via_persistence(tmp_path, rng):
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=16, num_perm=8, num_bands=2, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        hash_mode="host",
+    )
+    X = rng.standard_normal((20, 16)).astype(np.float32)
+    lsh.index(list(range(20)), X)
+    lsh.save_to_disk(tmp_path / "m")
+    back = LSHRS.load_from_disk(tmp_path / "m")
+    assert back._tpu_config["hash_mode"] == "host"
+    assert back.get_top_k(X[3], topk=1) == [3]

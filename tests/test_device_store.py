@@ -207,3 +207,50 @@ def test_compact_reclaims_tombstones(hasher, rng):
     assert ids[0][0] == 25 and counts[0][0] == B
     np.testing.assert_array_equal(store.get_vectors([25])[0], X[25])
     assert store.compact() == 0  # idempotent
+
+
+def test_snapshot_query_fn_matches_query_topk(rng):
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=32, seed=3)
+    store = DeviceStore(
+        num_bands=4, rows_per_band=8, chunk_size=128, initial_capacity=512,
+        enable_hamming=True,
+    )
+    X = rng.standard_normal((300, 32)).astype(np.float32)
+    ids = rng.permutation(10_000)[:300]
+    store.add_signature_batch(ids, h.hash_batch_words_host(X))
+
+    Q = rng.standard_normal((17, 32)).astype(np.float32)
+    qw = h.hash_batch_words_host(Q)
+    dense = h.hash_batch_dense_host(Q)
+    _, want = store.query_topk(qw, 7)
+
+    for kwargs, sig in (
+        (dict(wire="words"), qw),
+        (dict(wire="dense"), dense),
+        (dict(wire="dense", dev_batch=8), dense),
+    ):
+        got = np.asarray(store.snapshot_query_fn(7, **kwargs)(sig))
+        np.testing.assert_array_equal(got, want)
+
+    _, want_h = store.query_hamming(qw, 5)
+    got_h = np.asarray(
+        store.snapshot_query_fn(5, wire="dense", mode="hamming")(dense)
+    )
+    np.testing.assert_array_equal(got_h, want_h)
+
+    # mutating the store invalidates the snapshot (buffers are donated)
+    import pytest
+
+    fn = store.snapshot_query_fn(3, wire="words")
+    store.add_signature_batch([99_999], h.hash_batch_words_host(X[:1]))
+    with pytest.raises(RuntimeError, match="stale"):
+        fn(h.hash_batch_words_host(X[:1]))
+
+    with pytest.raises(ValueError, match="wire"):
+        store.snapshot_query_fn(3, wire="morse")
+    empty = DeviceStore(num_bands=4, rows_per_band=8, initial_capacity=128)
+    with pytest.raises(RuntimeError, match="non-empty"):
+        empty.snapshot_query_fn(3)

@@ -82,3 +82,47 @@ def test_fused_topp_empty_index():
         chunk_size=128, initial_capacity=128,
     )
     assert lsh.query(np.ones(16, np.float32), top_p=0.5) == []
+
+
+def test_get_above_p_batch_matches_single(make_device_lsh, rng):
+    lsh = make_device_lsh(dim=16, num_bands=2, rows_per_band=4, num_perm=8,
+                          store_vectors=True)
+    X = rng.standard_normal((60, 16)).astype(np.float32)
+    lsh.index(list(range(60)), X)
+    Q = X[:7] + 0.01 * rng.standard_normal((7, 16)).astype(np.float32)
+
+    batch = lsh.get_above_p_batch(Q, p=0.5)
+    for qi in range(7):
+        single = lsh.query(Q[qi], top_k=None, top_p=0.5)
+        assert [i for i, _ in batch[qi]] == [i for i, _ in single]
+        np.testing.assert_allclose(
+            [s for _, s in batch[qi]], [s for _, s in single], rtol=1e-5
+        )
+
+    # top_k cap applies per query
+    capped = lsh.get_above_p_batch(Q, p=1.0, top_k=3)
+    assert all(len(r) <= 3 for r in capped)
+
+
+def test_get_above_p_batch_fallback_bucket_backend(make_lsh, rng):
+    fetched = {}
+
+    def fetch(idx):
+        fetched["n"] = len(idx)
+        return base[np.asarray(idx)]
+
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    lsh = make_lsh(vector_fetch_fn=fetch)
+    lsh.index(list(range(30)), base)
+    out = lsh.get_above_p_batch(base[:3], p=1.0)
+    assert len(out) == 3
+    assert all(r[0][1] > 0.99 for r in out)  # self-match first, score ~1
+
+
+def test_get_above_p_batch_validation(make_device_lsh, rng):
+    lsh = make_device_lsh(dim=16, num_bands=2, rows_per_band=4, num_perm=8,
+                          store_vectors=True)
+    with pytest.raises(ValueError, match="top_p"):
+        lsh.get_above_p_batch(np.ones((2, 16), np.float32), p=1.5)
+    with pytest.raises(ValueError, match="shape"):
+        lsh.get_above_p_batch(np.ones((2, 8), np.float32), p=0.5)
