@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--num-perm", type=int, default=256)
     ap.add_argument("--batch", type=int, default=131_072)
     ap.add_argument("--query-batch", type=int, default=8192)
+    ap.add_argument("--n-batches", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=2)
     ap.add_argument("--bucket-cap", type=int, default=128)
     ap.add_argument("--mode", choices=["scan", "bucket", "hamming"], default="scan",
                     help="query engine: full scan or sorted-bucket search")
@@ -130,28 +132,38 @@ def main() -> None:
     # single-dispatch compiled query -> reader thread.
     from concurrent.futures import ThreadPoolExecutor
 
-    n_batches = 8
+    n_batches = args.n_batches
     raw = [
         rng.standard_normal((args.query_batch, args.dim)).astype(np.float32)
         for _ in range(n_batches)
     ]
-    serve = store.snapshot_query_fn(
-        10, wire="dense", mode="hamming" if args.mode == "hamming" else "collision"
-    )
-    _ = np.asarray(serve(hasher.hash_batch_dense_host(raw[0])))
+    if args.mode == "bucket":
+        # The bucketed engine is not part of the single-dispatch snapshot
+        # closure; drive it through the store's query_mode-aware path.
+        hash_fn = hasher.hash_batch_words_host
+
+        def serve(qw):
+            return store.query_topk_ids(qw, 10)
+    else:
+        hash_fn = hasher.hash_batch_dense_host
+        serve = store.snapshot_query_fn(
+            10, wire="dense",
+            mode="hamming" if args.mode == "hamming" else "collision",
+        )
+    _ = np.asarray(serve(hash_fn(raw[0])))
 
     def trial() -> float:
         hp = ThreadPoolExecutor(max_workers=1)
         rp = ThreadPoolExecutor(max_workers=1)
         t0 = time.perf_counter()
-        hashed = [hp.submit(hasher.hash_batch_dense_host, q) for q in raw]
+        hashed = [hp.submit(hash_fn, q) for q in raw]
         reads = [rp.submit(np.asarray, serve(f.result())) for f in hashed]
         _ = [f.result() for f in reads]
         dt = time.perf_counter() - t0
         hp.shutdown(); rp.shutdown()
         return dt
 
-    elapsed = min(trial() for _ in range(2))
+    elapsed = min(trial() for _ in range(args.trials))
     qps = n_batches * args.query_batch / elapsed
 
     stats = lsh.stats()["index"]

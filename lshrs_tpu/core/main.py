@@ -612,8 +612,11 @@ class LSHRS:
             return [self.query(v, top_k=top_k, top_p=p) for v in arr]  # type: ignore[misc]
         self._count("queries_served", arr.shape[0])
         qwords = self._hash_words(arr)
+        # The per-query cutoff is min(ceil(p*n), top_k), so top_k bounds
+        # how much of the ranking is ever consumed.
+        max_out = min(max_candidates, top_k) if top_k is not None else max_candidates
         ids, sims, n = self._storage.query_topp_batch(  # type: ignore[attr-defined]
-            qwords, arr, max_candidates
+            qwords, arr, max_out
         )
         results: list[CandidateScores] = []
         for qi in range(arr.shape[0]):

@@ -141,9 +141,13 @@ def hamming_topk_core(
         gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
 
     # Top-k groups by max contain every true top-k slot (keys distinct).
+    from lshrs_tpu.ops.scan import _hierarchical_top_groups
+
     ng = c // group
     m = min(k, ng)
-    _, top_groups = jax.lax.top_k(gmax, m)
+    top_groups = _hierarchical_top_groups(
+        gmax, m=m, ngc=chunk // group if use_pallas else None
+    )
     if use_pallas:
         # Pallas grouping is strided within each chunk (see pallas_scan).
         ngc = chunk // group

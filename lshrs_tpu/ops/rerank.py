@@ -99,14 +99,30 @@ def rerank_topp_batch_core(
     sims = dots / denom
     mask = (counts > 0) & (ids >= 0)[None, :]
     n = mask.sum(axis=1)
-    neg = jnp.where(mask, -sims, jnp.inf)
-    q = qvecs.shape[0]
-    ids_b = jnp.broadcast_to(ids[None, :], mask.shape)
-    tie = jnp.where(mask, ids_b, _INT32_MAX)
-    _, _, sorted_sims, sorted_ids = jax.lax.sort(
-        (neg, tie, sims, ids_b), num_keys=2
-    )
-    out = min(max_out, sorted_ids.shape[1])
+    q, c = sims.shape
+    out = min(max_out, c)
+    if out <= 1024 < c:
+        # Fast path: value-exact top_k on masked sims, then an exact
+        # (cosine desc, id asc) sort of the small selected set. Ordering
+        # among *exactly equal* cosines straddling the cut is unspecified
+        # (the reference's argpartition has the same property); everywhere
+        # else this is identical to the full sort.
+        msims = jnp.where(mask, sims, -jnp.inf)
+        top_sims, top_pos = jax.lax.top_k(msims, out)
+        sel_ids = jnp.take(ids, top_pos)
+        sel_mask = jnp.take_along_axis(mask, top_pos, axis=1)
+        neg = jnp.where(sel_mask, -top_sims, jnp.inf)
+        tie = jnp.where(sel_mask, sel_ids, _INT32_MAX)
+        _, _, sorted_sims, sorted_ids = jax.lax.sort(
+            (neg, tie, top_sims, sel_ids), num_keys=2
+        )
+    else:
+        neg = jnp.where(mask, -sims, jnp.inf)
+        ids_b = jnp.broadcast_to(ids[None, :], mask.shape)
+        tie = jnp.where(mask, ids_b, _INT32_MAX)
+        _, _, sorted_sims, sorted_ids = jax.lax.sort(
+            (neg, tie, sims, ids_b), num_keys=2
+        )
     out_ids = jnp.where(
         jnp.arange(out)[None, :] < n[:, None], sorted_ids[:, :out], -1
     )

@@ -198,6 +198,33 @@ collision_topk = partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))(
 # ---------------------------------------------------------------------------
 
 
+def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax.Array:
+    """Exact top-m group indices from per-group max keys.
+
+    For wide group-max rows a flat ``lax.top_k`` dominates selection cost
+    (it scales badly past a few thousand columns), so select hierarchically:
+    per-superchunk maxima -> top-m superchunks -> top-m groups within them.
+    Exactness follows from globally distinct keys by the same argument as
+    the group-max trick: every true top-m group lives in a top-m
+    superchunk by max.
+    """
+    q, ng = gmax.shape
+    if ngc is None:
+        ngc = min(ng, 128)
+    if ng < 8192 or ng % ngc != 0 or ng // ngc <= m:
+        _, top_groups = jax.lax.top_k(gmax, m)
+        return top_groups
+    nch = ng // ngc
+    g3 = gmax.reshape(q, nch, ngc)
+    chunk_max = g3.max(axis=-1)
+    mc = min(m, nch)
+    _, top_chunks = jax.lax.top_k(chunk_max, mc)  # (Q, mc)
+    cand = jnp.take_along_axis(g3, top_chunks[..., None], axis=1)  # (Q, mc, ngc)
+    _, pos = jax.lax.top_k(cand.reshape(q, mc * ngc), m)
+    ci_sel = jnp.take_along_axis(top_chunks, pos // ngc, axis=1)
+    return ci_sel * ngc + pos % ngc
+
+
 def collision_topk_grouped_core(
     sig_t: jax.Array,
     ids: jax.Array,
@@ -263,7 +290,9 @@ def collision_topk_grouped_core(
     # Top-k groups by max provably contain every true top-k slot (keys are
     # globally distinct), so re-scoring their k*group slots is exact.
     m = min(k, ng)
-    _, top_groups = jax.lax.top_k(gmax, m)  # (Q, m)
+    top_groups = _hierarchical_top_groups(
+        gmax, m=m, ngc=pallas_chunk // group if use_pallas else None
+    )
     if use_pallas:
         # Pallas grouping is strided within each chunk (see pallas_scan):
         # group g = chunk ci, lane j; its slots are ci*chunk + j + i*ngc.

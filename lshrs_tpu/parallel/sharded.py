@@ -40,6 +40,7 @@ from lshrs_tpu.ops.scan import (
     collision_counts_core,
     collision_topk_core,
     collision_topk_grouped_core,
+    compute_chunk_ranks,
     global_tie_core,
     merge_topk_pools,
 )
@@ -67,6 +68,8 @@ class ShardedDeviceStore(DeviceStore):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_shards = n
+        self._col_sharding = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+        self._row_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
         kwargs.setdefault("initial_capacity", 1 << 14)
         kwargs["initial_capacity"] = max(
             kwargs["initial_capacity"], n * kwargs.get("chunk_size", 2048)
@@ -100,9 +103,31 @@ class ShardedDeviceStore(DeviceStore):
         # shard (order isomorphism within a shard is all the proof needs).
         self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
 
+    def _refresh_ranks(self) -> None:
+        # Shard-local tie directly (the base class's global tie would be
+        # wrong here and its global argsort wasted work).
+        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+        self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
+        self._bucket_index = None
+        self._rows_ext = None
+        self._generation += 1
+
+    def _check_placement(self) -> None:
+        """Re-place only if an update dropped the sharding (rare: GSPMD
+        propagates input shardings through the donated append jits, so
+        appends normally cost O(batch), not O(capacity) movement)."""
+        if (
+            self._sig_t.sharding != self._col_sharding
+            or self._ids.sharding != self._row_sharding
+            or self._sig_rows.sharding
+            != NamedSharding(self.mesh, P(self.axis, None))
+        ):
+            self._reshard()
+
     def remove_indices(self, indices) -> None:
         super().remove_indices(indices)
-        self._reshard()
+        self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
+        self._check_placement()
 
     def clear(self) -> None:
         super().clear()
@@ -114,11 +139,11 @@ class ShardedDeviceStore(DeviceStore):
 
     def _append(self, ids32, words_np, vectors) -> None:
         super()._append(ids32, words_np, vectors)
-        self._reshard()
+        self._check_placement()
 
     def _overwrite(self, slots, words_np, vectors) -> None:
         super()._overwrite(slots, words_np, vectors)
-        self._reshard()
+        self._check_placement()
 
     # -- sharded queries -----------------------------------------------------
 

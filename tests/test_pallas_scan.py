@@ -103,3 +103,43 @@ def test_supports_fast_path_bounds():
     assert supports_fast_path(64, 1 << 24)
     assert not supports_fast_path(512, 1 << 22)
     assert not supports_fast_path(65536, 1 << 17)
+
+
+def test_hierarchical_group_selection_exact(rng):
+    """ng >= 8192 triggers the superchunk selection path; results must be
+    bit-identical to the chunked-scan oracle."""
+    import jax.numpy as jnp
+
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.ops.scan import (
+        collision_topk_core,
+        collision_topk_grouped_core,
+        compute_chunk_ranks,
+        compute_global_tie,
+    )
+
+    B, R, D = 4, 8, 16
+    C, group = 16384, 2  # ng = 8192
+    h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=11)
+    n = 3000
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    words = h.hash_batch_words_host(X)
+    ids = np.full(C, -1, np.int32)
+    ids[:n] = rng.permutation(100_000)[:n]
+    sig_t = np.zeros((words.shape[1], C), np.uint32)
+    sig_t[:, :n] = words.T
+    ids_j, sig_j = jnp.asarray(ids), jnp.asarray(sig_t)
+    tie = compute_global_tie(ids_j)
+    ranks = compute_chunk_ranks(ids_j, chunk=2048)
+
+    qw = h.hash_batch_words_host(rng.standard_normal((9, D)).astype(np.float32))
+    c1, i1 = collision_topk_core(
+        sig_j, ids_j, ranks, jnp.asarray(qw), num_bands=B, k=12, chunk=2048
+    )
+    c2, i2 = collision_topk_grouped_core(
+        sig_j, ids_j, tie, jnp.asarray(qw),
+        num_bands=B, k=12, group=group, pallas_chunk=4096, q_tile=16,
+        use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

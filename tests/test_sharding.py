@@ -152,3 +152,29 @@ def test_sharded_save_load_downgrades_when_devices_scarce(tmp_path, rng, monkeyp
     assert "n_shards" not in back.stats()["index"]
     q = rng.standard_normal(D).astype(np.float32)
     assert lsh.query(q, top_k=None) == back.query(q, top_k=None)
+
+
+def test_sharded_append_keeps_placement_without_reshard(mesh, hasher, rng, monkeypatch):
+    """Appends must not re-place capacity-wide arrays: GSPMD propagates the
+    shardings through the donated update jits (VERDICT round 1, item 10)."""
+    st = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=1024,
+    )
+    calls = {"n": 0}
+    orig = ShardedDeviceStore._reshard
+
+    def counting_reshard(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(ShardedDeviceStore, "_reshard", counting_reshard)
+    X = rng.standard_normal((40, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    for j in range(0, 40, 8):
+        st.add_signature_batch(np.arange(j, j + 8), words[j : j + 8])
+    assert calls["n"] == 0  # no full re-placement on the append path
+    assert st._sig_t.sharding == st._col_sharding
+    assert st._ids.sharding == st._row_sharding
+    counts, out = st.query_topk(words[3:4], 1)
+    assert out[0][0] == 3
