@@ -1,16 +1,21 @@
 """Recall benchmark: LSH retrieval quality vs exact cosine ground truth.
 
-Measures recall@k of the collision-count query and of the cosine-reranked
-pipeline against brute-force exact search, on synthetic GloVe-like data
-(normalised Gaussian mixture — clustered, like real embedding spaces).
+Measures recall@k of collision-count, Hamming, and cosine-reranked
+retrieval against brute-force exact search on synthetic GloVe-like data
+(normalised Gaussian mixture — clustered, like real embedding spaces),
+optionally sweeping the auto-tuner's similarity threshold.
 
 Because this framework reproduces the reference's signature scheme
 bit-for-bit (same projections, same banding, same candidate semantics),
 these curves are the reference's recall curves; they quantify the
 band/row auto-tuner's operating points.
 
+Ground truth is computed on device (one matmul per query block), so the
+benchmark scales to 1M+ base vectors.
+
 Usage:
-    python benchmarks/recall_bench.py [--n 100000] [--dim 256] [--queries 500]
+    python benchmarks/recall_bench.py [--n 1048576] [--dim 256] \
+        [--thresholds 0.5 0.7 0.8 0.9]
 """
 
 from __future__ import annotations
@@ -33,92 +38,122 @@ def make_clustered(n: int, dim: int, n_clusters: int, rng) -> np.ndarray:
     return x.astype(np.float32)
 
 
-def exact_topk(base: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
+def exact_topk_device(base: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
+    """Brute-force cosine top-k on device (base uploaded once)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def block(bn_dev, qn_dev):
+        sims = jnp.dot(qn_dev, bn_dev.T, preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(sims, k)
+        return idx
+
     bn = base / np.linalg.norm(base, axis=1, keepdims=True)
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-    sims = qn @ bn.T
-    return np.argsort(-sims, axis=1)[:, :k]
+    bn_dev = jax.device_put(jnp.asarray(bn))
+    return np.asarray(block(bn_dev, jnp.asarray(qn)))
+
+
+def recall(got_rows, gt: np.ndarray, k: int) -> float:
+    return float(
+        np.mean(
+            [
+                len(set(int(i) for i in row) & set(t.tolist())) / k
+                for row, t in zip(got_rows, gt)
+            ]
+        )
+    )
+
+
+def run_threshold(base, queries, gt, threshold, args) -> dict:
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=args.dim,
+        num_perm=args.num_perm,
+        similarity_threshold=threshold,
+        store_vectors=args.rerank,
+        enable_hamming=True,
+        initial_capacity=1 << max(14, (args.n - 1).bit_length()),
+        hash_mode="host",
+        dedupe=False,
+    )
+    t0 = time.perf_counter()
+    lsh.index(np.arange(args.n), base)
+    build_s = time.perf_counter() - t0
+    stats = lsh.stats()
+    store = lsh._storage
+
+    k = args.k
+    t0 = time.perf_counter()
+    got = lsh.query_batch(queries, top_k=k)
+    query_s = time.perf_counter() - t0
+    r_coll = recall(got, gt, k)
+
+    # hamming (full-signature) recall — same hash path as indexing
+    qwords = lsh._hasher.hash_batch_words_host(queries)
+    _, ham_ids = store.query_hamming(qwords, k)
+    r_ham = recall([row[row >= 0] for row in ham_ids], gt, k)
+
+    out = {
+        "threshold": threshold,
+        "bands": f"{stats['num_bands']}x{stats['rows_per_band']}",
+        f"recall@{k}_collision": round(r_coll, 4),
+        f"recall@{k}_hamming": round(r_ham, 4),
+        "build_s": round(build_s, 2),
+        "query_batch_s": round(query_s, 3),
+        "signature_mb": round(stats["index"]["signature_bytes"] / 2**20, 1),
+        # honest memory: Hamming bitplanes cost num_perm bytes/vector on
+        # top of the num_perm/8-byte packed signature
+        "hamming_extra_mb": round(
+            stats["index"]["capacity"] * args.num_perm / 2**20, 1
+        ),
+    }
+
+    if args.rerank:
+        scored = lsh.get_above_p_batch(queries, p=1.0, top_k=k)
+        out[f"recall@{k}_reranked"] = round(
+            recall([[i for i, _ in row] for row in scored], gt, k), 4
+        )
+    lsh._storage.close()
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=256)
-    ap.add_argument("--queries", type=int, default=500)
+    ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-perm", type=int, default=256)
-    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--thresholds", type=float, nargs="+", default=[0.8])
+    ap.add_argument("--rerank", action="store_true",
+                    help="also measure cosine-reranked recall (uploads the "
+                    "full payload matrix to HBM)")
     args = ap.parse_args()
 
-    from lshrs_tpu import LSHRS
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lshrs_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     rng = np.random.default_rng(7)
-    base = make_clustered(args.n, args.dim, n_clusters=1000, rng=rng)
+    base = make_clustered(args.n, args.dim, n_clusters=max(1000, args.n // 1000), rng=rng)
     q_idx = rng.permutation(args.n)[: args.queries]
     queries = base[q_idx] + 0.05 * rng.standard_normal(
         (args.queries, args.dim)
     ).astype(np.float32)
 
-    gt = exact_topk(base, queries, args.k)
+    gt = exact_topk_device(base, queries, args.k)
 
-    lsh = LSHRS(
-        dim=args.dim,
-        num_perm=args.num_perm,
-        similarity_threshold=args.threshold,
-        store_vectors=True,
-        enable_hamming=True,
-        initial_capacity=1 << max(14, (args.n - 1).bit_length()),
-    )
-    t0 = time.perf_counter()
-    lsh.index(list(range(args.n)), base)
-    build_s = time.perf_counter() - t0
-
-    stats = lsh.stats()
-    # collision-count top-k recall
-    t0 = time.perf_counter()
-    got = lsh.query_batch(queries, top_k=args.k)
-    query_s = time.perf_counter() - t0
-    recall_topk = float(
-        np.mean([len(set(g) & set(t.tolist())) / args.k for g, t in zip(got, gt)])
-    )
-
-    # hamming (full-signature) recall — batched through the store. Hash
-    # with the same (device) path used at index time: the host matmul can
-    # round differently and flip near-zero projection signs.
-    qwords = lsh._hasher.hash_batch_words(queries)
-    _, ham_ids = lsh._storage.query_hamming(qwords, args.k)
-    recall_hamming = float(
-        np.mean([
-            len(set(ham_ids[qi].tolist()) & set(gt[qi].tolist())) / args.k
-            for qi in range(args.queries)
-        ])
-    )
-
-    # cosine-reranked recall (top-p pipeline, resident payload)
-    n_rerank = min(args.queries, 100)  # sequential queries are RTT-bound
-    hits = 0
-    for qi in range(n_rerank):
-        scored = lsh.query(queries[qi], top_k=args.k, top_p=1.0)
-        ids = [i for i, _ in scored]
-        hits += len(set(ids) & set(gt[qi].tolist()))
-    recall_rerank = hits / (n_rerank * args.k)
-
-    print(
-        json.dumps(
-            {
-                "n": args.n,
-                "dim": args.dim,
-                "num_perm": args.num_perm,
-                "bands": f"{stats['num_bands']}x{stats['rows_per_band']}",
-                "threshold": args.threshold,
-                f"recall@{args.k}_collision": round(recall_topk, 4),
-                f"recall@{args.k}_hamming": round(recall_hamming, 4),
-                f"recall@{args.k}_reranked": round(recall_rerank, 4),
-                "build_s": round(build_s, 2),
-                "query_batch_s": round(query_s, 3),
-            }
-        )
-    )
+    for t in args.thresholds:
+        row = run_threshold(base, queries, gt, t, args)
+        row.update({"n": args.n, "dim": args.dim, "num_perm": args.num_perm})
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":
