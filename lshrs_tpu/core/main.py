@@ -122,6 +122,7 @@ class LSHRS:
         query_mode: str = "scan",
         bucket_cap: int = 128,
         hash_mode: str = "device",
+        hamming_storage: str = "planes",
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -170,6 +171,7 @@ class LSHRS:
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
                     enable_hamming=enable_hamming,
+                    hamming_storage=hamming_storage,
                     group_size=group_size,
                     dedupe=dedupe,
                     query_mode=query_mode,
@@ -184,6 +186,7 @@ class LSHRS:
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
                     enable_hamming=enable_hamming,
+                    hamming_storage=hamming_storage,
                     group_size=group_size,
                     dedupe=dedupe,
                     query_mode=query_mode,
@@ -248,6 +251,7 @@ class LSHRS:
             "query_mode": query_mode,
             "bucket_cap": bucket_cap,
             "hash_mode": hash_mode,
+            "hamming_storage": hamming_storage,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -577,6 +581,36 @@ class LSHRS:
             if i >= 0
         ]
 
+    def query_hamming_batch(
+        self, vectors: np.ndarray, *, top_k: int = 10
+    ) -> list[CandidateScores]:
+        """Batched full-signature Hamming ranking (one fused device scan).
+
+        Requires ``enable_hamming=True`` and the device backend; see
+        :meth:`query_hamming` for semantics.
+        """
+        if not self._device_mode:
+            raise RuntimeError("query_hamming requires the device backend")
+        if top_k is None or top_k <= 0:
+            raise ValueError("top_k must be greater than zero when provided")
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self._dim:
+            raise ValueError(
+                f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
+            )
+        self._count("queries_served", arr.shape[0])
+        qwords = self._hash_words(arr)
+        hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+        num_perm = self._config["num_perm"]
+        return [
+            [
+                (int(i), float(math.cos(math.pi * int(h) / num_perm)))
+                for i, h in zip(row_ids, row_h)
+                if i >= 0
+            ]
+            for row_ids, row_h in zip(ids, hamming)
+        ]
+
     def get_above_p_batch(
         self,
         vectors: np.ndarray,
@@ -874,6 +908,7 @@ class LSHRS:
             "query_mode": tpu_config.get("query_mode", "scan"),
             "bucket_cap": tpu_config.get("bucket_cap", 128),
             "hash_mode": tpu_config.get("hash_mode", "device"),
+            "hamming_storage": tpu_config.get("hamming_storage", "planes"),
         }
 
     # ------------------------------------------------------------------

@@ -31,7 +31,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from lshrs_tpu.ops.pallas_scan import hamming_group_max_keys, key_scale
+from lshrs_tpu.ops.pallas_scan import (
+    hamming_group_max_keys,
+    hamming_packed_group_max_keys,
+    key_scale,
+)
 from lshrs_tpu.ops.scan import merge_topk_pools
 
 __all__ = [
@@ -40,6 +44,9 @@ __all__ = [
     "hamming_topk_core",
     "hamming_topk_chunked",
     "hamming_topk_chunked_core",
+    "hamming_topk_packed",
+    "hamming_topk_packed_core",
+    "hamming_topk_packed_chunked_core",
     "supports_hamming_grouped",
 ]
 
@@ -140,15 +147,29 @@ def hamming_topk_core(
         _, gmax = jax.lax.scan(body, 0, (planes_c, ids_c, tie_c))  # (nc, Q, CH/G)
         gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
 
-    # Top-k groups by max contain every true top-k slot (keys distinct).
+    return _select_refine(
+        gmax, sig_t, ids, tie, qwords,
+        p=p, k=k, chunk=chunk, group=group, strided=use_pallas,
+        sig_rows=sig_rows,
+    )
+
+
+def _select_refine(
+    gmax, sig_t, ids, tie, qwords, *, p, k, chunk, group, strided, sig_rows
+):
+    """Shared Hamming selection tail: top-k groups by max (hierarchical),
+    popcount-exact refine from packed words, exact (hamming, id) order."""
     from lshrs_tpu.ops.scan import _hierarchical_top_groups
 
+    c = ids.shape[0]
+    q = qwords.shape[0]
+    scale = key_scale(c)
     ng = c // group
     m = min(k, ng)
     top_groups = _hierarchical_top_groups(
-        gmax, m=m, ngc=chunk // group if use_pallas else None
+        gmax, m=m, ngc=chunk // group if strided else None
     )
-    if use_pallas:
+    if strided:
         # Pallas grouping is strided within each chunk (see pallas_scan).
         ngc = chunk // group
         ci = top_groups // ngc
@@ -200,6 +221,126 @@ def hamming_topk_core(
         out_h = jnp.pad(out_h, ((0, 0), (0, k - k_eff)), constant_values=p + 1)
         sel_ids = jnp.pad(sel_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return out_h, sel_ids
+
+
+def hamming_topk_packed_core(
+    sig_t: jax.Array,
+    ids: jax.Array,
+    tie: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_perm: int,
+    k: int,
+    chunk: int,
+    group: int,
+    use_pallas: bool = False,
+    q_tile: int = 128,
+    interpret: bool = False,
+    sig_rows: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact Hamming top-k from PACKED words only (no bitplane array).
+
+    Zero memory overhead vs collision mode: distances come from
+    XOR + popcount over the same ``(BW, C)`` packed store the collision
+    scan uses (VPU-rate, vs the bitplane formulation's MXU-rate at
+    ``num_perm`` bytes/slot extra HBM). Same results, bit-identical.
+    """
+    bw, c = sig_t.shape
+    q = qwords.shape[0]
+    scale = key_scale(c)
+    p = num_perm
+
+    if use_pallas:
+        q_pad = -(-q // q_tile) * q_tile
+        qw = jnp.pad(qwords, ((0, q_pad - q), (0, 0))) if q_pad != q else qwords
+        gmax = hamming_packed_group_max_keys(
+            sig_t, tie, qw,
+            num_perm=p, group=group, chunk=chunk, q_tile=q_tile, scale=scale,
+            interpret=interpret,
+        )[:q]
+    else:
+        nchunks = c // chunk
+        sig_c = jnp.moveaxis(sig_t.reshape(bw, nchunks, chunk), 1, 0)
+        tie_c = tie.reshape(nchunks, chunk)
+
+        def body(carry, xs):
+            chunk_sig_t, chunk_tie = xs
+            ham = None
+            for wi in range(bw):
+                pc = jax.lax.population_count(
+                    chunk_sig_t[wi, :][None, :] ^ qwords[:, wi][:, None]
+                )
+                ham = pc.astype(jnp.int32) if ham is None else ham + pc
+            alive = (chunk_tie >= 0).astype(jnp.int32)[None, :]
+            scaled = (p + 1 - ham) * alive
+            key = scaled * scale + jnp.maximum(chunk_tie, 0)[None, :]
+            return carry, key.reshape(q, chunk // group, group).max(axis=-1)
+
+        _, gmax = jax.lax.scan(body, 0, (sig_c, tie_c))
+        gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
+
+    return _select_refine(
+        gmax, sig_t, ids, tie, qwords,
+        p=p, k=k, chunk=chunk, group=group, strided=use_pallas,
+        sig_rows=sig_rows,
+    )
+
+
+def hamming_topk_packed_chunked_core(
+    sig_t: jax.Array,
+    ids: jax.Array,
+    ranks: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_perm: int,
+    k: int,
+    chunk: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Packed-words chunked fallback (grouped key does not fit int32)."""
+    bw, c = sig_t.shape
+    q = qwords.shape[0]
+    p = num_perm
+    nchunks = c // chunk
+    k_chunk = min(k, chunk)
+
+    sig_c = jnp.moveaxis(sig_t.reshape(bw, nchunks, chunk), 1, 0)
+    ids_c = ids.reshape(nchunks, chunk)
+    ranks_c = ranks.reshape(nchunks, chunk)
+
+    def body(carry, xs):
+        chunk_sig_t, chunk_ids, chunk_ranks = xs
+        ham = None
+        for wi in range(bw):
+            pc = jax.lax.population_count(
+                chunk_sig_t[wi, :][None, :] ^ qwords[:, wi][:, None]
+            )
+            ham = pc.astype(jnp.int32) if ham is None else ham + pc
+        scaled = jnp.where(chunk_ids[None, :] >= 0, p + 1 - ham, 0)
+        key = scaled * chunk + (chunk - 1 - chunk_ranks)[None, :]
+        top_key, top_pos = jax.lax.top_k(key, k_chunk)
+        sel_scaled = top_key // chunk
+        sel_ids = jnp.take_along_axis(
+            jnp.broadcast_to(chunk_ids[None, :], (q, chunk)), top_pos, axis=1
+        )
+        return carry, (sel_scaled, sel_ids)
+
+    _, (pool_scaled, pool_ids) = jax.lax.scan(body, 0, (sig_c, ids_c, ranks_c))
+    pool_scaled = jnp.moveaxis(pool_scaled, 0, 1).reshape(q, -1)
+    pool_ids = jnp.moveaxis(pool_ids, 0, 1).reshape(q, -1)
+    scaled_out, ids_out = merge_topk_pools(pool_scaled, pool_ids, k=k)
+    hamming = jnp.where(ids_out >= 0, p + 1 - scaled_out, p + 1)
+    return hamming, ids_out
+
+
+hamming_topk_packed = partial(
+    jax.jit,
+    static_argnames=(
+        "num_perm", "k", "chunk", "group", "use_pallas", "q_tile", "interpret",
+    ),
+)(hamming_topk_packed_core)
+hamming_topk_packed_chunked = partial(
+    jax.jit, static_argnames=("num_perm", "k", "chunk")
+)(hamming_topk_packed_chunked_core)
 
 
 def hamming_topk_chunked_core(

@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "group_max_keys",
     "hamming_group_max_keys",
+    "hamming_packed_group_max_keys",
     "key_scale",
     "supports_fast_path",
 ]
@@ -124,6 +125,83 @@ def _make_hamming_kernel(group: int, scale: int):
         out_ref[:, :] = gmax
 
     return kernel
+
+
+def _make_hamming_packed_kernel(words: int, group: int, scale: int, num_perm: int):
+    """Kernel: popcount Hamming over PACKED uint32 words -> group-max keys.
+
+    q_ref:   (QT, BW)  uint32 — query signature words
+    sig_ref: (BW, CH)  uint32 — transposed store chunk
+    tie_ref: (1, CH)   int32
+    out_ref: (QT, CH // group) int32
+
+    Zero extra memory vs the int8 bitplane formulation (which costs
+    ``num_perm`` bytes/slot); ~VPU-rate instead of MXU-rate.
+    """
+
+    def kernel(q_ref, sig_ref, tie_ref, out_ref):
+        ch = sig_ref.shape[1]
+        ham = None
+        for w in range(words):
+            pc = jax.lax.population_count(
+                sig_ref[w, :][None, :] ^ q_ref[:, w][:, None]
+            ).astype(jnp.int32)
+            ham = pc if ham is None else ham + pc
+        tie = tie_ref[0, :]
+        alive = (tie >= 0).astype(jnp.int32)[None, :]
+        scaled = (num_perm + 1 - ham) * alive
+        key = scaled * scale + jnp.maximum(tie, 0)[None, :]
+        ngc = ch // group
+        gmax = key[:, :ngc]
+        for i in range(1, group):
+            gmax = jnp.maximum(gmax, key[:, i * ngc : (i + 1) * ngc])
+        out_ref[:, :] = gmax
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_perm", "group", "chunk", "q_tile", "scale", "interpret"),
+)
+def hamming_packed_group_max_keys(
+    sig_t: jax.Array,
+    tie: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_perm: int,
+    group: int,
+    chunk: int,
+    q_tile: int,
+    scale: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-group maxima of packed (P+1-hamming, tie) keys from packed words."""
+    bw, c = sig_t.shape
+    q = qwords.shape[0]
+    assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
+
+    kernel = _make_hamming_packed_kernel(bw, group, scale, num_perm)
+    grid = (q // q_tile, c // chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, bw), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (q_tile, chunk // group), lambda qi, ci: (qi, ci), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * q * c * bw,
+            bytes_accessed=bw * c * 4 + q * bw * 4 + c * 4 + q * (c // group) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qwords, sig_t, tie.reshape(1, c))
 
 
 @partial(

@@ -33,6 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lshrs_tpu.ops.hamming import (
     hamming_topk_chunked_core,
     hamming_topk_core,
+    hamming_topk_packed_chunked_core,
+    hamming_topk_packed_core,
     supports_hamming_grouped,
     unpack_bitplanes,
 )
@@ -209,11 +211,29 @@ class ShardedDeviceStore(DeviceStore):
 
     def _query_hamming_dev(self, qw: jax.Array, k: int):
         p = self.num_bands * self.rows_per_band
+        local = self._local_rows()
+        k_eff = max(1, min(k, local))
+        if self.hamming_storage == "packed":
+            return _sharded_hamming_packed(
+                self.mesh,
+                self.axis,
+                self._sig_t,
+                self._refine_rows(),
+                self._ids,
+                self._ranks,
+                self._tie,
+                qw,
+                num_perm=p,
+                k=k_eff,
+                chunk=min(self.chunk, local),
+                grouped=(
+                    supports_hamming_grouped(p, local) and local % self.group == 0
+                ),
+                group=min(self.group, local),
+            )
         qbits = unpack_bitplanes(
             qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
-        local = self._local_rows()
-        k_eff = max(1, min(k, local))
         return _sharded_hamming(
             self.mesh,
             self.axis,
@@ -357,6 +377,45 @@ def _sharded_hamming(
         out_specs=(P(), P()),
         check_vma=False,
     )(planes, sig_t, rows, ids, ranks, tie, qbits, qwords)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "num_perm", "k", "chunk", "grouped", "group"),
+)
+def _sharded_hamming_packed(
+    mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
+    *, num_perm, k, chunk, grouped, group,
+):
+    def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
+        if grouped:
+            hamming, out_ids = hamming_topk_packed_core(
+                sig_l, ids_l, tie_l, qw,
+                num_perm=num_perm, k=k, chunk=chunk, group=group,
+                sig_rows=rows_l,
+            )
+        else:
+            hamming, out_ids = hamming_topk_packed_chunked_core(
+                sig_l, ids_l, ranks_l, qw, num_perm=num_perm, k=k, chunk=chunk
+            )
+        scaled = jnp.where(out_ids >= 0, num_perm + 1 - hamming, 0)
+        scaled_g = jax.lax.all_gather(scaled, axis)
+        ids_g = jax.lax.all_gather(out_ids, axis)
+        q = qw.shape[0]
+        pool_scaled = jnp.moveaxis(scaled_g, 0, 1).reshape(q, -1)
+        pool_ids = jnp.moveaxis(ids_g, 0, 1).reshape(q, -1)
+        m_scaled, m_ids = merge_topk_pools(pool_scaled, pool_ids, k=k)
+        return jnp.where(m_ids >= 0, num_perm + 1 - m_scaled, num_perm + 1), m_ids
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis), P(axis, None), P(axis), P(axis), P(axis), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(sig_t, rows, ids, ranks, tie, qwords)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))

@@ -56,6 +56,10 @@ from lshrs_tpu.ops.hamming import (
     hamming_topk_chunked,
     hamming_topk_chunked_core,
     hamming_topk_core,
+    hamming_topk_packed,
+    hamming_topk_packed_chunked,
+    hamming_topk_packed_chunked_core,
+    hamming_topk_packed_core,
     supports_hamming_grouped,
     unpack_bitplanes,
 )
@@ -154,8 +158,13 @@ class DeviceStore(BaseStorage):
             (sorted band keys + binary search, see `lshrs_tpu.ops.bucketed`).
         bucket_cap: per-(query, band) candidate window of the bucketed
             engine; longer bucket runs are truncated and counted.
-        enable_hamming: maintain +-1 int8 bitplanes so `query_hamming`
-            (full-signature MXU ranking) is available.
+        enable_hamming: make `query_hamming` (full-signature SimHash
+            ranking) available.
+        hamming_storage: ``"planes"`` (default) keeps +-1 int8 bitplanes —
+            ``num_perm`` bytes/slot extra HBM, ranked on the MXU (fastest);
+            ``"packed"`` ranks via XOR+popcount over the packed words the
+            collision scan already stores — zero extra memory, VPU-rate.
+            Results are bit-identical.
     """
 
     supports_signature_batches = True
@@ -174,6 +183,7 @@ class DeviceStore(BaseStorage):
         query_mode: str = "scan",
         bucket_cap: int = 128,
         enable_hamming: bool = False,
+        hamming_storage: str = "planes",
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
             raise ValueError("chunk_size must be in (0, 16384]")
@@ -185,6 +195,8 @@ class DeviceStore(BaseStorage):
             raise ValueError("group_size must be a power of two")
         if query_mode not in ("scan", "bucket"):
             raise ValueError("query_mode must be 'scan' or 'bucket'")
+        if hamming_storage not in ("planes", "packed"):
+            raise ValueError("hamming_storage must be 'planes' or 'packed'")
 
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
@@ -197,6 +209,7 @@ class DeviceStore(BaseStorage):
         self.query_mode = query_mode
         self.bucket_cap = bucket_cap
         self.enable_hamming = enable_hamming
+        self.hamming_storage = hamming_storage
         # Lazily (re)built sorted bucket index (see lshrs_tpu.ops.bucketed).
         self._bucket_index: tuple | None = None
         self._bucket_overflows = 0
@@ -236,7 +249,7 @@ class DeviceStore(BaseStorage):
         )
         self._planes = (
             jnp.zeros((cap, self.num_bands * self.rows_per_band), dtype=jnp.int8)
-            if self.enable_hamming
+            if self.enable_hamming and self.hamming_storage == "planes"
             else None
         )
 
@@ -607,7 +620,7 @@ class DeviceStore(BaseStorage):
             raise ValueError("wire must be 'words' or 'dense'")
         if mode not in ("collision", "hamming"):
             raise ValueError("mode must be 'collision' or 'hamming'")
-        if mode == "hamming" and self._planes is None:
+        if mode == "hamming" and not self.enable_hamming:
             raise RuntimeError(
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for Hamming-mode queries"
@@ -644,6 +657,25 @@ class DeviceStore(BaseStorage):
         def run_slice(qw, st):
             sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
             if mode == "hamming":
+                q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
+                if planes_ is None:  # hamming_storage="packed"
+                    if ham_grouped:
+                        _, out = hamming_topk_packed_core(
+                            sig_t_, ids_, tie_, qw,
+                            num_perm=num_perm,
+                            k=k_eff,
+                            chunk=ham_tile if ham_pallas else chunk,
+                            group=group,
+                            use_pallas=ham_pallas,
+                            q_tile=q_tile,
+                            sig_rows=rows_,
+                        )
+                    else:
+                        _, out = hamming_topk_packed_chunked_core(
+                            sig_t_, ids_, ranks_, qw,
+                            num_perm=num_perm, k=k_eff, chunk=chunk,
+                        )
+                    return out
                 qbits = unpack_bitplanes(
                     qw, num_bands=num_bands, rows_per_band=rows_per_band
                 )
@@ -654,7 +686,7 @@ class DeviceStore(BaseStorage):
                         chunk=ham_tile if ham_pallas else chunk,
                         group=group,
                         use_pallas=ham_pallas,
-                        q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+                        q_tile=q_tile,
                         sig_rows=rows_,
                     )
                 else:
@@ -723,28 +755,45 @@ class DeviceStore(BaseStorage):
         return np.asarray(counts), np.asarray(ids)
 
     def _query_hamming_dev(self, qw: jax.Array, k: int):
-        """Device-resident Hamming top-k, grouped MXU path when the packed
+        """Device-resident Hamming top-k, grouped path when the packed
         key fits int32, chunked selection otherwise."""
         p = self.num_bands * self.rows_per_band
+        k_eff = max(1, min(k, self._capacity))
+        grouped = (
+            supports_hamming_grouped(p, self._capacity)
+            and self._capacity % self.group == 0
+        )
+        group = min(self.group, self._capacity)
+        pallas_tile = group * 128  # Pallas out blocks need a >=128 minor dim
+        use_pallas = self._use_pallas() and self._capacity % pallas_tile == 0
+        q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
+        if self.hamming_storage == "packed":
+            if grouped:
+                return hamming_topk_packed(
+                    self._sig_t, self._ids, self._tie, qw,
+                    num_perm=p,
+                    k=k_eff,
+                    chunk=pallas_tile if use_pallas else self.chunk,
+                    group=group,
+                    use_pallas=use_pallas,
+                    q_tile=q_tile,
+                    sig_rows=self._refine_rows(),
+                )
+            return hamming_topk_packed_chunked(
+                self._sig_t, self._ids, self._ranks, qw,
+                num_perm=p, k=k_eff, chunk=self.chunk,
+            )
         qbits = unpack_bitplanes(
             qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
-        k_eff = max(1, min(k, self._capacity))
-        if (
-            supports_hamming_grouped(p, self._capacity)
-            and self._capacity % self.group == 0
-        ):
-            group = min(self.group, self._capacity)
-            # Pallas output blocks need a >=128 minor dim: tile = group*128.
-            pallas_tile = group * 128
-            use_pallas = self._use_pallas() and self._capacity % pallas_tile == 0
+        if grouped:
             return hamming_topk(
                 self._planes, self._sig_t, self._ids, self._tie, qbits, qw,
                 k=k_eff,
                 chunk=pallas_tile if use_pallas else self.chunk,
                 group=group,
                 use_pallas=use_pallas,
-                q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+                q_tile=q_tile,
                 sig_rows=self._refine_rows(),
             )
         return hamming_topk_chunked(
@@ -758,7 +807,7 @@ class DeviceStore(BaseStorage):
         ids (Q, k))`` ordered by (hamming asc, id asc); empty tail entries
         carry id -1.
         """
-        if self._planes is None:
+        if not self.enable_hamming:
             raise RuntimeError(
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for Hamming-mode queries"
@@ -780,7 +829,7 @@ class DeviceStore(BaseStorage):
 
     def query_hamming_ids(self, qwords, k: int) -> jax.Array:
         """Device-resident id-only Hamming top-k (serving fast path)."""
-        if self._planes is None:
+        if not self.enable_hamming:
             raise RuntimeError(
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for Hamming-mode queries"
@@ -1004,6 +1053,12 @@ class DeviceStore(BaseStorage):
             "capacity": self._capacity,
             "chunk_size": self.chunk,
             "query_mode": self.query_mode,
+            "hamming_storage": self.hamming_storage if self.enable_hamming else None,
+            "hamming_plane_bytes": (
+                self._capacity * self.num_bands * self.rows_per_band
+                if self._planes is not None
+                else 0
+            ),
             "bucket_overflows": self._bucket_overflows,
             "fast_path": self._use_grouped(),
             "pallas": self._use_grouped() and self._use_pallas(),

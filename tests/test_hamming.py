@@ -184,3 +184,139 @@ def test_hamming_pallas_interpret_matches_xla(hasher, rng):
     )
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_query_hamming_batch_matches_single(rng):
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=24, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        enable_hamming=True,
+    )
+    X = rng.standard_normal((40, 24)).astype(np.float32)
+    lsh.index(list(range(40)), X)
+    batch = lsh.query_hamming_batch(X[:5], top_k=3)
+    for qi in range(5):
+        assert batch[qi] == lsh.query_hamming(X[qi], top_k=3)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="top_k"):
+        lsh.query_hamming_batch(X[:2], top_k=0)
+    bucket = LSHRS(dim=24, num_perm=16, num_bands=4, rows_per_band=4,
+                   backend="memory")
+    with pytest.raises(RuntimeError, match="device backend"):
+        bucket.query_hamming_batch(X[:2], top_k=3)
+
+
+def test_packed_hamming_matches_planes(rng):
+    """hamming_storage='packed' (zero extra memory) must be bit-identical
+    to the bitplane formulation."""
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=32, seed=3)
+    kw = dict(num_bands=4, rows_per_band=8, chunk_size=128, initial_capacity=512,
+              enable_hamming=True)
+    planes = DeviceStore(hamming_storage="planes", **kw)
+    packed = DeviceStore(hamming_storage="packed", **kw)
+    assert packed._planes is None  # genuinely no bitplane array
+    X = rng.standard_normal((300, 32)).astype(np.float32)
+    ids = rng.permutation(10_000)[:300]
+    words = h.hash_batch_words_host(X)
+    planes.add_signature_batch(ids, words)
+    packed.add_signature_batch(ids, words)
+
+    qw = h.hash_batch_words_host(rng.standard_normal((11, 32)).astype(np.float32))
+    h1, i1 = planes.query_hamming(qw, 9)
+    h2, i2 = packed.query_hamming(qw, 9)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(i1, i2)
+
+    # snapshot serving closure, packed
+    dense_q = rng.standard_normal((6, 32)).astype(np.float32)
+    dq = h.hash_batch_dense_host(dense_q)
+    s1 = np.asarray(planes.snapshot_query_fn(5, wire="dense", mode="hamming")(dq))
+    s2 = np.asarray(packed.snapshot_query_fn(5, wire="dense", mode="hamming")(dq))
+    np.testing.assert_array_equal(s1, s2)
+
+    # stats report the footprint difference
+    assert planes.stats()["hamming_plane_bytes"] > 0
+    assert packed.stats()["hamming_plane_bytes"] == 0
+
+    with pytest.raises(ValueError, match="hamming_storage"):
+        DeviceStore(num_bands=4, rows_per_band=8, hamming_storage="sparse")
+
+
+def test_packed_hamming_chunked_fallback(rng):
+    """Packed chunked path (grouped key would not fit int32) matches the
+    planes chunked path."""
+    import lshrs_tpu.storage.device as device_mod
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=32, seed=5)
+    kw = dict(num_bands=4, rows_per_band=8, chunk_size=64, initial_capacity=256,
+              enable_hamming=True)
+    planes = DeviceStore(hamming_storage="planes", **kw)
+    packed = DeviceStore(hamming_storage="packed", **kw)
+    X = rng.standard_normal((150, 32)).astype(np.float32)
+    words = h.hash_batch_words_host(X)
+    planes.add_signature_batch(np.arange(150), words)
+    packed.add_signature_batch(np.arange(150), words)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(device_mod, "supports_hamming_grouped", lambda *a: False)
+    try:
+        qw = h.hash_batch_words_host(rng.standard_normal((5, 32)).astype(np.float32))
+        h1, i1 = planes.query_hamming(qw, 7)
+        h2, i2 = packed.query_hamming(qw, 7)
+        np.testing.assert_array_equal(h1, h2)
+        np.testing.assert_array_equal(i1, i2)
+    finally:
+        mp.undo()
+
+
+def test_packed_hamming_sharded(rng):
+    import jax
+
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=32, seed=7)
+    mesh = make_mesh(8)
+    kw = dict(num_bands=4, rows_per_band=8, chunk_size=64, initial_capacity=512,
+              enable_hamming=True, hamming_storage="packed")
+    single = DeviceStore(**kw)
+    sharded = ShardedDeviceStore(mesh=mesh, **kw)
+    X = rng.standard_normal((400, 32)).astype(np.float32)
+    words = h.hash_batch_words_host(X)
+    single.add_signature_batch(np.arange(400), words)
+    sharded.add_signature_batch(np.arange(400), words)
+    qw = h.hash_batch_words_host(rng.standard_normal((9, 32)).astype(np.float32))
+    h1, i1 = single.query_hamming(qw, 12)
+    h2, i2 = sharded.query_hamming(qw, 12)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_packed_hamming_persistence_roundtrip(tmp_path, rng):
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=24, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        enable_hamming=True, hamming_storage="packed",
+    )
+    X = rng.standard_normal((30, 24)).astype(np.float32)
+    lsh.index(list(range(30)), X)
+    before = lsh.query_hamming(X[4], top_k=3)
+    lsh.save_to_disk(tmp_path / "m")
+    back = LSHRS.load_from_disk(tmp_path / "m")
+    assert back._storage.hamming_storage == "packed"
+    assert back._storage._planes is None
+    assert back.query_hamming(X[4], top_k=3) == before
