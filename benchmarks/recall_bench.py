@@ -38,6 +38,24 @@ def make_clustered(n: int, dim: int, n_clusters: int, rng) -> np.ndarray:
     return x.astype(np.float32)
 
 
+def make_heavy_tailed(n: int, dim: int, n_clusters: int, rng) -> np.ndarray:
+    """GloVe-like embeddings: Zipf cluster sizes, anisotropic axis scales.
+
+    Word-embedding spaces have a few huge semantic neighborhoods, a long
+    tail of tiny ones, and variance concentrated in leading directions;
+    this generator reproduces both properties.
+    """
+    sizes = 1.0 / np.arange(1, n_clusters + 1)  # Zipf(1) cluster mass
+    probs = sizes / sizes.sum()
+    assign = rng.choice(n_clusters, size=n, p=probs)
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    # per-axis scales decay like 1/sqrt(rank): anisotropic, heavy leading dims
+    axis_scale = (1.0 / np.sqrt(np.arange(1, dim + 1))).astype(np.float32)
+    noise = rng.standard_normal((n, dim)).astype(np.float32) * axis_scale[None, :]
+    x = centers[assign] * axis_scale[None, :] * 3.0 + 0.5 * noise
+    return x.astype(np.float32)
+
+
 def exact_topk_device(base: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
     """Brute-force cosine top-k on device (base uploaded once)."""
     import jax
@@ -131,6 +149,9 @@ def main() -> None:
     ap.add_argument("--rerank", action="store_true",
                     help="also measure cosine-reranked recall (uploads the "
                     "full payload matrix to HBM)")
+    ap.add_argument("--dist", choices=["clustered", "heavy"], default="clustered",
+                    help="base-data generator: Gaussian-mixture clusters or "
+                    "GloVe-like heavy-tailed (Zipf clusters, anisotropic axes)")
     args = ap.parse_args()
 
     import jax
@@ -142,7 +163,8 @@ def main() -> None:
         pass
 
     rng = np.random.default_rng(7)
-    base = make_clustered(args.n, args.dim, n_clusters=max(1000, args.n // 1000), rng=rng)
+    gen = make_clustered if args.dist == "clustered" else make_heavy_tailed
+    base = gen(args.n, args.dim, n_clusters=max(1000, args.n // 1000), rng=rng)
     q_idx = rng.permutation(args.n)[: args.queries]
     queries = base[q_idx] + 0.05 * rng.standard_normal(
         (args.queries, args.dim)
@@ -152,7 +174,10 @@ def main() -> None:
 
     for t in args.thresholds:
         row = run_threshold(base, queries, gt, t, args)
-        row.update({"n": args.n, "dim": args.dim, "num_perm": args.num_perm})
+        row.update({
+            "n": args.n, "dim": args.dim, "num_perm": args.num_perm,
+            "dist": args.dist,
+        })
         print(json.dumps(row))
 
 

@@ -1,0 +1,119 @@
+"""Randomized mutation-sequence fuzz test against a brute-force oracle.
+
+Drives the device store through a random interleaving of batch appends
+(with duplicate-id upserts), deletions, compactions and growth, checking
+exact (-count, id) / (hamming, id) agreement with a NumPy model after
+every step. Complements the scenario tests with coverage of operation
+*sequences* the scenarios never compose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.storage.device import DeviceStore
+
+B, R, D = 4, 8, 24
+BW = B  # one uint32 word per band at r=8
+
+
+def oracle_topk(model: dict[int, np.ndarray], qw: np.ndarray, k: int):
+    """Expected (counts, ids) for one query under reference semantics."""
+    if not model:
+        return [], []
+    ids = np.fromiter(model.keys(), dtype=np.int64)
+    sigs = np.stack([model[int(i)] for i in ids])  # (n, BW)
+    counts = (sigs == qw[None, :]).reshape(len(ids), B, -1).all(-1).sum(-1)
+    order = np.lexsort((ids, -counts))[:k]
+    return counts[order].tolist(), ids[order].tolist()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("dedupe", [True, False])
+def test_fuzz_random_op_sequences(seed, dedupe, rng):
+    op_rng = np.random.default_rng(seed)
+    h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=99)
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64,
+        dedupe=dedupe, enable_hamming=True, hamming_storage="packed",
+    )
+    model: dict[int, np.ndarray] = {}
+    next_id = 0
+
+    def random_batch(max_n: int):
+        nonlocal next_id
+        n = int(op_rng.integers(1, max_n))
+        new = op_rng.integers(0, 2, n) == 0 if model else np.ones(n, bool)
+        ids = []
+        for is_new in new:
+            if is_new or (not dedupe) or not model:
+                ids.append(next_id)
+                next_id += 1
+            else:  # upsert an existing id (dedupe mode only)
+                ids.append(int(op_rng.choice(list(model.keys()))))
+        X = op_rng.standard_normal((n, D)).astype(np.float32)
+        words = h.hash_batch_words_host(X)
+        return np.asarray(ids), words
+
+    for step in range(25):
+        op = op_rng.integers(0, 10)
+        if op < 6:  # append / upsert
+            ids, words = random_batch(20)
+            store.add_signature_batch(ids, words)
+            for i, w in zip(ids, words):
+                model[int(i)] = w
+        elif op < 8 and model:  # delete a random subset
+            dels = op_rng.choice(
+                list(model.keys()), size=min(len(model), int(op_rng.integers(1, 6))),
+                replace=False,
+            )
+            store.remove_indices([int(i) for i in dels])
+            for i in dels:
+                model.pop(int(i), None)
+        elif op == 8:
+            store.compact()
+        else:
+            pass  # no-op step (queries below still run)
+
+        assert len(store) == len(model)
+        q = op_rng.standard_normal((3, D)).astype(np.float32)
+        qw = h.hash_batch_words_host(q)
+        counts, ids_out = store.query_topk(qw, 5)
+        for r_ in range(3):
+            exp_c, exp_i = oracle_topk(model, qw[r_], 5)
+            got = [
+                (int(c), int(i))
+                for c, i in zip(counts[r_], ids_out[r_])
+                if i >= 0
+            ]
+            exp = [(int(c), int(i)) for c, i in zip(exp_c, exp_i) if c > 0]
+            got = [g for g in got if g[0] > 0]
+            assert got == exp, f"step {step} row {r_}: {got} != {exp}"
+
+    # hamming agreement at the final state (packed storage)
+    if model:
+        q = op_rng.standard_normal((2, D)).astype(np.float32)
+        qw = h.hash_batch_words_host(q)
+        ham, hids = store.query_hamming(qw, 4)
+        all_ids = np.fromiter(model.keys(), dtype=np.int64)
+        sigs = np.stack([model[int(i)] for i in all_ids])
+        for r_ in range(2):
+            bits_store = np.unpackbits(
+                sigs.astype("<u4").view(np.uint8), axis=1, bitorder="little"
+            )
+            bits_q = np.unpackbits(
+                qw[r_ : r_ + 1].astype("<u4").view(np.uint8), bitorder="little"
+            )
+            # only the low R bits of each band word are meaningful
+            mask = np.zeros(BW * 32, bool)
+            for b in range(B):
+                mask[b * 32 : b * 32 + R] = True
+            dist = (bits_store[:, mask] != bits_q[None, mask]).sum(1)
+            order = np.lexsort((all_ids, dist))[:4]
+            exp = list(zip(dist[order].tolist(), all_ids[order].tolist()))
+            got = [
+                (int(hv), int(i)) for hv, i in zip(ham[r_], hids[r_]) if i >= 0
+            ]
+            assert got == exp[: len(got)]
