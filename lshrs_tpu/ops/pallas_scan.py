@@ -182,17 +182,17 @@ def hamming_packed_group_max_keys(
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
     kernel = _make_hamming_packed_kernel(bw, group, scale, num_perm)
-    grid = (q // q_tile, c // chunk)
+    grid = (c // chunk, q // q_tile)  # chunk-major: store block stays in VMEM
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, bw), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, bw), lambda ci, qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (q_tile, chunk // group), lambda qi, ci: (qi, ci), memory_space=pltpu.VMEM
+            (q_tile, chunk // group), lambda ci, qi: (qi, ci), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -235,17 +235,17 @@ def hamming_group_max_keys(
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
     kernel = _make_hamming_kernel(group, scale)
-    grid = (q // q_tile, c // chunk)
+    grid = (c // chunk, q // q_tile)  # chunk-major: planes block stays in VMEM
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, p), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, p), lambda qi, ci: (ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, p), lambda ci, qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, p), lambda ci, qi: (ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (q_tile, chunk // group), lambda qi, ci: (qi, ci), memory_space=pltpu.VMEM
+            (q_tile, chunk // group), lambda ci, qi: (qi, ci), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -292,17 +292,20 @@ def group_max_keys(
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
     kernel = _make_kernel(num_bands, words, group, scale)
-    grid = (q // q_tile, c // chunk)
+    # Chunk-major grid: the (large) store block's index map is constant
+    # across the inner q-tile axis, so Mosaic keeps it in VMEM instead of
+    # re-streaming the whole store once per query tile.
+    grid = (c // chunk, q // q_tile)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, bw), lambda qi, ci: (qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda qi, ci: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, bw), lambda ci, qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (q_tile, chunk // group), lambda qi, ci: (qi, ci), memory_space=pltpu.VMEM
+            (q_tile, chunk // group), lambda ci, qi: (qi, ci), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
         cost_estimate=pl.CostEstimate(
