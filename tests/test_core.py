@@ -414,3 +414,25 @@ def test_hash_mode_roundtrips_via_persistence(tmp_path, rng):
     back = LSHRS.load_from_disk(tmp_path / "m")
     assert back._tpu_config["hash_mode"] == "host"
     assert back.get_top_k(X[3], topk=1) == [3]
+
+
+def test_hash_mode_host_with_store_vectors_and_rerank(rng):
+    """Dense-wire ingest must carry payload rows through the buffer/flush
+    path so top-p reranking works in host-hash mode."""
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=24, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+        hash_mode="host", store_vectors=True, buffer_size=1000,
+    )
+    X = rng.standard_normal((40, 24)).astype(np.float32)
+    # exercise both the buffered single-ingest path and the batch path
+    for i in range(5):
+        lsh.ingest(i, X[i])
+    lsh.index(list(range(5, 40)), X[5:])
+    assert lsh.stats()["index"]["alive"] == 40
+    top = lsh.get_above_p(X[7], p=0.2)
+    assert top[0][0] == 7 and top[0][1] > 0.999
+    batch = lsh.get_above_p_batch(X[:4], p=0.2, top_k=5)
+    assert [r[0][0] for r in batch] == [0, 1, 2, 3]
