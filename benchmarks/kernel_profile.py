@@ -30,8 +30,11 @@ def device_time(make_step, qw0, label):
     @jax.jit
     def run(qw):
         def body(i, carry):
-            dep = (carry & jnp.uint32(0)).astype(jnp.uint32)
-            out = make_step(qw ^ dep)
+            # Data dependence XLA cannot fold away: the predicate value is
+            # unknown at compile time (a `carry & 0` style dependency gets
+            # constant-folded and the body hoisted out of the loop).
+            dep = jnp.where(carry == jnp.uint32(0xDEADBEEF), ~qw, qw)
+            out = make_step(dep)
             leaf = jax.tree_util.tree_leaves(out)[0]
             return leaf.reshape(-1)[0].astype(jnp.uint32)
 

@@ -137,17 +137,23 @@ def main() -> None:
         rng.standard_normal((args.query_batch, args.dim)).astype(np.float32)
         for _ in range(n_batches)
     ]
+    # Queries hash through the SAME path as the build (single hash path
+    # per instance: bit-for-bit stored/query signature agreement).
+    if args.hash_mode == "host":
+        hash_fn, wire = hasher.hash_batch_dense_host, "dense"
+    else:
+        hash_fn, wire = hasher.hash_batch_words, "words"
     if args.mode == "bucket":
         # The bucketed engine is not part of the single-dispatch snapshot
         # closure; drive it through the store's query_mode-aware path.
-        hash_fn = hasher.hash_batch_words_host
+        if args.hash_mode == "host":
+            hash_fn = hasher.hash_batch_words_host
 
         def serve(qw):
             return store.query_topk_ids(qw, 10)
     else:
-        hash_fn = hasher.hash_batch_dense_host
         serve = store.snapshot_query_fn(
-            10, wire="dense",
+            10, wire=wire,
             mode="hamming" if args.mode == "hamming" else "collision",
         )
     _ = np.asarray(serve(hash_fn(raw[0])))

@@ -57,6 +57,14 @@ def pack_bits_dense_np(
     the bits. Decode on device with :func:`dense_to_words`.
     """
     n = bits.shape[0]
+    if rows_per_band % 8 == 0:
+        # Byte-aligned bands: the flat little-endian packing coincides
+        # with the per-band layout (global bit j = band j//r, row j%r),
+        # and one contiguous packbits is several times faster than the
+        # banded-axis form.
+        return np.packbits(
+            np.ascontiguousarray(bits).reshape(n, -1), axis=-1, bitorder="little"
+        )
     banded = bits.reshape(n, num_bands, rows_per_band).astype(np.uint8)
     packed = np.packbits(banded, axis=-1, bitorder="little")
     return np.ascontiguousarray(packed.reshape(n, -1))

@@ -127,9 +127,14 @@ class ShardedDeviceStore(DeviceStore):
             self._reshard()
 
     def remove_indices(self, indices) -> None:
-        super().remove_indices(indices)
-        self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
-        self._check_placement()
+        # Hold the lock across the base mutation AND the shard-local tie
+        # swap, so a concurrent query can never pair a half-updated tie
+        # with a refine table built from the other one.
+        with self._lock:
+            super().remove_indices(indices)
+            self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
+            self._rows_ext = None
+            self._check_placement()
 
     def clear(self) -> None:
         super().clear()
@@ -273,6 +278,70 @@ class ShardedDeviceStore(DeviceStore):
             )
             ids = self._ids
         return np.asarray(counts), np.asarray(ids)
+
+    def snapshot_query_fn(
+        self,
+        k: int,
+        *,
+        wire: str = "words",
+        dev_batch: int | None = None,
+        mode: str = "collision",
+    ):
+        """Compiled single-dispatch serving closure over the sharded store.
+
+        Same contract as `DeviceStore.snapshot_query_fn` but the captured
+        program runs the shard_map SPMD query (shard-local scan + ICI
+        merge) — the base class's single-device program would misorder
+        results across shards (shard-local tie keys are only distinct
+        within a shard).
+        """
+        if wire not in ("words", "dense"):
+            raise ValueError("wire must be 'words' or 'dense'")
+        if mode not in ("collision", "hamming"):
+            raise ValueError("mode must be 'collision' or 'hamming'")
+        if mode == "hamming" and not self.enable_hamming:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for Hamming-mode queries"
+            )
+        with self._lock:
+            if self._size == 0:
+                raise RuntimeError("snapshot_query_fn requires a non-empty store")
+            snapshot_gen = self._generation
+            num_bands, rows_per_band = self.num_bands, self.rows_per_band
+
+            from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
+
+            if mode == "hamming":
+                query_dev = self._query_hamming_dev
+            else:
+                query_dev = self._query_topk_dev
+
+            def run(qw):
+                return query_dev(qw, k)[1]
+
+        def serve(q):
+            if self._generation != snapshot_gen:
+                raise RuntimeError(
+                    "snapshot_query_fn is stale: the store was mutated after "
+                    "the snapshot was taken; call snapshot_query_fn again"
+                )
+            q = jnp.asarray(q)
+            if wire == "dense":
+                q = _d2w(q, num_bands=num_bands, rows_per_band=rows_per_band)
+            else:
+                q = q.astype(jnp.uint32)
+            n = q.shape[0]
+            with self._lock:
+                if dev_batch is None or n <= dev_batch:
+                    return run(q)
+                outs = [
+                    run(jax.lax.slice_in_dim(q, i, min(i + dev_batch, n)))
+                    for i in range(0, n, dev_batch)
+                ]
+                return jnp.concatenate(outs)
+
+        return serve
 
     def stats(self) -> dict:
         out = super().stats()

@@ -416,6 +416,7 @@ class DeviceStore(BaseStorage):
             self._sig_rows, jnp.asarray(slots_p), jnp.asarray(words_p)
         )
         self._rows_ext = None
+        self._bucket_index = None  # upserts change signatures in place
         self._generation += 1
         if self._payload is not None and vectors is not None:
             rows_p = np.zeros((pad, self.dim), dtype=np.float32)
@@ -645,8 +646,6 @@ class DeviceStore(BaseStorage):
             )
             ham_tile = group * 128
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
-
-        from lshrs_tpu.ops.bitpack import dense_to_words
 
         snapshot_gen = self._generation
         # State rides as jit ARGUMENTS, not captured constants: captured
@@ -883,13 +882,13 @@ class DeviceStore(BaseStorage):
             raise RuntimeError("store_vectors=False: no resident payload to rerank")
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
         q = qw.shape[0]
-        if self._size == 0:
-            return (
-                np.full((q, max_out), -1, np.int32),
-                np.zeros((q, max_out), np.float32),
-                np.zeros((q,), np.int32),
-            )
         with self._lock:
+            if self._size == 0:
+                return (
+                    np.full((q, max_out), -1, np.int32),
+                    np.zeros((q, max_out), np.float32),
+                    np.zeros((q,), np.int32),
+                )
             out = max(1, min(max_out, self._capacity))
             ids, sims, n = _topp_batch_jit(
                 self._sig_t,

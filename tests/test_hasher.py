@@ -142,7 +142,7 @@ def test_dense_wire_roundtrip():
     from lshrs_tpu.ops.bitpack import dense_to_words
 
     rng = np.random.default_rng(5)
-    for bands, rows in ((16, 16), (4, 8), (3, 40), (2, 64)):
+    for bands, rows in ((16, 16), (4, 8), (3, 40), (2, 64), (4, 12), (2, 21)):
         h = LSHHasher(num_bands=bands, rows_per_band=rows, dim=24, seed=1)
         X = rng.standard_normal((33, 24)).astype(np.float32)
         dense = h.hash_batch_dense_host(X)

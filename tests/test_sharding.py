@@ -178,3 +178,63 @@ def test_sharded_append_keeps_placement_without_reshard(mesh, hasher, rng, monke
     assert st._ids.sharding == st._row_sharding
     counts, out = st.query_topk(words[3:4], 1)
     assert out[0][0] == 3
+
+
+def test_sharded_snapshot_query_fn_cross_shard_ties(mesh, hasher, rng):
+    """The serving closure must route through the shard_map query: shard-
+    local tie keys are only distinct within a shard, so the single-device
+    program would misorder equal-count candidates across shards."""
+    st = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=1024, enable_hamming=True,
+    )
+    X = rng.standard_normal((1, D)).astype(np.float32)
+    w = hasher.hash_batch_words_host(X)
+    # same signature under two ids placed on different shards
+    filler = rng.standard_normal((200, D)).astype(np.float32)
+    st.add_signature_batch(np.arange(1000, 1200), hasher.hash_batch_words_host(filler))
+    st.add_signature_batch([163], w)
+    st.add_signature_batch([63], w)
+
+    _, want = st.query_topk(w, 2)
+    got = np.asarray(st.snapshot_query_fn(2, wire="words")(w))
+    np.testing.assert_array_equal(got, want)
+    assert got[0].tolist() == [63, 163]  # (count desc, id asc) across shards
+
+    # top-1 must be the globally smallest tied id
+    got1 = np.asarray(st.snapshot_query_fn(1, wire="words")(w))
+    assert got1[0][0] == 63
+
+    # dense wire + hamming mode run through the same sharded path
+    dense = hasher.hash_batch_dense_host(X)
+    got_d = np.asarray(st.snapshot_query_fn(2, wire="dense")(dense))
+    np.testing.assert_array_equal(got_d, want)
+    got_h = np.asarray(
+        st.snapshot_query_fn(2, wire="dense", mode="hamming")(dense)
+    )
+    assert got_h[0].tolist() == [63, 163]
+
+    # staleness guard applies to the sharded closure too
+    fn = st.snapshot_query_fn(1, wire="words")
+    st.add_signature_batch([7], hasher.hash_batch_words_host(
+        rng.standard_normal((1, D)).astype(np.float32)))
+    with pytest.raises(RuntimeError, match="stale"):
+        fn(w)
+
+
+def test_bucket_index_invalidated_on_upsert(hasher, rng):
+    """Upserting an existing id must invalidate the sorted bucket index."""
+    st = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=256,
+        query_mode="bucket",
+    )
+    X = rng.standard_normal((20, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    st.add_signature_batch(np.arange(20), words)
+    _ = st.query_topk(words[:1], 1)  # builds the bucket index
+    # upsert id 0 with a brand-new signature
+    x_new = rng.standard_normal((1, D)).astype(np.float32)
+    w_new = hasher.hash_batch_words_host(x_new)
+    st.add_signature_batch([0], w_new)
+    counts, out = st.query_topk(w_new, 1)
+    assert out[0][0] == 0 and counts[0][0] == B
