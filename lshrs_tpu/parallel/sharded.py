@@ -105,35 +105,29 @@ class ShardedDeviceStore(DeviceStore):
         # shard (order isomorphism within a shard is all the proof needs).
         self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
 
-    def _refresh_ranks(self) -> None:
-        # Shard-local tie directly (the base class's global tie would be
-        # wrong here and its global argsort wasted work).
-        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
-        self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
-        self._bucket_index = None
-        self._rows_ext = None
-        self._generation += 1
+    def _ensure_ranks(self) -> None:
+        # Shard-local tie (the base class's global tie would be wrong here:
+        # each shard's selection-key scale derives from its local columns).
+        if self._ranks_dirty:
+            self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+            self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
+            self._ranks_dirty = False
 
     def _check_placement(self) -> None:
         """Re-place only if an update dropped the sharding (rare: GSPMD
         propagates input shardings through the donated append jits, so
         appends normally cost O(batch), not O(capacity) movement)."""
+        rows_want = NamedSharding(self.mesh, P(self.axis, None))
         if (
-            self._sig_t.sharding != self._col_sharding
-            or self._ids.sharding != self._row_sharding
-            or self._sig_rows.sharding
-            != NamedSharding(self.mesh, P(self.axis, None))
+            not self._sig_t.sharding.is_equivalent_to(self._col_sharding, 2)
+            or not self._ids.sharding.is_equivalent_to(self._row_sharding, 1)
+            or not self._sig_rows.sharding.is_equivalent_to(rows_want, 2)
         ):
             self._reshard()
 
     def remove_indices(self, indices) -> None:
-        # Hold the lock across the base mutation AND the shard-local tie
-        # swap, so a concurrent query can never pair a half-updated tie
-        # with a refine table built from the other one.
         with self._lock:
-            super().remove_indices(indices)
-            self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
-            self._rows_ext = None
+            super().remove_indices(indices)  # marks keys stale (lazy)
             self._check_placement()
 
     def clear(self) -> None:
@@ -144,8 +138,44 @@ class ShardedDeviceStore(DeviceStore):
         super()._grow(max(new_cap, self.n_shards * self.chunk))
         self._reshard()
 
-    def _append(self, ids32, words_np, vectors) -> None:
-        super()._append(ids32, words_np, vectors)
+    def _append(self, ids32, words, vectors) -> None:
+        """SPMD tail-append: every shard scatters the (replicated) batch
+        into its local slots and drops the rest — O(batch) work and zero
+        cross-shard data movement, regardless of capacity."""
+        n = ids32.size
+        pad = _next_pow2(n)
+        if self._size + pad > self._capacity:
+            self._grow(max(2 * self._capacity, _next_pow2(self._size + pad)))
+        ids_p = np.full(pad, -1, dtype=np.int32)
+        ids_p[:n] = ids32
+        words_dev = jnp.asarray(words, dtype=jnp.uint32)
+        if pad != n:
+            words_dev = jnp.pad(words_dev, ((0, pad - n), (0, 0)))
+        offset = jnp.int32(self._size)
+        self._sig_t, self._sig_rows, self._ids = _sharded_append(
+            self.mesh, self.axis,
+            self._sig_t, self._sig_rows, self._ids,
+            words_dev, jnp.asarray(ids_p), offset,
+        )
+        if self._payload is not None:
+            rows = jnp.asarray(vectors, dtype=jnp.float32)
+            if pad != n:
+                rows = jnp.pad(rows, ((0, pad - n), (0, 0)))
+            self._payload, self._pnorm = _sharded_append_payload(
+                self.mesh, self.axis, self._payload, self._pnorm, rows, offset
+            )
+        if self._planes is not None:
+            planes_rows = unpack_bitplanes(
+                words_dev, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+            )
+            self._planes = _sharded_append_rows(
+                self.mesh, self.axis, self._planes, planes_rows, offset
+            )
+        if self._slot_of is not None:
+            base = self._size
+            self._slot_of.update(zip(ids32.tolist(), range(base, base + n)))
+        self._size += n
+        self._refresh_ranks()
         self._check_placement()
 
     def _overwrite(self, slots, words_np, vectors) -> None:
@@ -179,6 +209,7 @@ class ShardedDeviceStore(DeviceStore):
         )
 
     def _query_topk_dev(self, qw: jax.Array, k: int):
+        self._ensure_ranks()
         k_eff = max(1, min(k, self._local_rows()))
         return _sharded_topk(
             self.mesh,
@@ -215,6 +246,7 @@ class ShardedDeviceStore(DeviceStore):
         return counts, ids
 
     def _query_hamming_dev(self, qw: jax.Array, k: int):
+        self._ensure_ranks()
         p = self.num_bands * self.rows_per_band
         local = self._local_rows()
         k_eff = max(1, min(k, local))
@@ -354,6 +386,71 @@ class ShardedDeviceStore(DeviceStore):
 # ---------------------------------------------------------------------------
 # SPMD kernels
 # ---------------------------------------------------------------------------
+
+
+def _local_scatter_pos(axis, offset, n, local_len):
+    """Per-shard local slot positions for a tail-append of ``n`` rows at
+    global ``offset``; out-of-shard rows map to ``local_len`` (dropped)."""
+    i = jax.lax.axis_index(axis)
+    pos = offset + jnp.arange(n, dtype=jnp.int32) - i * local_len
+    ok = (pos >= 0) & (pos < local_len)
+    return jnp.where(ok, pos, local_len)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(2, 3, 4))
+def _sharded_append(mesh, axis, sig_t, rows, ids, new_words, new_ids, offset):
+    n = new_ids.shape[0]
+
+    def local(sig_l, rows_l, ids_l, w, nid, off):
+        pos = _local_scatter_pos(axis, off, n, ids_l.shape[0])
+        sig_l = sig_l.at[:, pos].set(w.T, mode="drop")
+        rows_l = rows_l.at[pos].set(w, mode="drop")
+        ids_l = ids_l.at[pos].set(nid, mode="drop")
+        return sig_l, rows_l, ids_l
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None), P(axis), P(), P(), P()),
+        out_specs=(P(None, axis), P(axis, None), P(axis)),
+        check_vma=False,
+    )(sig_t, rows, ids, new_words, new_ids, offset)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(2, 3))
+def _sharded_append_payload(mesh, axis, payload, pnorm, new_rows, offset):
+    n = new_rows.shape[0]
+
+    def local(p_l, n_l, rows, off):
+        pos = _local_scatter_pos(axis, off, n, n_l.shape[0])
+        p_l = p_l.at[pos].set(rows, mode="drop")
+        n_l = n_l.at[pos].set(jnp.linalg.norm(rows, axis=1), mode="drop")
+        return p_l, n_l
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P()),
+        out_specs=(P(axis, None), P(axis)),
+        check_vma=False,
+    )(payload, pnorm, new_rows, offset)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(2,))
+def _sharded_append_rows(mesh, axis, arr, new_rows, offset):
+    n = new_rows.shape[0]
+
+    def local(a_l, rows, off):
+        pos = _local_scatter_pos(axis, off, n, a_l.shape[0])
+        return a_l.at[pos].set(rows, mode="drop")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(arr, new_rows, offset)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))

@@ -252,6 +252,7 @@ class DeviceStore(BaseStorage):
             if self.enable_hamming and self.hamming_storage == "planes"
             else None
         )
+        self._ranks_dirty = False  # fresh arrays are self-consistent
 
     # -- query path selection ------------------------------------------------
 
@@ -278,11 +279,24 @@ class DeviceStore(BaseStorage):
         return min(max(4096, self.group * 128), self._capacity)
 
     def _refresh_ranks(self) -> None:
-        self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
-        self._tie = compute_global_tie(self._ids)
+        """Mark selection keys stale after a mutation (recomputed lazily).
+
+        Ranks/ties are only read by queries; recomputing them eagerly would
+        put two capacity-wide argsorts (and, sharded, a shard_map) on every
+        ingest batch's critical path.
+        """
+        self._ranks_dirty = True
         self._bucket_index = None  # any mutation invalidates the index
         self._rows_ext = None
         self._generation += 1
+
+    def _ensure_ranks(self) -> None:
+        """Recompute rank/tie keys if stale (call under the lock, before
+        any query that reads ``_ranks``/``_tie``/``_refine_rows``)."""
+        if self._ranks_dirty:
+            self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
+            self._tie = compute_global_tie(self._ids)
+            self._ranks_dirty = False
 
     def _refine_rows(self) -> jax.Array:
         """Lazily built ``(C, BW + 2)`` refine table: words | tie | id."""
@@ -505,6 +519,7 @@ class DeviceStore(BaseStorage):
 
     def _query_topk_dev(self, qw: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
         """Device-resident top-k (no host transfer of the results)."""
+        self._ensure_ranks()
         k_eff = max(1, min(k, self._capacity))
         # The bucketed engine packs (count, tie) into int32; past the packing
         # limit it would silently corrupt keys, so fall through to the scan.
@@ -629,6 +644,7 @@ class DeviceStore(BaseStorage):
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
+            self._ensure_ranks()
             sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
             planes = self._planes
             rows = self._refine_rows() if self._use_grouped() else None
@@ -756,6 +772,7 @@ class DeviceStore(BaseStorage):
     def _query_hamming_dev(self, qw: jax.Array, k: int):
         """Device-resident Hamming top-k, grouped path when the packed
         key fits int32, chunked selection otherwise."""
+        self._ensure_ranks()
         p = self.num_bands * self.rows_per_band
         k_eff = max(1, min(k, self._capacity))
         grouped = (
@@ -994,11 +1011,9 @@ class DeviceStore(BaseStorage):
                 self._ids, hits = _mask_delete_jit(self._ids, jnp.asarray(dels))
                 self._tombstones += int(hits)
             # Relative order of surviving slots is unchanged, but the tie
-            # array must mark the dead slots so the fast path skips them.
-            self._tie = compute_global_tie(self._ids)
-            self._rows_ext = None
-            self._bucket_index = None
-            self._generation += 1
+            # array must mark the dead slots so the fast path skips them;
+            # recomputed lazily with the rest of the selection keys.
+            self._refresh_ranks()
 
     def compact(self) -> int:
         """Reclaim tombstoned slots by rebuilding the dense prefix.
