@@ -100,10 +100,10 @@ class ShardedDeviceStore(DeviceStore):
             self._planes = jax.device_put(
                 self._planes, NamedSharding(self.mesh, P(self.axis, None))
             )
-        # Tie keys must be *shard-local*: each shard's selection-key scale
-        # derives from its local column count, so ranks are computed per
-        # shard (order isomorphism within a shard is all the proof needs).
-        self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
+        # Tie keys must be *shard-local* (each shard's selection-key scale
+        # derives from its local column count); recomputed lazily on the
+        # next query rather than eagerly on every placement repair.
+        self._ranks_dirty = True
 
     def _ensure_ranks(self) -> None:
         # Shard-local tie (the base class's global tie would be wrong here:
@@ -118,11 +118,16 @@ class ShardedDeviceStore(DeviceStore):
         propagates input shardings through the donated append jits, so
         appends normally cost O(batch), not O(capacity) movement)."""
         rows_want = NamedSharding(self.mesh, P(self.axis, None))
-        if (
-            not self._sig_t.sharding.is_equivalent_to(self._col_sharding, 2)
-            or not self._ids.sharding.is_equivalent_to(self._row_sharding, 1)
-            or not self._sig_rows.sharding.is_equivalent_to(rows_want, 2)
-        ):
+        ok = (
+            self._sig_t.sharding.is_equivalent_to(self._col_sharding, 2)
+            and self._ids.sharding.is_equivalent_to(self._row_sharding, 1)
+            and self._sig_rows.sharding.is_equivalent_to(rows_want, 2)
+        )
+        if ok and self._payload is not None:
+            ok = self._payload.sharding.is_equivalent_to(rows_want, 2)
+        if ok and self._planes is not None:
+            ok = self._planes.sharding.is_equivalent_to(rows_want, 2)
+        if not ok:
             self._reshard()
 
     def remove_indices(self, indices) -> None:
@@ -142,15 +147,7 @@ class ShardedDeviceStore(DeviceStore):
         """SPMD tail-append: every shard scatters the (replicated) batch
         into its local slots and drops the rest — O(batch) work and zero
         cross-shard data movement, regardless of capacity."""
-        n = ids32.size
-        pad = _next_pow2(n)
-        if self._size + pad > self._capacity:
-            self._grow(max(2 * self._capacity, _next_pow2(self._size + pad)))
-        ids_p = np.full(pad, -1, dtype=np.int32)
-        ids_p[:n] = ids32
-        words_dev = jnp.asarray(words, dtype=jnp.uint32)
-        if pad != n:
-            words_dev = jnp.pad(words_dev, ((0, pad - n), (0, 0)))
+        n, ids_p, words_dev, rows = self._append_prep(ids32, words, vectors)
         offset = jnp.int32(self._size)
         self._sig_t, self._sig_rows, self._ids = _sharded_append(
             self.mesh, self.axis,
@@ -158,9 +155,6 @@ class ShardedDeviceStore(DeviceStore):
             words_dev, jnp.asarray(ids_p), offset,
         )
         if self._payload is not None:
-            rows = jnp.asarray(vectors, dtype=jnp.float32)
-            if pad != n:
-                rows = jnp.pad(rows, ((0, pad - n), (0, 0)))
             self._payload, self._pnorm = _sharded_append_payload(
                 self.mesh, self.axis, self._payload, self._pnorm, rows, offset
             )
@@ -171,11 +165,7 @@ class ShardedDeviceStore(DeviceStore):
             self._planes = _sharded_append_rows(
                 self.mesh, self.axis, self._planes, planes_rows, offset
             )
-        if self._slot_of is not None:
-            base = self._size
-            self._slot_of.update(zip(ids32.tolist(), range(base, base + n)))
-        self._size += n
-        self._refresh_ranks()
+        self._append_finish(ids32, n)
         self._check_placement()
 
     def _overwrite(self, slots, words_np, vectors) -> None:
@@ -336,42 +326,85 @@ class ShardedDeviceStore(DeviceStore):
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for Hamming-mode queries"
             )
+        from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
+
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
+            self._ensure_ranks()
             snapshot_gen = self._generation
             num_bands, rows_per_band = self.num_bands, self.rows_per_band
+            num_perm = num_bands * rows_per_band
+            mesh, axis = self.mesh, self.axis
+            local = self._local_rows()
+            k_eff = max(1, min(k, local))
+            chunk = min(self.chunk, local)
+            group = min(self.group, local)
+            grouped = self._use_grouped()
+            ham_grouped = (
+                supports_hamming_grouped(num_perm, local) and local % group == 0
+            )
+            packed = self.hamming_storage == "packed"
+            rows = (
+                self._refine_rows()
+                if (grouped or mode == "hamming")
+                else self._sig_rows
+            )
+            state = (
+                self._sig_t, rows, self._ids, self._ranks, self._tie, self._planes
+            )
+            pallas_chunk = self._pallas_chunk()
+            use_pallas = self._use_pallas()
 
-            from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
-
+        def run_slice(qw, st):
+            sig_t, rows_, ids, ranks, tie, planes = st
+            q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
             if mode == "hamming":
-                query_dev = self._query_hamming_dev
-            else:
-                query_dev = self._query_topk_dev
-
-            def run(qw):
-                return query_dev(qw, k)[1]
-
-        def serve(q):
-            if self._generation != snapshot_gen:
-                raise RuntimeError(
-                    "snapshot_query_fn is stale: the store was mutated after "
-                    "the snapshot was taken; call snapshot_query_fn again"
+                if packed:
+                    return _sharded_hamming_packed(
+                        mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
+                        num_perm=num_perm, k=k_eff, chunk=chunk,
+                        grouped=ham_grouped, group=group,
+                    )[1]
+                qbits = unpack_bitplanes(
+                    qw, num_bands=num_bands, rows_per_band=rows_per_band
                 )
-            q = jnp.asarray(q)
+                return _sharded_hamming(
+                    mesh, axis, planes, sig_t, rows_, ids, ranks, tie, qbits, qw,
+                    num_perm=num_perm, k=k_eff, chunk=chunk,
+                    grouped=ham_grouped, group=group,
+                )[1]
+            return _sharded_topk(
+                mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
+                num_bands=num_bands, k=k_eff, chunk=chunk,
+                grouped=grouped, group=group, pallas_chunk=pallas_chunk,
+                q_tile=q_tile, use_pallas=use_pallas,
+            )[1]
+
+        @jax.jit
+        def _serve(q, st):
             if wire == "dense":
                 q = _d2w(q, num_bands=num_bands, rows_per_band=rows_per_band)
             else:
                 q = q.astype(jnp.uint32)
             n = q.shape[0]
+            if dev_batch is None or n <= dev_batch:
+                return run_slice(q, st)
+            outs = [
+                run_slice(jax.lax.slice_in_dim(q, i, min(i + dev_batch, n)), st)
+                for i in range(0, n, dev_batch)
+            ]
+            return jnp.concatenate(outs)
+
+        def serve(q):
             with self._lock:
-                if dev_batch is None or n <= dev_batch:
-                    return run(q)
-                outs = [
-                    run(jax.lax.slice_in_dim(q, i, min(i + dev_batch, n)))
-                    for i in range(0, n, dev_batch)
-                ]
-                return jnp.concatenate(outs)
+                if self._generation != snapshot_gen:
+                    raise RuntimeError(
+                        "snapshot_query_fn is stale: the store was mutated "
+                        "after the snapshot was taken; call snapshot_query_fn "
+                        "again"
+                    )
+                return _serve(q, state)
 
         return serve
 

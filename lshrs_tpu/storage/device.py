@@ -452,42 +452,51 @@ class DeviceStore(BaseStorage):
             )
         # ids unchanged -> ranks unchanged.
 
-    def _append(self, ids32: np.ndarray, words, vectors) -> None:
+    def _append_prep(self, ids32: np.ndarray, words, vectors):
+        """Shared tail-append staging: grow if needed, pad the batch to a
+        power of two (small jit cache), return device-ready arrays."""
         n = ids32.size
         pad = _next_pow2(n)
         if self._size + pad > self._capacity:
             self._grow(max(2 * self._capacity, _next_pow2(self._size + pad)))
         ids_p = np.full(pad, -1, dtype=np.int32)
         ids_p[:n] = ids32
-        # Device-resident batches are padded/transposed on device (no d2h).
+        # Device-resident batches are padded on device (no d2h).
         words_dev = jnp.asarray(words, dtype=jnp.uint32)
-        words_t = words_dev.T
         if pad != n:
-            words_t = jnp.pad(words_t, ((0, 0), (0, pad - n)))
-        offset = np.int32(self._size)
-        self._sig_t, self._ids = _append_jit(
-            self._sig_t, self._ids, words_t, jnp.asarray(ids_p), offset
-        )
-        rows_new = words_dev if pad == n else jnp.pad(words_dev, ((0, pad - n), (0, 0)))
-        self._sig_rows = _append_rows_jit(self._sig_rows, rows_new, offset)
+            words_dev = jnp.pad(words_dev, ((0, pad - n), (0, 0)))
+        rows = None
         if self._payload is not None:
             rows = jnp.asarray(vectors, dtype=jnp.float32)
             if pad != n:
                 rows = jnp.pad(rows, ((0, pad - n), (0, 0)))
+        return n, ids_p, words_dev, rows
+
+    def _append_finish(self, ids32: np.ndarray, n: int) -> None:
+        if self._slot_of is not None:
+            base = self._size
+            self._slot_of.update(zip(ids32.tolist(), range(base, base + n)))
+        self._size += n
+        self._refresh_ranks()
+
+    def _append(self, ids32: np.ndarray, words, vectors) -> None:
+        n, ids_p, words_dev, rows = self._append_prep(ids32, words, vectors)
+        offset = np.int32(self._size)
+        self._sig_t, self._ids = _append_jit(
+            self._sig_t, self._ids, words_dev.T, jnp.asarray(ids_p), offset
+        )
+        self._sig_rows = _append_rows_jit(self._sig_rows, words_dev, offset)
+        if self._payload is not None:
             self._payload = _append_rows_jit(self._payload, rows, offset)
             self._pnorm = jax.lax.dynamic_update_slice(
                 self._pnorm, jnp.linalg.norm(rows, axis=1), (offset,)
             )
         if self._planes is not None:
             planes_rows = unpack_bitplanes(
-                words_t.T, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+                words_dev, num_bands=self.num_bands, rows_per_band=self.rows_per_band
             )
             self._planes = _append_rows_jit(self._planes, planes_rows, offset)
-        if self._slot_of is not None:
-            base = self._size
-            self._slot_of.update(zip(ids32.tolist(), range(base, base + n)))
-        self._size += n
-        self._refresh_ranks()
+        self._append_finish(ids32, n)
 
     def _grow(self, new_cap: int) -> None:
         new_cap = _next_pow2(new_cap)
@@ -740,12 +749,17 @@ class DeviceStore(BaseStorage):
             return jnp.concatenate(outs)
 
         def serve(q):
-            if self._generation != snapshot_gen:
-                raise RuntimeError(
-                    "snapshot_query_fn is stale: the store was mutated after "
-                    "the snapshot was taken; call snapshot_query_fn again"
-                )
-            return _serve(q, state)
+            # Check-and-dispatch under the lock: a concurrent append donates
+            # the captured buffers, so the staleness check must be atomic
+            # with the dispatch (the device->host readback stays outside).
+            with self._lock:
+                if self._generation != snapshot_gen:
+                    raise RuntimeError(
+                        "snapshot_query_fn is stale: the store was mutated "
+                        "after the snapshot was taken; call snapshot_query_fn "
+                        "again"
+                    )
+                return _serve(q, state)
 
         return serve
 

@@ -188,13 +188,22 @@ def test_sharded_snapshot_query_fn_cross_shard_ties(mesh, hasher, rng):
         mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64,
         initial_capacity=1024, enable_hamming=True,
     )
+    rows_per_shard = 1024 // 8
     X = rng.standard_normal((1, D)).astype(np.float32)
     w = hasher.hash_batch_words_host(X)
-    # same signature under two ids placed on different shards
-    filler = rng.standard_normal((200, D)).astype(np.float32)
-    st.add_signature_batch(np.arange(1000, 1200), hasher.hash_batch_words_host(filler))
+    # same signature under two ids placed on DIFFERENT shards: fill exactly
+    # up to one slot before the shard boundary, so id 163 lands at the last
+    # slot of shard 0 and id 63 at the first slot of shard 1 — and the
+    # shard-local tie of 163 (alone near its shard's tail) exceeds that of
+    # 63, which is what the single-device program would mis-order.
+    filler = rng.standard_normal((rows_per_shard - 1, D)).astype(np.float32)
+    st.add_signature_batch(
+        np.arange(1000, 1000 + rows_per_shard - 1),
+        hasher.hash_batch_words_host(filler),
+    )
     st.add_signature_batch([163], w)
     st.add_signature_batch([63], w)
+    assert st._slot_of[163] // rows_per_shard != st._slot_of[63] // rows_per_shard
 
     _, want = st.query_topk(w, 2)
     got = np.asarray(st.snapshot_query_fn(2, wire="words")(w))
