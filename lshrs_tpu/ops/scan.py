@@ -211,7 +211,9 @@ def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax
     q, ng = gmax.shape
     if ngc is None:
         ngc = min(ng, 128)
-    if ng < 8192 or ng % ngc != 0 or ng // ngc <= m:
+    # XLA's flat top_k cost grows superlinearly past ~2k columns; the
+    # hierarchy is effectively free, so prefer it whenever it applies.
+    if ng < 2048 or ng % ngc != 0 or ng // ngc <= m:
         _, top_groups = jax.lax.top_k(gmax, m)
         return top_groups
     nch = ng // ngc
