@@ -188,13 +188,13 @@ def _select_refine(
     bw = sig_t.shape[0]
     mg = m * group
     if sig_rows is not None:
-        rows = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(q, mg, bw + 2)
+        from lshrs_tpu.ops.scan import gather_refine_rows
+
+        cwords, cand_tie, cand_ids = gather_refine_rows(sig_rows, slots, bw=bw)
         hamming = None
         for wi in range(bw):
-            pc = jax.lax.population_count(rows[:, :, wi] ^ qwords[:, wi][:, None])
+            pc = jax.lax.population_count(cwords[:, :, wi] ^ qwords[:, wi][:, None])
             hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
-        cand_tie = jax.lax.bitcast_convert_type(rows[:, :, bw], jnp.int32)
-        cand_ids = jax.lax.bitcast_convert_type(rows[:, :, bw + 1], jnp.int32)
     else:
         cand_words = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
         hamming = None

@@ -198,6 +198,43 @@ collision_topk = partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))(
 # ---------------------------------------------------------------------------
 
 
+def gather_refine_rows(
+    sig_rows: jax.Array, slots: jax.Array, *, bw: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather candidate refine rows -> ``(words, tie, ids)``.
+
+    Args:
+        sig_rows: the refine table, either ``(C, bw+2)`` uint32
+            (words | tie | id) or its byte-widened twin ``(C, 4*ncol)``
+            uint8 with ``ncol >= bw+2`` 32-bit columns. The uint8 form
+            exists because the TPU row-gather has a capacity-independent
+            fast path only for rows of >= 64 lanes; 32-bit rows narrower
+            than 64 columns fall onto a path whose cost grows with the
+            TABLE size (measured ~47 ms/8192q at 1M slots, ~165 ms at 4M,
+            vs a flat ~62-78 ms for wide rows).
+        slots: ``(Q, M)`` int32 candidate slot ids.
+
+    Returns:
+        ``words (Q, M, bw) uint32``, ``tie (Q, M) int32``,
+        ``ids (Q, M) int32``.
+    """
+    q, mg = slots.shape
+    if sig_rows.dtype == jnp.uint8:
+        ncol = sig_rows.shape[1] // 4
+        rows8 = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(
+            q, mg, ncol, 4
+        )
+        rows = jax.lax.bitcast_convert_type(rows8, jnp.uint32)  # (q, mg, ncol)
+    else:
+        rows = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(
+            q, mg, sig_rows.shape[1]
+        )
+    words = rows[..., :bw]
+    tie = jax.lax.bitcast_convert_type(rows[..., bw], jnp.int32)
+    ids = jax.lax.bitcast_convert_type(rows[..., bw + 1], jnp.int32)
+    return words, tie, ids
+
+
 def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax.Array:
     """Exact top-m group indices from per-group max keys.
 
@@ -313,15 +350,13 @@ def collision_topk_grouped_core(
 
     mg = m * group
     if sig_rows is not None:
-        rows = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(q, mg, bw + 2)
+        cwords, cand_tie, cand_ids = gather_refine_rows(sig_rows, slots, bw=bw)
         counts = None
         for b in range(num_bands):
-            eq = rows[:, :, b * w] == qwords[:, b * w][:, None]
+            eq = cwords[:, :, b * w] == qwords[:, b * w][:, None]
             for j in range(1, w):
-                eq &= rows[:, :, b * w + j] == qwords[:, b * w + j][:, None]
+                eq &= cwords[:, :, b * w + j] == qwords[:, b * w + j][:, None]
             counts = eq.astype(jnp.int32) if counts is None else counts + eq
-        cand_tie = jax.lax.bitcast_convert_type(rows[:, :, bw], jnp.int32)
-        cand_ids = jax.lax.bitcast_convert_type(rows[:, :, bw + 1], jnp.int32)
     else:
         cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
         counts = None

@@ -79,6 +79,10 @@ from lshrs_tpu.storage.base import BaseStorage, BucketOperation
 __all__ = ["DeviceStore"]
 
 _MAX_ID = 2**31 - 1
+# Capacity at which the refine table switches to byte-widened rows: below
+# it, the narrow-row gather (cost ~linear in capacity) is cheaper than the
+# flat ~62-78 ms/8192q wide-row fast path; measured crossover ~1.6M slots.
+_WIDE_REFINE_MIN_CAPACITY = 1 << 21
 
 
 def _next_pow2(n: int) -> int:
@@ -299,9 +303,17 @@ class DeviceStore(BaseStorage):
             self._ranks_dirty = False
 
     def _refine_rows(self) -> jax.Array:
-        """Lazily built ``(C, BW + 2)`` refine table: words | tie | id."""
+        """Lazily built refine table: words | tie | id per slot.
+
+        ``(C, BW + 2)`` uint32 at small capacity; past
+        ``_WIDE_REFINE_MIN_CAPACITY`` the rows are byte-widened to >= 64
+        uint8 lanes, which keeps the TPU row-gather on its
+        capacity-independent fast path (see
+        `lshrs_tpu.ops.scan.gather_refine_rows`).
+        """
         if self._rows_ext is None:
-            self._rows_ext = jnp.concatenate(
+            self._ensure_ranks()  # the tie column must be fresh
+            ext = jnp.concatenate(
                 [
                     self._sig_rows,
                     jax.lax.bitcast_convert_type(self._tie, jnp.uint32)[:, None],
@@ -309,6 +321,14 @@ class DeviceStore(BaseStorage):
                 ],
                 axis=1,
             )
+            if self._capacity >= _WIDE_REFINE_MIN_CAPACITY:
+                ncol = max(16, ext.shape[1])
+                if ncol > ext.shape[1]:
+                    ext = jnp.pad(ext, ((0, 0), (0, ncol - ext.shape[1])))
+                ext = jax.lax.bitcast_convert_type(ext, jnp.uint8).reshape(
+                    ext.shape[0], ncol * 4
+                )
+            self._rows_ext = ext
         return self._rows_ext
 
     # ------------------------------------------------------------------

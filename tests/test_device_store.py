@@ -254,3 +254,41 @@ def test_snapshot_query_fn_matches_query_topk(rng):
     empty = DeviceStore(num_bands=4, rows_per_band=8, initial_capacity=128)
     with pytest.raises(RuntimeError, match="non-empty"):
         empty.snapshot_query_fn(3)
+
+
+def test_wide_refine_layout_bit_identical(rng, monkeypatch):
+    """The byte-widened refine table (large-capacity gather fast path)
+    must produce bit-identical results to the narrow uint32 layout."""
+    import lshrs_tpu.storage.device as device_mod
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=32, seed=3)
+    X = rng.standard_normal((400, 32)).astype(np.float32)
+    ids = rng.permutation(10_000)[:400]
+    words = h.hash_batch_words_host(X)
+    qw = h.hash_batch_words_host(rng.standard_normal((9, 32)).astype(np.float32))
+
+    def build():
+        st = DeviceStore(
+            num_bands=4, rows_per_band=8, chunk_size=128, initial_capacity=512,
+            enable_hamming=True, hamming_storage="packed",
+        )
+        st.add_signature_batch(ids, words)
+        return st
+
+    narrow = build()
+    c1, i1 = narrow.query_topk(qw, 11)
+    h1, hi1 = narrow.query_hamming(qw, 7)
+    assert narrow._refine_rows().dtype == np.uint32
+
+    monkeypatch.setattr(device_mod, "_WIDE_REFINE_MIN_CAPACITY", 1)
+    wide = build()
+    assert wide._refine_rows().dtype == np.uint8
+    assert wide._refine_rows().shape[1] >= 64  # fast-path lane minimum
+    c2, i2 = wide.query_topk(qw, 11)
+    h2, hi2 = wide.query_hamming(qw, 7)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(h1, h2)
+    np.testing.assert_array_equal(hi1, hi2)
