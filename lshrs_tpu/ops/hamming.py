@@ -101,10 +101,11 @@ def hamming_topk_core(
         ids / tie: slot ids (-1 dead) and global tie keys.
         qbits / qwords: ``(Q, P)`` int8 and ``(Q, BW)`` uint32 queries.
         chunk / group: scan tile and group width (group | chunk | C).
-        sig_rows: optional ``(C, BW + 2)`` row-major refine table
-            (words | tie | id, see `lshrs_tpu.ops.scan`); refinement then
-            gathers one contiguous row per candidate instead of minor-axis
-            elements.
+        sig_rows: optional ``(C // group, group * (BW + 2))`` GROUPED
+            refine table (`lshrs_tpu.ops.scan.build_grouped_refine_rows`,
+            ``strided_chunk=chunk`` iff ``use_pallas``); refinement then
+            gathers one wide row per candidate GROUP instead of per-slot
+            rows (8x faster at 1M slots).
 
     Returns:
         ``(hamming (Q, k), out_ids (Q, k))``; empty tail entries carry
@@ -169,33 +170,40 @@ def _select_refine(
     top_groups = _hierarchical_top_groups(
         gmax, m=m, ngc=chunk // group if strided else None
     )
-    if strided:
-        # Pallas grouping is strided within each chunk (see pallas_scan).
-        ngc = chunk // group
-        ci = top_groups // ngc
-        j = top_groups % ngc
-        slots = (
-            ci[..., None] * chunk
-            + j[..., None]
-            + jnp.arange(group)[None, None, :] * ngc
-        ).reshape(q, m * group)
-    else:
-        slots = (
-            top_groups[..., None] * group + jnp.arange(group)[None, None, :]
-        ).reshape(q, m * group)
-
     # Refine from packed words: hamming = sum popcount(xor) over BW words.
     bw = sig_t.shape[0]
     mg = m * group
     if sig_rows is not None:
-        from lshrs_tpu.ops.scan import gather_refine_rows
+        from lshrs_tpu.ops.scan import gather_refine_group_rows
 
-        cwords, cand_tie, cand_ids = gather_refine_rows(sig_rows, slots, bw=bw)
+        cwords, cand_tie, cand_ids = gather_refine_group_rows(
+            sig_rows, top_groups, bw=bw, group=group
+        )
+        slots = None
         hamming = None
         for wi in range(bw):
-            pc = jax.lax.population_count(cwords[:, :, wi] ^ qwords[:, wi][:, None])
+            pc = jax.lax.population_count(
+                cwords[:, :, wi, :] ^ qwords[:, wi][:, None, None]
+            )
             hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
+        hamming = hamming.reshape(q, mg)
+        cand_tie = cand_tie.reshape(q, mg)
+        cand_ids = cand_ids.reshape(q, mg)
     else:
+        if strided:
+            # Pallas grouping is strided within each chunk (see pallas_scan).
+            ngc = chunk // group
+            ci = top_groups // ngc
+            j = top_groups % ngc
+            slots = (
+                ci[..., None] * chunk
+                + j[..., None]
+                + jnp.arange(group)[None, None, :] * ngc
+            ).reshape(q, m * group)
+        else:
+            slots = (
+                top_groups[..., None] * group + jnp.arange(group)[None, None, :]
+            ).reshape(q, m * group)
         cand_words = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
         hamming = None
         for wi in range(bw):

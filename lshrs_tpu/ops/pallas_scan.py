@@ -55,16 +55,21 @@ def supports_fast_path(num_bands: int, capacity: int) -> bool:
 def _make_kernel(num_bands: int, words: int, group: int, scale: int):
     """Build the kernel for one (q_tile, chunk) grid cell.
 
-    q_ref:   (QT, BW)  uint32 — query signature words
-    sig_ref: (BW, CH)  uint32 — transposed store chunk
-    tie_ref: (1, CH)   int32  — S-1-rank for alive slots, -1 for dead slots
-                                (dead slots' counts are masked to zero)
-    out_ref: (QT, CH // group) int32 — per-group max keys
+    q_ref:    (QT, BW)  uint32 — query signature words
+    sig_ref:  (BW, CH)  uint32 — transposed store chunk
+    bias_ref: (1, CH)   int32 — precomputed key bias
+              (:func:`_collision_key_bias`): ``tie`` for alive slots,
+              ``-num_bands * scale`` for dead ones. Alive key =
+              ``count*scale + tie`` (unchanged); a dead slot's key is
+              ``count*scale - B*scale <= 0``, i.e. never above an alive
+              slot with count >= 1 — and count-0 slots are non-results
+              either way (the refine stage drops them).
+    out_ref:  (QT, CH // group) int32 — per-group max keys
 
     Bands are unrolled (num_bands is small on the fast path by
     construction; larger band counts use the chunked fallback).
     """
-    def kernel(q_ref, sig_ref, tie_ref, out_ref):
+    def kernel(q_ref, sig_ref, bias_ref, out_ref):
         qt = q_ref.shape[0]
         ch = sig_ref.shape[1]
         counts = jnp.zeros((qt, ch), dtype=jnp.int32)
@@ -76,9 +81,7 @@ def _make_kernel(num_bands: int, words: int, group: int, scale: int):
                     == q_ref[:, b * words + w][:, None]
                 )
             counts += eq.astype(jnp.int32)
-        tie = tie_ref[0, :]
-        alive = (tie >= 0).astype(jnp.int32)[None, :]
-        key = counts * alive * scale + jnp.maximum(tie, 0)[None, :]
+        key = counts * scale + bias_ref[0, :][None, :]
         # Strided group-max: group j of this chunk holds slots
         # {j, j + ngc, j + 2*ngc, ...} (ngc = chunk // group). Contiguous
         # slice + max keeps Mosaic happy (2D->3D reshapes of vectors are
@@ -95,17 +98,32 @@ def _make_kernel(num_bands: int, words: int, group: int, scale: int):
 def _make_hamming_kernel(group: int, scale: int):
     """Kernel: MXU dots over +-1 bitplanes -> packed keys -> group-max.
 
-    q_ref:   (QT, P)   int8  — query bitplanes
-    sig_ref: (CH, P)   int8  — store bitplane chunk
-    tie_ref: (1, CH)   int32 — S-1-rank for alive slots, -1 dead
-    out_ref: (QT, CH // group) int32 — strided per-group max keys
+    q_ref:    (QT, P)   int8  — query bitplanes
+    sig_ref:  (CH, P)   int8  — store bitplane chunk
+    bias_ref: (1, CH)   int32 — precomputed key bias (see
+              :func:`_hamming_key_bias`): ``tie + scale`` for alive
+              slots, ``-P * scale`` for dead ones. Folding the alive
+              mask / +1 / max(tie, 0) of the original formulation into
+              one precomputed vector halves the kernel's per-element VPU
+              ops (the dominant cost at large capacity: the VPU work is
+              ~15 ms/8192q at 1M slots vs ~11 ms of MXU dots).
+    out_ref:  (QT, CH // group) int32 — strided per-group max keys
+
+    Ordering proof sketch: for alive slots
+    ``key = ((dots+P)>>1)*scale + tie + scale`` is exactly the original
+    ``((dots+P)//2 + 1)*scale + tie`` — lexicographic (similarity, tie),
+    globally distinct. Any dead slot's key is
+    ``((dots+P)>>1)*scale - P*scale <= P*scale - P*scale = 0 < scale``,
+    i.e. strictly below every alive key, whatever its stale bitplanes
+    contain. |key| <= (P+2)*scale — the same int32 bound as before
+    (`lshrs_tpu.ops.hamming.supports_hamming_grouped`).
 
     Fusing the dot with key construction keeps the (QT, CH) dot matrix in
     VMEM instead of round-tripping it through HBM (the XLA formulation's
     dominant cost at large capacities).
     """
 
-    def kernel(q_ref, sig_ref, tie_ref, out_ref):
+    def kernel(q_ref, sig_ref, bias_ref, out_ref):
         p = q_ref.shape[1]
         ch = sig_ref.shape[0]
         dots = jax.lax.dot_general(
@@ -114,10 +132,7 @@ def _make_hamming_kernel(group: int, scale: int):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (QT, CH) on the MXU
-        tie = tie_ref[0, :]
-        alive = (tie >= 0).astype(jnp.int32)[None, :]
-        scaled = ((dots + p) // 2 + 1) * alive
-        key = scaled * scale + jnp.maximum(tie, 0)[None, :]
+        key = ((dots + p) >> 1) * scale + bias_ref[0, :][None, :]
         ngc = ch // group
         gmax = key[:, :ngc]
         for i in range(1, group):
@@ -127,19 +142,33 @@ def _make_hamming_kernel(group: int, scale: int):
     return kernel
 
 
+def _collision_key_bias(
+    tie: jax.Array, *, scale: int, num_bands: int
+) -> jax.Array:
+    """Precomputed per-slot key bias for the collision kernel."""
+    return jnp.where(tie >= 0, tie, -num_bands * scale)
+
+
+def _hamming_key_bias(tie: jax.Array, *, scale: int, num_perm: int) -> jax.Array:
+    """Precomputed per-slot key bias for the bitplane Hamming kernel."""
+    return jnp.where(tie >= 0, tie + scale, -num_perm * scale)
+
+
 def _make_hamming_packed_kernel(words: int, group: int, scale: int, num_perm: int):
     """Kernel: popcount Hamming over PACKED uint32 words -> group-max keys.
 
-    q_ref:   (QT, BW)  uint32 — query signature words
-    sig_ref: (BW, CH)  uint32 — transposed store chunk
-    tie_ref: (1, CH)   int32
-    out_ref: (QT, CH // group) int32
+    q_ref:    (QT, BW)  uint32 — query signature words
+    sig_ref:  (BW, CH)  uint32 — transposed store chunk
+    bias_ref: (1, CH)   int32 — ``(P+1)*scale + tie`` alive, ``0`` dead
+              (alive key = the original ``(P+1-ham)*scale + tie``; dead
+              key = ``-ham*scale <= 0 < scale`` <= every alive key)
+    out_ref:  (QT, CH // group) int32
 
     Zero extra memory vs the int8 bitplane formulation (which costs
     ``num_perm`` bytes/slot); ~VPU-rate instead of MXU-rate.
     """
 
-    def kernel(q_ref, sig_ref, tie_ref, out_ref):
+    def kernel(q_ref, sig_ref, bias_ref, out_ref):
         ch = sig_ref.shape[1]
         ham = None
         for w in range(words):
@@ -147,10 +176,7 @@ def _make_hamming_packed_kernel(words: int, group: int, scale: int, num_perm: in
                 sig_ref[w, :][None, :] ^ q_ref[:, w][:, None]
             ).astype(jnp.int32)
             ham = pc if ham is None else ham + pc
-        tie = tie_ref[0, :]
-        alive = (tie >= 0).astype(jnp.int32)[None, :]
-        scaled = (num_perm + 1 - ham) * alive
-        key = scaled * scale + jnp.maximum(tie, 0)[None, :]
+        key = bias_ref[0, :][None, :] - ham * scale
         ngc = ch // group
         gmax = key[:, :ngc]
         for i in range(1, group):
@@ -158,6 +184,13 @@ def _make_hamming_packed_kernel(words: int, group: int, scale: int, num_perm: in
         out_ref[:, :] = gmax
 
     return kernel
+
+
+def _hamming_packed_key_bias(
+    tie: jax.Array, *, scale: int, num_perm: int
+) -> jax.Array:
+    """Precomputed per-slot key bias for the packed Hamming kernel."""
+    return jnp.where(tie >= 0, (num_perm + 1) * scale + tie, 0)
 
 
 @partial(
@@ -182,6 +215,7 @@ def hamming_packed_group_max_keys(
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
     kernel = _make_hamming_packed_kernel(bw, group, scale, num_perm)
+    bias = _hamming_packed_key_bias(tie, scale=scale, num_perm=num_perm)
     grid = (c // chunk, q // q_tile)  # chunk-major: store block stays in VMEM
     return pl.pallas_call(
         kernel,
@@ -201,7 +235,7 @@ def hamming_packed_group_max_keys(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qwords, sig_t, tie.reshape(1, c))
+    )(qwords, sig_t, bias.reshape(1, c))
 
 
 @partial(
@@ -235,6 +269,7 @@ def hamming_group_max_keys(
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
     kernel = _make_hamming_kernel(group, scale)
+    bias = _hamming_key_bias(tie, scale=scale, num_perm=p)
     grid = (c // chunk, q // q_tile)  # chunk-major: planes block stays in VMEM
     return pl.pallas_call(
         kernel,
@@ -254,7 +289,7 @@ def hamming_group_max_keys(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qbits, planes, tie.reshape(1, c))
+    )(qbits, planes, bias.reshape(1, c))
 
 
 @partial(
@@ -292,6 +327,7 @@ def group_max_keys(
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
     kernel = _make_kernel(num_bands, words, group, scale)
+    bias = _collision_key_bias(tie, scale=scale, num_bands=num_bands)
     # Chunk-major grid: the (large) store block's index map is constant
     # across the inner q-tile axis, so Mosaic keeps it in VMEM instead of
     # re-streaming the whole store once per query tile.
@@ -314,4 +350,4 @@ def group_max_keys(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qwords, sig_t, tie.reshape(1, c))
+    )(qwords, sig_t, bias.reshape(1, c))

@@ -198,40 +198,76 @@ collision_topk = partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))(
 # ---------------------------------------------------------------------------
 
 
-def gather_refine_rows(
-    sig_rows: jax.Array, slots: jax.Array, *, bw: int
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Gather candidate refine rows -> ``(words, tie, ids)``.
+def build_grouped_refine_rows(
+    sig_rows_ext: jax.Array, *, group: int, strided_chunk: int | None
+) -> jax.Array:
+    """Per-slot refine table -> GROUP-ROW refine table.
+
+    The refinement stage needs the rows of every slot in each selected
+    group. Gathering them as per-slot rows costs one gather row per slot
+    (measured 46 ms per 8192 queries at 1M slots for 18-uint32 rows —
+    the TPU gather is row-count-bound at these widths); concatenating
+    each group's ``group`` slot rows into ONE wide table row makes the
+    same refinement a gather of ``m`` wide rows per query (5.6 ms for
+    the same workload — 8x). Pure reshape/transpose, no data inflation.
 
     Args:
-        sig_rows: the refine table, either ``(C, bw+2)`` uint32
-            (words | tie | id) or its byte-widened twin ``(C, 4*ncol)``
-            uint8 with ``ncol >= bw+2`` 32-bit columns. The uint8 form
-            exists because the TPU row-gather has a capacity-independent
-            fast path only for rows of >= 64 lanes; 32-bit rows narrower
-            than 64 columns fall onto a path whose cost grows with the
-            TABLE size (measured ~47 ms/8192q at 1M slots, ~165 ms at 4M,
-            vs a flat ~62-78 ms for wide rows).
-        slots: ``(Q, M)`` int32 candidate slot ids.
+        sig_rows_ext: ``(C, nc)`` uint32, ``nc = bw + 2`` (words|tie|id).
+        group: slots per group.
+        strided_chunk: the Pallas kernels group STRIDED within each
+            chunk (group ``g = (ci, j)`` holds slots
+            ``ci*chunk + j + i*ngc``); pass the chunk size so table row
+            ``g`` matches kernel group ``g``. ``None`` = contiguous
+            grouping (the XLA fallback formulation).
 
     Returns:
-        ``words (Q, M, bw) uint32``, ``tie (Q, M) int32``,
-        ``ids (Q, M) int32``.
+        ``(C // group, nc * group)`` uint32; row ``g`` = group ``g``'s
+        slot rows transposed to WORD-MAJOR order: ``nc`` contiguous
+        ``group``-wide blocks (word 0 of every slot, then word 1, ...,
+        then tie, then id). Word-major matters: the refinement reads one
+        word column at a time, and column slices of slot-major rows have
+        minor dimension ``nc`` (~18) — far below the TPU's 128-lane tile,
+        so every pass pays ~7x padded traffic (measured 78 ms vs ~25 ms
+        per 8192 queries at 1M slots).
     """
-    q, mg = slots.shape
-    if sig_rows.dtype == jnp.uint8:
-        ncol = sig_rows.shape[1] // 4
-        rows8 = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(
-            q, mg, ncol, 4
-        )
-        rows = jax.lax.bitcast_convert_type(rows8, jnp.uint32)  # (q, mg, ncol)
-    else:
-        rows = jnp.take(sig_rows, slots.reshape(-1), axis=0).reshape(
-            q, mg, sig_rows.shape[1]
-        )
-    words = rows[..., :bw]
-    tie = jax.lax.bitcast_convert_type(rows[..., bw], jnp.int32)
-    ids = jax.lax.bitcast_convert_type(rows[..., bw + 1], jnp.int32)
+    c, nc = sig_rows_ext.shape
+    if strided_chunk is None:
+        r3 = sig_rows_ext.reshape(c // group, group, nc)
+        return jnp.transpose(r3, (0, 2, 1)).reshape(c // group, nc * group)
+    chunk = strided_chunk
+    ngc = chunk // group
+    # (nch, group, ngc, nc)[ci, i, j] = slot ci*chunk + i*ngc + j
+    r4 = sig_rows_ext.reshape(c // chunk, group, ngc, nc)
+    # row (ci, j) holds i = 0..group-1, word-major -> axes (ci, j, colc, i)
+    return jnp.transpose(r4, (0, 2, 3, 1)).reshape(c // group, nc * group)
+
+
+def gather_refine_group_rows(
+    rows_g: jax.Array, top_groups: jax.Array, *, bw: int, group: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather whole candidate-group rows -> ``(words, tie, ids)``.
+
+    Args:
+        rows_g: ``(C // group, (bw + 2) * group)`` uint32 word-major
+            grouped refine table (see :func:`build_grouped_refine_rows`).
+        top_groups: ``(Q, m)`` int32 selected group indices.
+
+    Returns:
+        ``words (Q, m, bw, group) uint32`` (``words[..., wi, :]`` is a
+        contiguous, lane-aligned block), ``tie (Q, m, group) int32``,
+        ``ids (Q, m, group) int32``. Flatten the trailing ``(m, group)``
+        axes consistently to index candidates.
+    """
+    q, m = top_groups.shape
+    nc = bw + 2
+    rows = jnp.take(rows_g, top_groups.reshape(-1), axis=0)
+    # Materialize the gather before the per-word column slices: fused with
+    # its consumers, XLA re-expands the one wide row-gather into nc
+    # element gathers (measured 94 ms vs 6 ms per 8192q at 1M slots).
+    rows = jax.lax.optimization_barrier(rows).reshape(q, m, nc, group)
+    words = rows[:, :, :bw, :]
+    tie = jax.lax.bitcast_convert_type(rows[:, :, bw, :], jnp.int32)
+    ids = jax.lax.bitcast_convert_type(rows[:, :, bw + 1, :], jnp.int32)
     return words, tie, ids
 
 
@@ -288,13 +324,13 @@ def collision_topk_grouped_core(
             -1 for dead (see :func:`compute_global_tie`).
         use_pallas: run the fused Pallas kernel (TPU); otherwise an
             equivalent jnp formulation (CPU tests / tiny stores).
-        sig_rows: optional ``(C, BW + 2)`` row-major refine table:
-            columns ``[0:BW]`` = signature words, ``[BW]`` = tie key
-            (bitcast), ``[BW+1]`` = slot id (bitcast). When given, the
-            refinement gathers one contiguous row per candidate slot —
-            words, tie and id together — instead of minor-axis element
-            gathers of ``sig_t``/``tie``/``ids`` (row gathers are what the
-            TPU gather unit is fast at).
+        sig_rows: optional ``(C // group, group * (BW + 2))`` GROUPED
+            refine table (see :func:`build_grouped_refine_rows`, built
+            with ``strided_chunk=pallas_chunk`` iff ``use_pallas``). When
+            given, the refinement gathers one wide row per candidate
+            GROUP — all its slots' words, ties and ids together — which
+            is 8x faster than per-slot row gathers at 1M slots (the TPU
+            gather is row-count-bound at narrow widths).
     """
     bw, c = sig_t.shape
     q = qwords.shape[0]
@@ -332,32 +368,40 @@ def collision_topk_grouped_core(
     top_groups = _hierarchical_top_groups(
         gmax, m=m, ngc=pallas_chunk // group if use_pallas else None
     )
-    if use_pallas:
-        # Pallas grouping is strided within each chunk (see pallas_scan):
-        # group g = chunk ci, lane j; its slots are ci*chunk + j + i*ngc.
-        ngc = pallas_chunk // group
-        ci = top_groups // ngc
-        j = top_groups % ngc
-        slots = (
-            ci[..., None] * pallas_chunk
-            + j[..., None]
-            + jnp.arange(group)[None, None, :] * ngc
-        ).reshape(q, m * group)
-    else:
-        slots = (
-            top_groups[..., None] * group + jnp.arange(group)[None, None, :]
-        ).reshape(q, m * group)  # (Q, m*group)
-
     mg = m * group
     if sig_rows is not None:
-        cwords, cand_tie, cand_ids = gather_refine_rows(sig_rows, slots, bw=bw)
+        cwords, cand_tie, cand_ids = gather_refine_group_rows(
+            sig_rows, top_groups, bw=bw, group=group
+        )
+        slots = None
         counts = None
         for b in range(num_bands):
-            eq = cwords[:, :, b * w] == qwords[:, b * w][:, None]
+            eq = cwords[:, :, b * w, :] == qwords[:, b * w][:, None, None]
             for j in range(1, w):
-                eq &= cwords[:, :, b * w + j] == qwords[:, b * w + j][:, None]
+                eq &= (
+                    cwords[:, :, b * w + j, :]
+                    == qwords[:, b * w + j][:, None, None]
+                )
             counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        counts = counts.reshape(q, mg)
+        cand_tie = cand_tie.reshape(q, mg)
+        cand_ids = cand_ids.reshape(q, mg)
     else:
+        if use_pallas:
+            # Pallas grouping is strided within each chunk (pallas_scan):
+            # group g = chunk ci, lane j; its slots are ci*chunk + j + i*ngc.
+            ngc = pallas_chunk // group
+            ci = top_groups // ngc
+            j = top_groups % ngc
+            slots = (
+                ci[..., None] * pallas_chunk
+                + j[..., None]
+                + jnp.arange(group)[None, None, :] * ngc
+            ).reshape(q, m * group)
+        else:
+            slots = (
+                top_groups[..., None] * group + jnp.arange(group)[None, None, :]
+            ).reshape(q, m * group)  # (Q, m*group)
         cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
         counts = None
         for b in range(num_bands):

@@ -39,6 +39,7 @@ from lshrs_tpu.ops.hamming import (
     unpack_bitplanes,
 )
 from lshrs_tpu.ops.scan import (
+    build_grouped_refine_rows,
     collision_counts_core,
     collision_topk_core,
     collision_topk_grouped_core,
@@ -88,7 +89,7 @@ class ShardedDeviceStore(DeviceStore):
         self._sig_rows = jax.device_put(
             self._sig_rows, NamedSharding(self.mesh, P(self.axis, None))
         )
-        self._rows_ext = None
+        self._rows_ext = {}
         self._ids = jax.device_put(self._ids, row)
         self._ranks = jax.device_put(self._ranks, row)
         if self._payload is not None:
@@ -112,6 +113,23 @@ class ShardedDeviceStore(DeviceStore):
             self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
             self._tie = _sharded_tie(self.mesh, self.axis, self._ids)
             self._ranks_dirty = False
+
+    def _refine_rows(self, group: int, strided_chunk: int | None) -> jax.Array:
+        # Build each shard's grouped refine table locally under shard_map
+        # (the base class's reshape/transpose on a sharded global array
+        # would tempt GSPMD into cross-shard data movement). Output stays
+        # P(axis, None): local block g = local group g, as the shard-local
+        # query cores expect.
+        key = (group, strided_chunk)
+        cached = self._rows_ext.get(key)
+        if cached is None:
+            self._ensure_ranks()
+            cached = _sharded_refine_rows(
+                self.mesh, self.axis, self._sig_rows, self._tie, self._ids,
+                group=group, strided_chunk=strided_chunk,
+            )
+            self._rows_ext[key] = cached
+        return cached
 
     def _check_placement(self) -> None:
         """Re-place only if an update dropped the sharding (rare: GSPMD
@@ -205,7 +223,12 @@ class ShardedDeviceStore(DeviceStore):
             self.mesh,
             self.axis,
             self._sig_t,
-            self._refine_rows() if self._use_grouped() else self._sig_rows,
+            self._refine_rows(
+                min(self.group, self._local_rows()),
+                self._pallas_chunk() if self._use_pallas() else None,
+            )
+            if self._use_grouped()
+            else self._sig_rows,
             self._ids,
             self._ranks,
             self._tie,
@@ -240,12 +263,20 @@ class ShardedDeviceStore(DeviceStore):
         p = self.num_bands * self.rows_per_band
         local = self._local_rows()
         k_eff = max(1, min(k, local))
+        ham_grouped = (
+            supports_hamming_grouped(p, local) and local % self.group == 0
+        )
+        ham_rows = (
+            self._refine_rows(min(self.group, local), None)
+            if ham_grouped
+            else self._sig_rows
+        )
         if self.hamming_storage == "packed":
             return _sharded_hamming_packed(
                 self.mesh,
                 self.axis,
                 self._sig_t,
-                self._refine_rows(),
+                ham_rows,
                 self._ids,
                 self._ranks,
                 self._tie,
@@ -253,9 +284,7 @@ class ShardedDeviceStore(DeviceStore):
                 num_perm=p,
                 k=k_eff,
                 chunk=min(self.chunk, local),
-                grouped=(
-                    supports_hamming_grouped(p, local) and local % self.group == 0
-                ),
+                grouped=ham_grouped,
                 group=min(self.group, local),
             )
         qbits = unpack_bitplanes(
@@ -266,7 +295,7 @@ class ShardedDeviceStore(DeviceStore):
             self.axis,
             self._planes,
             self._sig_t,
-            self._refine_rows(),
+            ham_rows,
             self._ids,
             self._ranks,
             self._tie,
@@ -275,9 +304,7 @@ class ShardedDeviceStore(DeviceStore):
             num_perm=p,
             k=k_eff,
             chunk=min(self.chunk, local),
-            grouped=(
-                supports_hamming_grouped(p, local) and local % self.group == 0
-            ),
+            grouped=ham_grouped,
             group=min(self.group, local),
         )
 
@@ -345,11 +372,23 @@ class ShardedDeviceStore(DeviceStore):
                 supports_hamming_grouped(num_perm, local) and local % group == 0
             )
             packed = self.hamming_storage == "packed"
-            rows = (
-                self._refine_rows()
-                if (grouped or mode == "hamming")
-                else self._sig_rows
-            )
+            # Grouped refine table in the geometry of the served mode
+            # (hamming: contiguous; collision: strided iff Pallas).
+            if mode == "hamming":
+                rows = (
+                    self._refine_rows(group, None)
+                    if ham_grouped
+                    else self._sig_rows
+                )
+            else:
+                rows = (
+                    self._refine_rows(
+                        group,
+                        self._pallas_chunk() if self._use_pallas() else None,
+                    )
+                    if grouped
+                    else self._sig_rows
+                )
             state = (
                 self._sig_t, rows, self._ids, self._ranks, self._tie, self._planes
             )
@@ -484,6 +523,32 @@ def _sharded_append_rows(mesh, axis, arr, new_rows, offset):
         out_specs=P(axis, None),
         check_vma=False,
     )(arr, new_rows, offset)
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "axis", "group", "strided_chunk")
+)
+def _sharded_refine_rows(mesh, axis, sig_rows, tie, ids, *, group, strided_chunk):
+    def local(rows_l, tie_l, ids_l):
+        ext = jnp.concatenate(
+            [
+                rows_l,
+                jax.lax.bitcast_convert_type(tie_l, jnp.uint32)[:, None],
+                jax.lax.bitcast_convert_type(ids_l, jnp.uint32)[:, None],
+            ],
+            axis=1,
+        )
+        return build_grouped_refine_rows(
+            ext, group=group, strided_chunk=strided_chunk
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(sig_rows, tie, ids)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))

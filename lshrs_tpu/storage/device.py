@@ -68,6 +68,7 @@ from lshrs_tpu.ops.scan import (
     collision_counts,
     collision_topk,
     collision_topk_core,
+    build_grouped_refine_rows,
     collision_topk_grouped,
     collision_topk_grouped_core,
     compute_chunk_ranks,
@@ -79,10 +80,6 @@ from lshrs_tpu.storage.base import BaseStorage, BucketOperation
 __all__ = ["DeviceStore"]
 
 _MAX_ID = 2**31 - 1
-# Capacity at which the refine table switches to byte-widened rows: below
-# it, the narrow-row gather (cost ~linear in capacity) is cheaper than the
-# flat ~62-78 ms/8192q wide-row fast path; measured crossover ~1.6M slots.
-_WIDE_REFINE_MIN_CAPACITY = 1 << 21
 
 
 def _next_pow2(n: int) -> int:
@@ -241,7 +238,7 @@ class DeviceStore(BaseStorage):
         # (words + tie + id appended lazily, see _refine_rows) instead of
         # minor-axis elements — the fast shape for the TPU gather unit.
         self._sig_rows = jnp.zeros((cap, self.words), dtype=jnp.uint32)
-        self._rows_ext: jax.Array | None = None
+        self._rows_ext: dict = {}  # grouped refine tables per geometry
         self._ids = jnp.full((cap,), -1, dtype=jnp.int32)
         self._ranks = jnp.zeros((cap,), dtype=jnp.int32)
         self._tie = jnp.full((cap,), -1, dtype=jnp.int32)
@@ -291,7 +288,7 @@ class DeviceStore(BaseStorage):
         """
         self._ranks_dirty = True
         self._bucket_index = None  # any mutation invalidates the index
-        self._rows_ext = None
+        self._rows_ext = {}
         self._generation += 1
 
     def _ensure_ranks(self) -> None:
@@ -302,16 +299,21 @@ class DeviceStore(BaseStorage):
             self._tie = compute_global_tie(self._ids)
             self._ranks_dirty = False
 
-    def _refine_rows(self) -> jax.Array:
-        """Lazily built refine table: words | tie | id per slot.
+    def _refine_rows(self, group: int, strided_chunk: int | None) -> jax.Array:
+        """Lazily built GROUPED refine table for the given geometry.
 
-        ``(C, BW + 2)`` uint32 at small capacity; past
-        ``_WIDE_REFINE_MIN_CAPACITY`` the rows are byte-widened to >= 64
-        uint8 lanes, which keeps the TPU row-gather on its
-        capacity-independent fast path (see
-        `lshrs_tpu.ops.scan.gather_refine_rows`).
+        ``(C // group, group * (BW + 2))`` uint32 — each row concatenates
+        one selection group's per-slot (words | tie | id) rows, in the
+        kernel's slot order (strided within ``strided_chunk`` for the
+        Pallas kernels, contiguous for the XLA fallback). Refinement then
+        gathers one wide row per candidate group — 8x faster than
+        per-slot row gathers at 1M slots (the TPU gather is
+        row-count-bound at narrow widths). Cached per geometry;
+        invalidated on any mutation.
         """
-        if self._rows_ext is None:
+        key = (group, strided_chunk)
+        cached = self._rows_ext.get(key)
+        if cached is None:
             self._ensure_ranks()  # the tie column must be fresh
             ext = jnp.concatenate(
                 [
@@ -321,15 +323,11 @@ class DeviceStore(BaseStorage):
                 ],
                 axis=1,
             )
-            if self._capacity >= _WIDE_REFINE_MIN_CAPACITY:
-                ncol = max(16, ext.shape[1])
-                if ncol > ext.shape[1]:
-                    ext = jnp.pad(ext, ((0, 0), (0, ncol - ext.shape[1])))
-                ext = jax.lax.bitcast_convert_type(ext, jnp.uint8).reshape(
-                    ext.shape[0], ncol * 4
-                )
-            self._rows_ext = ext
-        return self._rows_ext
+            cached = build_grouped_refine_rows(
+                ext, group=group, strided_chunk=strided_chunk
+            )
+            self._rows_ext[key] = cached
+        return cached
 
     # ------------------------------------------------------------------
     # signature-batch ingestion (the TPU-native path)
@@ -449,7 +447,7 @@ class DeviceStore(BaseStorage):
         self._sig_rows = _scatter_rows_jit(
             self._sig_rows, jnp.asarray(slots_p), jnp.asarray(words_p)
         )
-        self._rows_ext = None
+        self._rows_ext = {}
         self._bucket_index = None  # upserts change signatures in place
         self._generation += 1
         if self._payload is not None and vectors is not None:
@@ -580,7 +578,10 @@ class DeviceStore(BaseStorage):
                 pallas_chunk=self._pallas_chunk(),
                 q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
                 use_pallas=self._use_pallas(),
-                sig_rows=self._refine_rows(),
+                sig_rows=self._refine_rows(
+                    min(self.group, self._capacity),
+                    self._pallas_chunk() if self._use_pallas() else None,
+                ),
             )
         return collision_topk(
             self._sig_t,
@@ -676,7 +677,6 @@ class DeviceStore(BaseStorage):
             self._ensure_ranks()
             sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
             planes = self._planes
-            rows = self._refine_rows() if self._use_grouped() else None
             grouped, use_pallas = self._use_grouped(), self._use_pallas()
             group = min(self.group, self._capacity)
             pallas_chunk = self._pallas_chunk()
@@ -691,6 +691,19 @@ class DeviceStore(BaseStorage):
             )
             ham_tile = group * 128
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
+            # Grouped refine table in the geometry of the served mode.
+            if mode == "hamming":
+                rows = (
+                    self._refine_rows(group, ham_tile if ham_pallas else None)
+                    if ham_grouped
+                    else None
+                )
+            else:
+                rows = (
+                    self._refine_rows(group, pallas_chunk if use_pallas else None)
+                    if grouped
+                    else None
+                )
 
         snapshot_gen = self._generation
         # State rides as jit ARGUMENTS, not captured constants: captured
@@ -828,7 +841,9 @@ class DeviceStore(BaseStorage):
                     group=group,
                     use_pallas=use_pallas,
                     q_tile=q_tile,
-                    sig_rows=self._refine_rows(),
+                    sig_rows=self._refine_rows(
+                        group, pallas_tile if use_pallas else None
+                    ),
                 )
             return hamming_topk_packed_chunked(
                 self._sig_t, self._ids, self._ranks, qw,
@@ -845,7 +860,9 @@ class DeviceStore(BaseStorage):
                 group=group,
                 use_pallas=use_pallas,
                 q_tile=q_tile,
-                sig_rows=self._refine_rows(),
+                sig_rows=self._refine_rows(
+                    group, pallas_tile if use_pallas else None
+                ),
             )
         return hamming_topk_chunked(
             self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
@@ -1082,7 +1099,8 @@ class DeviceStore(BaseStorage):
         self._sig_t = self._ids = self._ranks = self._tie = None  # type: ignore[assignment]
         self._payload = self._pnorm = self._planes = None
         self._bucket_index = None
-        self._sig_rows = self._rows_ext = None
+        self._sig_rows = None
+        self._rows_ext = {}
 
     # ------------------------------------------------------------------
     # introspection / persistence

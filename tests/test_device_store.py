@@ -256,39 +256,107 @@ def test_snapshot_query_fn_matches_query_topk(rng):
         empty.snapshot_query_fn(3)
 
 
-def test_wide_refine_layout_bit_identical(rng, monkeypatch):
-    """The byte-widened refine table (large-capacity gather fast path)
-    must produce bit-identical results to the narrow uint32 layout."""
-    import lshrs_tpu.storage.device as device_mod
+def test_grouped_refine_table_layouts(rng):
+    """The grouped refine table must be exact under both layouts: row g
+    of the contiguous layout holds slots [g*group, (g+1)*group); row
+    (ci, j) of the strided layout holds slots ci*chunk + j + i*ngc —
+    matching the Pallas kernels' group/slot mapping."""
+    import jax.numpy as jnp
+
+    from lshrs_tpu.ops.scan import (
+        build_grouped_refine_rows,
+        gather_refine_group_rows,
+    )
+
+    c, nc, group, chunk = 512, 6, 8, 64
+    bw = nc - 2
+    ext = jnp.asarray(
+        rng.integers(0, 2**31, (c, nc), dtype=np.int64).astype(np.uint32)
+    )
+
+    contig = build_grouped_refine_rows(ext, group=group, strided_chunk=None)
+    assert contig.shape == (c // group, nc * group)
+    g = 7
+    np.testing.assert_array_equal(
+        np.asarray(contig[g]).reshape(nc, group),
+        np.asarray(ext[g * group : (g + 1) * group]).T,
+    )
+
+    strided = build_grouped_refine_rows(ext, group=group, strided_chunk=chunk)
+    ngc = chunk // group
+    ci, j = 3, 5
+    g = ci * ngc + j
+    slots = ci * chunk + j + np.arange(group) * ngc
+    np.testing.assert_array_equal(
+        np.asarray(strided[g]).reshape(nc, group), np.asarray(ext)[slots].T
+    )
+
+    # gather returns word-major (words, tie, ids) blocks per group
+    tg = jnp.asarray([[g, 0], [1, g]], dtype=jnp.int32)
+    words, tie, ids = gather_refine_group_rows(strided, tg, bw=bw, group=group)
+    assert words.shape == (2, 2, bw, group)
+    np.testing.assert_array_equal(
+        np.asarray(words[0, 0]), np.asarray(ext)[slots][:, :bw].T
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ids[0, 0]),
+        np.asarray(ext)[slots][:, bw + 1].astype(np.int32),
+    )
+
+
+def test_grouped_refine_matches_elementwise_fallback(rng):
+    """Queries through the grouped refine table are bit-identical to the
+    sig_rows=None element-gather fallback."""
+    import jax.numpy as jnp
+
     from lshrs_tpu.hash.hasher import LSHHasher
-    from lshrs_tpu.storage.device import DeviceStore
+    from lshrs_tpu.ops.hamming import hamming_topk_core, unpack_bitplanes
+    from lshrs_tpu.ops.scan import (
+        build_grouped_refine_rows,
+        collision_topk_grouped_core,
+        compute_global_tie,
+    )
+    import jax
 
     h = LSHHasher(num_bands=4, rows_per_band=8, dim=32, seed=3)
-    X = rng.standard_normal((400, 32)).astype(np.float32)
-    ids = rng.permutation(10_000)[:400]
+    n, cap, group = 400, 512, 8
+    X = rng.standard_normal((n, 32)).astype(np.float32)
     words = h.hash_batch_words_host(X)
-    qw = h.hash_batch_words_host(rng.standard_normal((9, 32)).astype(np.float32))
+    qw = jnp.asarray(
+        h.hash_batch_words_host(rng.standard_normal((9, 32)).astype(np.float32))
+    )
+    sig_rows = np.zeros((cap, 4), np.uint32)
+    sig_rows[:n] = words
+    ids = np.full(cap, -1, np.int32)
+    ids[:n] = rng.permutation(10_000)[:n]
+    sig_t = jnp.asarray(sig_rows.T.copy())
+    ids = jnp.asarray(ids)
+    tie = compute_global_tie(ids)
+    ext = jnp.concatenate(
+        [
+            jnp.asarray(sig_rows),
+            jax.lax.bitcast_convert_type(tie, jnp.uint32)[:, None],
+            jax.lax.bitcast_convert_type(ids, jnp.uint32)[:, None],
+        ],
+        axis=1,
+    )
+    rows_g = build_grouped_refine_rows(ext, group=group, strided_chunk=None)
 
-    def build():
-        st = DeviceStore(
-            num_bands=4, rows_per_band=8, chunk_size=128, initial_capacity=512,
-            enable_hamming=True, hamming_storage="packed",
-        )
-        st.add_signature_batch(ids, words)
-        return st
+    kw = dict(num_bands=4, k=11, group=group, pallas_chunk=64, q_tile=8,
+              use_pallas=False)
+    c1, i1 = collision_topk_grouped_core(sig_t, ids, tie, qw, **kw)
+    c2, i2 = collision_topk_grouped_core(
+        sig_t, ids, tie, qw, sig_rows=rows_g, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
-    narrow = build()
-    c1, i1 = narrow.query_topk(qw, 11)
-    h1, hi1 = narrow.query_hamming(qw, 7)
-    assert narrow._refine_rows().dtype == np.uint32
-
-    monkeypatch.setattr(device_mod, "_WIDE_REFINE_MIN_CAPACITY", 1)
-    wide = build()
-    assert wide._refine_rows().dtype == np.uint8
-    assert wide._refine_rows().shape[1] >= 64  # fast-path lane minimum
-    c2, i2 = wide.query_topk(qw, 11)
-    h2, hi2 = wide.query_hamming(qw, 7)
-    np.testing.assert_array_equal(c1, c2)
-    np.testing.assert_array_equal(i1, i2)
-    np.testing.assert_array_equal(h1, h2)
-    np.testing.assert_array_equal(hi1, hi2)
+    planes = unpack_bitplanes(jnp.asarray(sig_rows), num_bands=4, rows_per_band=8)
+    qbits = unpack_bitplanes(qw, num_bands=4, rows_per_band=8)
+    hkw = dict(k=7, chunk=64, group=group, use_pallas=False)
+    h1, hi1 = hamming_topk_core(planes, sig_t, ids, tie, qbits, qw, **hkw)
+    h2, hi2 = hamming_topk_core(
+        planes, sig_t, ids, tie, qbits, qw, sig_rows=rows_g, **hkw
+    )
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(hi1), np.asarray(hi2))

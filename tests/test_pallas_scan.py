@@ -47,7 +47,9 @@ def test_group_max_keys_matches_jnp(num_bands, rows, rng):
     )
 
     counts = np.asarray(band_counts_t(jnp.asarray(sig_t), jnp.asarray(qwords), num_bands))
-    key = counts * (tie >= 0).astype(np.int32)[None, :] * scale + np.maximum(tie, 0)[None, :]
+    # kernel key = count*scale + bias, bias = tie (alive) / -B*scale (dead)
+    bias = np.where(tie >= 0, tie, -num_bands * scale)
+    key = counts * scale + bias[None, :]
     # Pallas grouping is strided within each chunk: chunk ci, lane j holds
     # slots ci*chunk + j + i*ngc (ngc = chunk // group).
     chunk, group = 256, 64
