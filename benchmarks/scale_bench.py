@@ -116,9 +116,18 @@ def main() -> None:
                     rng.standard_normal((m, args.dim)).astype(np.float32),
                 )
             )
+        all_ids = np.concatenate([b[0] for b in batches])
+        all_vecs = np.concatenate([b[1] for b in batches])
         t0 = time.perf_counter()
-        for ids_b, vecs in batches:
-            lsh.index(ids_b, vecs)
+        # the two-stage hash/commit ingest pipeline (overlaps host BLAS
+        # with device dispatch + tunnel IO)
+        lsh.create_signatures(
+            format="numpy",
+            indices=all_ids,
+            vectors=all_vecs,
+            batch_size=args.batch,
+            prefetch=0,  # batches are already in memory
+        )
         # completion barrier: a readback ordered after every append
         # (block_until_ready alone is unreliable over the tunnel)
         _ = np.asarray(store._ids[:8])

@@ -315,8 +315,34 @@ class LSHRS:
             from lshrs_tpu.io.prefetch import prefetch_batches
 
             stream = prefetch_batches(stream, depth=prefetch)
-        for indices, vectors in stream:
-            self.index(indices, vectors)
+        import os
+
+        # Two-stage ingest pipeline: hash batch i+1 on a worker thread
+        # (BLAS releases the GIL) while the main thread commits batch i
+        # (device dispatch + transfer). Only worth it with >= 2 host
+        # cores: on a 1-core host the hash thread and the transfer RPC
+        # convoy on the single CPU and throughput craters (measured 8x
+        # WORSE at 1M x 256d over the tunnel).
+        if not self._device_mode or (os.cpu_count() or 1) < 2:
+            for indices, vectors in stream:
+                self.index(indices, vectors)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = None
+            it = iter(stream)
+            while True:
+                try:
+                    indices, vectors = next(it)
+                except StopIteration:
+                    break
+                fut = ex.submit(self._prepare_index_batch, indices, vectors)
+                if pending is not None:
+                    self._commit_index_batch(pending.result())
+                pending = fut
+            if pending is not None:
+                self._commit_index_batch(pending.result())
 
     def ingest(self, index: int, vector: np.ndarray) -> None:
         """Hash one vector and buffer its bucket operations.
@@ -352,6 +378,22 @@ class LSHRS:
         """
         if indices is None or len(indices) == 0:
             return
+        if self._device_mode:
+            self._commit_index_batch(self._prepare_index_batch(indices, vectors))
+            return
+        idx_arr, arr = self._validate_index_batch(indices, vectors)
+        words = self._hasher.hash_batch_words_host(arr)
+        idx_list = idx_arr.tolist()
+        with self._buffer_lock:
+            for j, idx in enumerate(idx_list):
+                sig = self._hasher.words_to_signature(words[j])
+                for band_id, band in enumerate(sig):
+                    self._buffer.append((band_id, band, idx))
+        self._count("vectors_ingested", idx_arr.size)
+        self.flush()
+
+    def _validate_index_batch(self, indices, vectors):
+        """Shared `index()` validation -> ``(idx_arr, float32 arr)``."""
         if vectors is None:
             fetch_fn = self._require_vector_fetch_fn()
             vectors = fetch_fn(indices)
@@ -374,25 +416,20 @@ class LSHRS:
             raise ValueError(
                 "Cannot index zero vector - norm undefined. Check embeddings for corruption."
             )
+        return idx_arr, arr
 
-        if self._device_mode:
-            words = self._hash_for_ingest(arr)  # stays on device
-            record = (
-                idx_arr,
-                words,
-                arr if self._store_vectors else None,
-            )
-            with self._buffer_lock:
-                self._buffer.append(record)
-        else:
-            words = self._hasher.hash_batch_words_host(arr)
-            idx_list = idx_arr.tolist()
-            with self._buffer_lock:
-                for j, idx in enumerate(idx_list):
-                    sig = self._hasher.words_to_signature(words[j])
-                    for band_id, band in enumerate(sig):
-                        self._buffer.append((band_id, band, idx))
-        self._count("vectors_ingested", idx_arr.size)
+    def _prepare_index_batch(self, indices, vectors):
+        """Device-mode `index()` stage 1: validate + hash (no shared
+        mutable state — safe to run on a pipeline worker thread)."""
+        idx_arr, arr = self._validate_index_batch(indices, vectors)
+        words = self._hash_for_ingest(arr)  # device array or host wire bytes
+        return (idx_arr, words, arr if self._store_vectors else None)
+
+    def _commit_index_batch(self, record) -> None:
+        """Device-mode `index()` stage 2: buffer + count + atomic flush."""
+        with self._buffer_lock:
+            self._buffer.append(record)
+        self._count("vectors_ingested", record[0].size)
         self.flush()
 
     def flush(self) -> None:
