@@ -33,7 +33,7 @@ DIM = 768
 NUM_BANDS, ROWS_PER_BAND = 16, 16  # num_perm = 256
 TOP_K = 10
 QUERY_BATCH = 8192
-N_TRIALS = 3
+N_TRIALS = 5
 BASELINE_QPS = 100_000.0
 
 

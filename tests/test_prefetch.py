@@ -69,3 +69,34 @@ def test_create_signatures_prefetch_disabled(make_device_lsh, rng):
     lsh = make_device_lsh()
     lsh.create_signatures(format="numpy", vectors=X, batch_size=4, prefetch=0)
     assert lsh.stats()["index"]["alive"] == 10
+
+
+def test_create_signatures_pipelined_multicore(make_device_lsh, rng, monkeypatch):
+    """With >= 2 host cores create_signatures runs the two-stage
+    hash/commit pipeline; results and counters must match the sequential
+    path exactly (stream order, one flush per batch)."""
+    import os
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    X = rng.standard_normal((40, 32)).astype(np.float32)
+    lsh = make_device_lsh()
+    lsh.create_signatures(format="numpy", vectors=X, batch_size=8, prefetch=0)
+    assert lsh.stats()["index"]["alive"] == 40
+    assert lsh.stats()["counters"]["flushes"] == 5  # one per batch
+    assert lsh.get_top_k(X[17], topk=1) == [17]
+
+
+def test_create_signatures_pipelined_validation_error(make_device_lsh, rng, monkeypatch):
+    """A bad batch mid-stream surfaces its error; earlier batches stay
+    committed (same as the sequential path)."""
+    import os
+
+    import pytest
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    X = rng.standard_normal((16, 32)).astype(np.float32)
+    X[12] = 0.0  # zero vector in the SECOND batch
+    lsh = make_device_lsh()
+    with pytest.raises(ValueError, match="zero vector"):
+        lsh.create_signatures(format="numpy", vectors=X, batch_size=8, prefetch=0)
+    assert lsh.stats()["index"]["alive"] == 8  # first batch committed
