@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--query-batch", type=int, default=1024)
     ap.add_argument("--n-batches", type=int, default=8)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--wire-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="query upload dtype (bfloat16 halves the bytes)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +65,10 @@ def main() -> None:
         for _ in range(args.n_batches)
     ]
     # warm compile + correctness probe: self-queries rerank themselves first
-    probe = lsh.get_above_p_batch(X[: args.query_batch], p=args.p, top_k=args.top_k)
+    probe = lsh.get_above_p_batch(
+        X[: args.query_batch], p=args.p, top_k=args.top_k,
+        wire_dtype=args.wire_dtype,
+    )
     self_match = float(
         np.mean([r[0][0] == i for i, r in enumerate(probe) if r])
     )
@@ -70,7 +76,9 @@ def main() -> None:
     def trial() -> float:
         t0 = time.perf_counter()
         for q in raw:
-            lsh.get_above_p_batch(q, p=args.p, top_k=args.top_k)
+            lsh.get_above_p_batch(
+                q, p=args.p, top_k=args.top_k, wire_dtype=args.wire_dtype
+            )
         return time.perf_counter() - t0
 
     elapsed = min(trial() for _ in range(args.trials))
@@ -79,6 +87,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "rerank_topp_qps",
+                "wire_dtype": args.wire_dtype,
                 "n": args.n,
                 "dim": args.dim,
                 "p": args.p,

@@ -655,6 +655,7 @@ class LSHRS:
         *,
         top_k: Optional[int] = None,
         max_candidates: int = 4096,
+        wire_dtype: str = "float32",
     ) -> list[CandidateScores]:
         """Batched cosine-reranked top-p (device fused path).
 
@@ -663,11 +664,18 @@ class LSHRS:
         other configurations fall back to per-query :meth:`query`. Each
         query returns its top ``max(1, ceil(p * n_candidates))`` scored
         results (capped by ``top_k`` and ``max_candidates``).
+
+        ``wire_dtype="bfloat16"`` ships the raw query vectors at half the
+        bytes (the rerank upload is the throughput bound on remote-attached
+        devices) at ~1e-2 relative cosine error; the default ``"float32"``
+        is value-exact.
         """
         if not 0 < p <= 1:
             raise ValueError("top_p must be within the range (0, 1]")
         if top_k is not None and top_k <= 0:
             raise ValueError("top_k must be greater than zero when provided")
+        if wire_dtype not in ("float32", "bfloat16"):
+            raise ValueError("wire_dtype must be 'float32' or 'bfloat16'")
         arr = np.asarray(vectors, dtype=np.float32)
         if arr.ndim != 2 or arr.shape[1] != self._dim:
             raise ValueError(
@@ -687,7 +695,7 @@ class LSHRS:
         # how much of the ranking is ever consumed.
         max_out = min(max_candidates, top_k) if top_k is not None else max_candidates
         ids, sims, n = self._storage.query_topp_batch(  # type: ignore[attr-defined]
-            qwords, arr, max_out
+            qwords, arr, max_out, wire_dtype=wire_dtype
         )
         results: list[CandidateScores] = []
         for qi in range(arr.shape[0]):

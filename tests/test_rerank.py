@@ -126,3 +126,21 @@ def test_get_above_p_batch_validation(make_device_lsh, rng):
         lsh.get_above_p_batch(np.ones((2, 16), np.float32), p=1.5)
     with pytest.raises(ValueError, match="shape"):
         lsh.get_above_p_batch(np.ones((2, 8), np.float32), p=0.5)
+
+
+def test_get_above_p_batch_bf16_wire(make_device_lsh, rng):
+    """The bfloat16 query wire must return the same candidates with
+    cosines within bf16 rounding of the f32-wire path."""
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    lsh = make_device_lsh(store_vectors=True)
+    lsh.index(list(range(60)), base)
+    Q = base[:5]
+    f32 = lsh.get_above_p_batch(Q, p=1.0, top_k=5)
+    bf16 = lsh.get_above_p_batch(Q, p=1.0, top_k=5, wire_dtype="bfloat16")
+    for a, b in zip(f32, bf16):
+        assert a[0][0] == b[0][0]  # self-match id identical
+        np.testing.assert_allclose(
+            [s for _, s in a], [s for _, s in b], atol=2e-2
+        )
+    with pytest.raises(ValueError, match="wire_dtype"):
+        lsh.get_above_p_batch(Q, p=1.0, wire_dtype="fp8")
