@@ -55,7 +55,12 @@ def rerank_topp_core(
         ordered by (cosine desc, id asc); entries past ``n_candidates``
         carry id -1.
     """
-    dots = payload @ qvec  # (C,) — MXU matvec
+    # HIGHEST precision: TPU matmuls default to bf16 passes (~1e-3
+    # relative error) — the reference computes cosines in host float32,
+    # and ~1e-3 noise visibly reorders near-ties.
+    dots = jnp.dot(
+        payload, qvec, precision=jax.lax.Precision.HIGHEST
+    )  # (C,) — MXU matvec
     qn = jnp.sqrt(jnp.sum(qvec * qvec))
     denom = jnp.maximum(pnorm * qn, 1e-30)
     sims = dots / denom
@@ -92,8 +97,21 @@ def rerank_topp_batch_core(
     Returns:
         ``(ids (Q, max_out), sims (Q, max_out), n (Q,))`` per query,
         ordered by (cosine desc, id asc).
+
+    Precision: float32 queries get a HIGHEST-precision matmul (TPU
+    matmuls otherwise run bf16 passes with ~1e-3 relative error — enough
+    to reorder near-ties vs the reference's host-f32 cosines). Queries
+    that *arrive* as bfloat16 (the half-upload serving wire) are already
+    rounded, so they keep the fast default-precision path.
     """
-    dots = jnp.dot(qvecs, payload.T, preferred_element_type=jnp.float32)  # (Q, C)
+    exact = qvecs.dtype == jnp.float32
+    qvecs = qvecs.astype(jnp.float32)
+    dots = jnp.dot(
+        qvecs,
+        payload.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
+    )  # (Q, C)
     qn = jnp.sqrt(jnp.sum(qvecs * qvecs, axis=1, keepdims=True))
     denom = jnp.maximum(pnorm[None, :] * qn, 1e-30)
     sims = dots / denom

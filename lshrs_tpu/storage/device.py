@@ -136,8 +136,8 @@ def _topp_batch_jit(
     from lshrs_tpu.ops.scan import collision_counts_core
 
     counts = collision_counts_core(sig_t, ids, qw, num_bands=num_bands, chunk=chunk)
-    # bf16 wire queries are cast up for the dot; the payload stays f32.
-    qv = qv.astype(jnp.float32)
+    # bf16 wire queries are cast up inside the rerank core (which also
+    # picks the matmul precision from the incoming dtype).
     return rerank_topp_batch_core(payload, pnorm, ids, counts, qv, max_out=max_out)
 
 
@@ -795,6 +795,76 @@ class DeviceStore(BaseStorage):
                         "again"
                     )
                 return _serve(q, state)
+
+        return serve
+
+    def snapshot_topp_fn(self, max_out: int, *, wire: str = "words"):
+        """Compiled single-dispatch top-p rerank closure (serving path).
+
+        The rerank analogue of :meth:`snapshot_query_fn`: one jitted
+        program per batch fuses wire decode + collision counts + cosine
+        MXU matmul + the exact (cosine desc, id asc) ordering. The
+        synchronous `query_topp_batch` path is transport-bound on
+        remote-attached devices (device compute is ~13 ms / 1024 queries
+        at 100k x 768d vs ~200 ms e2e); this closure lets callers overlap
+        hashing, dispatch and readback across batches.
+
+        Args:
+            max_out: ranked prefix length per query.
+            wire: ``"words"`` or ``"dense"`` signature encoding (as
+                :meth:`snapshot_query_fn`).
+
+        Returns:
+            callable ``(signatures, qvecs) -> (ids (Q, max_out) int32,
+            sims (Q, max_out) f32, n (Q,) int32)`` device arrays; ``qvecs``
+            may be float32 or bfloat16 (cast up on device — bf16 halves
+            the upload at ~1e-2 relative cosine rounding). Mutating the
+            store invalidates the snapshot (stale closures raise
+            RuntimeError).
+        """
+        if wire not in ("words", "dense"):
+            raise ValueError("wire must be 'words' or 'dense'")
+        if self._payload is None:
+            raise RuntimeError("store_vectors=False: no resident payload to rerank")
+        from lshrs_tpu.ops.scan import collision_counts_core
+
+        with self._lock:
+            if self._size == 0:
+                raise RuntimeError("snapshot_topp_fn requires a non-empty store")
+            sig_t, ids = self._sig_t, self._ids
+            payload, pnorm = self._payload, self._pnorm
+            num_bands, rows_per_band, chunk = (
+                self.num_bands, self.rows_per_band, self.chunk,
+            )
+            out = max(1, min(max_out, self._capacity))
+        snapshot_gen = self._generation
+        state = (sig_t, ids, payload, pnorm)
+
+        @jax.jit
+        def _serve(q, qv, st):
+            sig_t_, ids_, payload_, pnorm_ = st
+            if wire == "dense":
+                q = dense_to_words(
+                    q, num_bands=num_bands, rows_per_band=rows_per_band
+                )
+            else:
+                q = q.astype(jnp.uint32)
+            counts = collision_counts_core(
+                sig_t_, ids_, q, num_bands=num_bands, chunk=chunk
+            )
+            return rerank_topp_batch_core(
+                payload_, pnorm_, ids_, counts, qv, max_out=out
+            )
+
+        def serve(q, qv):
+            with self._lock:
+                if self._generation != snapshot_gen:
+                    raise RuntimeError(
+                        "snapshot_topp_fn is stale: the store was mutated "
+                        "after the snapshot was taken; call snapshot_topp_fn "
+                        "again"
+                    )
+                return _serve(q, jnp.asarray(qv), state)
 
         return serve
 

@@ -144,3 +144,40 @@ def test_get_above_p_batch_bf16_wire(make_device_lsh, rng):
         )
     with pytest.raises(ValueError, match="wire_dtype"):
         lsh.get_above_p_batch(Q, p=1.0, wire_dtype="fp8")
+
+
+def test_snapshot_topp_fn_matches_batch_and_staleness(make_device_lsh, rng):
+    """The compiled rerank closure must match query_topp_batch exactly
+    (f32 wire) and raise once the store mutates."""
+    base = rng.standard_normal((50, 32)).astype(np.float32)
+    lsh = make_device_lsh(store_vectors=True)
+    lsh.index(list(range(50)), base)
+    store = lsh._storage
+    h = lsh._hasher
+
+    qv = base[:4]
+    qw = h.hash_batch_words_host(qv)
+    ref_ids, ref_sims, ref_n = store.query_topp_batch(qw, qv, 7)
+
+    serve = store.snapshot_topp_fn(7, wire="words")
+    ids, sims, n = (np.asarray(x) for x in serve(qw, qv))
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(sims, ref_sims, rtol=1e-6)
+    np.testing.assert_array_equal(n, ref_n)
+
+    dense = h.hash_batch_dense_host(qv)
+    serve_d = store.snapshot_topp_fn(7, wire="dense")
+    ids_d, _, _ = (np.asarray(x) for x in serve_d(dense, qv))
+    np.testing.assert_array_equal(ids_d, ref_ids)
+
+    # bf16 vectors round-trip through the same closure
+    import ml_dtypes
+
+    ids_bf, _, _ = (
+        np.asarray(x) for x in serve(qw, qv.astype(ml_dtypes.bfloat16))
+    )
+    assert (ids_bf[:, 0] == ids[:, 0]).all()
+
+    lsh.index([99], rng.standard_normal((1, 32)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(qw, qv)
