@@ -247,3 +247,31 @@ def test_bucket_index_invalidated_on_upsert(hasher, rng):
     st.add_signature_batch([0], w_new)
     counts, out = st.query_topk(w_new, 1)
     assert out[0][0] == 0 and counts[0][0] == B
+
+
+def test_sharded_topp_rerank_matches_unsharded(mesh, hasher, rng):
+    """The fused top-p rerank on a sharded store (inherited path — GSPMD
+    partitions the counts scan and cosine matmul) must match the
+    single-device result id-for-id."""
+    n = 400
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = np.arange(n)
+    words = hasher.hash_batch_words_host(X)
+
+    kw = dict(
+        num_bands=B, rows_per_band=R, dim=D, store_vectors=True,
+        chunk_size=64, initial_capacity=64,
+    )
+    single = DeviceStore(**kw)
+    sharded = ShardedDeviceStore(mesh=mesh, **kw)
+    single.add_signature_batch(ids, words, X)
+    sharded.add_signature_batch(ids, words, X)
+
+    qv = X[:6]
+    qw = hasher.hash_batch_words_host(qv)
+    i1, s1, n1 = single.query_topp_batch(qw, qv, 9)
+    i2, s2, n2 = sharded.query_topp_batch(qw, qv, 9)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    np.testing.assert_array_equal(n1, n2)
+    assert (i1[:, 0] == np.arange(6)).all()  # self-match first
