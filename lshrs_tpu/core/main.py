@@ -716,6 +716,89 @@ class LSHRS:
             )
         return results
 
+    def serving_fn(
+        self,
+        top_k: int = 10,
+        *,
+        mode: str = "collision",
+        wire_dtype: str = "float32",
+    ):
+        """Compiled high-QPS serving closure over the *current* index.
+
+        The public face of the snapshot serving fast path (device backend
+        only): each call of the returned closure hashes its batch through
+        this instance's hash path (host mode ships the minimal dense wire
+        encoding) and runs ONE fused device dispatch. Mutating the index
+        invalidates the closure (it raises ``RuntimeError``) — take a new
+        one after ingesting.
+
+        Args:
+            top_k: result depth per query.
+            mode: ``"collision"`` (band-collision top-k), ``"hamming"``
+                (full-signature SimHash ranking, requires
+                ``enable_hamming=True``) or ``"topp"`` (fused cosine
+                rerank against the resident payload, requires
+                ``store_vectors=True``).
+            wire_dtype: ``"topp"`` only — ``"bfloat16"`` ships the raw
+                query vectors at half the bytes (~1e-2 relative cosine
+                rounding); ``"float32"`` is value-exact.
+
+        Returns:
+            ``mode="collision"``/``"hamming"``: callable
+            ``(vectors (Q, dim)) -> (Q, top_k) int32 ndarray`` of ids
+            (-1 padding). ``mode="topp"``: callable returning
+            ``(ids (Q, top_k), cosines (Q, top_k), n_candidates (Q,))``.
+        """
+        if not self._device_mode:
+            raise RuntimeError("serving_fn requires the device backend")
+        if mode not in ("collision", "hamming", "topp"):
+            raise ValueError("mode must be 'collision', 'hamming' or 'topp'")
+        if top_k is None or top_k <= 0:
+            raise ValueError("top_k must be greater than zero when provided")
+        if wire_dtype not in ("float32", "bfloat16"):
+            raise ValueError("wire_dtype must be 'float32' or 'bfloat16'")
+        wire = "words" if self._hash_on_device else "dense"
+
+        def _validate(vectors) -> np.ndarray:
+            arr = np.asarray(vectors, dtype=np.float32)
+            if arr.ndim != 2 or arr.shape[1] != self._dim:
+                raise ValueError(
+                    f"Vectors must have shape (n, {self._dim}); "
+                    f"received {arr.shape}"
+                )
+            return arr
+
+        if mode == "topp":
+            serve = self._storage.snapshot_topp_fn(  # type: ignore[attr-defined]
+                top_k, wire=wire
+            )
+
+            def run_topp(vectors):
+                arr = _validate(vectors)
+                sig = self._hash_for_ingest(arr)
+                qv: np.ndarray = arr
+                if wire_dtype == "bfloat16":
+                    import ml_dtypes
+
+                    qv = arr.astype(ml_dtypes.bfloat16)
+                self._count("queries_served", arr.shape[0])
+                ids, sims, n = serve(sig, qv)
+                return np.asarray(ids), np.asarray(sims), np.asarray(n)
+
+            return run_topp
+
+        serve = self._storage.snapshot_query_fn(  # type: ignore[attr-defined]
+            top_k, wire=wire, mode=mode
+        )
+
+        def run(vectors):
+            arr = _validate(vectors)
+            sig = self._hash_for_ingest(arr)
+            self._count("queries_served", arr.shape[0])
+            return np.asarray(serve(sig))
+
+        return run
+
     def get_top_k(self, vector: np.ndarray, topk: int = 10) -> list[int]:
         """Top ``topk`` candidate ids by band-collision count."""
         results = self.query(vector, top_k=topk, top_p=None)

@@ -81,6 +81,7 @@ def make_device_lsh():
         seed: int = 42,
         vector_fetch_fn=None,
         store_vectors: bool = False,
+        **kwargs,
     ) -> LSHRS:
         return LSHRS(
             dim=dim,
@@ -94,6 +95,7 @@ def make_device_lsh():
             store_vectors=store_vectors,
             chunk_size=128,
             initial_capacity=128,
+            **kwargs,
         )
 
     return _make

@@ -436,3 +436,55 @@ def test_hash_mode_host_with_store_vectors_and_rerank(rng):
     assert top[0][0] == 7 and top[0][1] > 0.999
     batch = lsh.get_above_p_batch(X[:4], p=0.2, top_k=5)
     assert [r[0][0] for r in batch] == [0, 1, 2, 3]
+
+
+def test_serving_fn_all_modes(make_device_lsh, rng):
+    """The public serving closures must agree with the per-call query
+    APIs and go stale after a mutation."""
+    import pytest
+
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    lsh = make_device_lsh(store_vectors=True, enable_hamming=True)
+    lsh.index(list(range(60)), base)
+    Q = base[:5]
+
+    ids = lsh.serving_fn(4)(Q)
+    assert ids.shape == (5, 4)
+    expect = lsh.query_batch(Q, top_k=4)
+    for qi in range(5):
+        assert [i for i in ids[qi] if i >= 0] == expect[qi]
+
+    hids = lsh.serving_fn(3, mode="hamming")(Q)
+    hexpect = lsh.query_hamming_batch(Q, top_k=3)
+    for qi in range(5):
+        assert [i for i in hids[qi] if i >= 0] == [i for i, _ in hexpect[qi]]
+
+    tids, tsims, tn = lsh.serving_fn(3, mode="topp")(Q)
+    assert (tids[:, 0] == np.arange(5)).all()
+    np.testing.assert_allclose(tsims[:, 0], 1.0, atol=1e-5)
+
+    serve = lsh.serving_fn(3)
+    lsh.index([99], rng.standard_normal((1, 32)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(Q)
+
+
+def test_serving_fn_validation(make_device_lsh, make_lsh, rng):
+    import pytest
+
+    lsh = make_device_lsh(store_vectors=True)
+    lsh.index([0, 1], rng.standard_normal((2, 32)).astype(np.float32))
+    with pytest.raises(ValueError, match="mode"):
+        lsh.serving_fn(3, mode="cosine")
+    with pytest.raises(ValueError, match="top_k"):
+        lsh.serving_fn(0)
+    with pytest.raises(ValueError, match="wire_dtype"):
+        lsh.serving_fn(3, wire_dtype="fp8")
+    with pytest.raises(RuntimeError, match="enable_hamming"):
+        lsh.serving_fn(3, mode="hamming")
+    serve = lsh.serving_fn(3)
+    with pytest.raises(ValueError, match="shape"):
+        serve(np.ones((2, 8), np.float32))
+    bucket = make_lsh()
+    with pytest.raises(RuntimeError, match="device backend"):
+        bucket.serving_fn(3)
