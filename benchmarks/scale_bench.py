@@ -55,25 +55,28 @@ def main() -> None:
     rng = np.random.default_rng(0)
     from lshrs_tpu.storage.device import DeviceStore
 
-    store0 = DeviceStore(
-        num_bands=16,
-        rows_per_band=args.num_perm // 16,
-        dim=args.dim,
-        initial_capacity=args.n,
-        query_mode=args.mode if args.mode != "hamming" else "scan",
-        bucket_cap=args.bucket_cap,
-        enable_hamming=args.mode == "hamming",
-        dedupe=False,  # streaming build of known-unique ids
-    )
-    lsh = LSHRS(
-        dim=args.dim,
-        num_perm=args.num_perm,
-        num_bands=16,
-        rows_per_band=args.num_perm // 16,
-        storage=store0,
-        buffer_size=args.batch * 16,
-        hash_mode=args.hash_mode,
-    )
+    def fresh_lsh() -> LSHRS:
+        store0 = DeviceStore(
+            num_bands=16,
+            rows_per_band=args.num_perm // 16,
+            dim=args.dim,
+            initial_capacity=args.n,
+            query_mode=args.mode if args.mode != "hamming" else "scan",
+            bucket_cap=args.bucket_cap,
+            enable_hamming=args.mode == "hamming",
+            dedupe=False,  # streaming build of known-unique ids
+        )
+        return LSHRS(
+            dim=args.dim,
+            num_perm=args.num_perm,
+            num_bands=16,
+            rows_per_band=args.num_perm // 16,
+            storage=store0,
+            buffer_size=args.batch * 16,
+            hash_mode=args.hash_mode,
+        )
+
+    lsh = fresh_lsh()
     # direct store handle for the serving fast path
     store = lsh._storage
     hasher = lsh._hasher
@@ -103,6 +106,7 @@ def main() -> None:
         t0 = time.perf_counter()
         lsh.create_signatures(format="parquet", source=path, batch_size=args.batch)
         build_s = time.perf_counter() - t0
+        cold_s = build_s
     else:
         # Pre-generate outside the timed region (standard_normal at this
         # size costs multiple seconds per batch on a 1-core host and is
@@ -118,20 +122,28 @@ def main() -> None:
             )
         all_ids = np.concatenate([b[0] for b in batches])
         all_vecs = np.concatenate([b[1] for b in batches])
-        t0 = time.perf_counter()
-        # the two-stage hash/commit ingest pipeline (overlaps host BLAS
-        # with device dispatch + tunnel IO)
-        lsh.create_signatures(
-            format="numpy",
-            indices=all_ids,
-            vectors=all_vecs,
-            batch_size=args.batch,
-            prefetch=0,  # batches are already in memory
-        )
-        # completion barrier: a readback ordered after every append
-        # (block_until_ready alone is unreliable over the tunnel)
-        _ = np.asarray(store._ids[:8])
-        build_s = time.perf_counter() - t0
+
+        def timed_build(instance: LSHRS) -> float:
+            t0 = time.perf_counter()
+            instance.create_signatures(
+                format="numpy",
+                indices=all_ids,
+                vectors=all_vecs,
+                batch_size=args.batch,
+                prefetch=0,  # batches are already in memory
+            )
+            # completion barrier: a readback ordered after every append
+            # (block_until_ready alone is unreliable over the tunnel)
+            _ = np.asarray(instance._storage._ids[:8])
+            return time.perf_counter() - t0
+
+        # Cold build (includes the first-dispatch compiles of every
+        # ingest program — one-time per process) vs warm steady state.
+        cold_s = timed_build(lsh)
+        lsh.close()
+        lsh = fresh_lsh()
+        store, hasher = lsh._storage, lsh._hasher
+        build_s = timed_build(lsh)
         del batches
     alive = lsh.stats()["index"]["alive"]
     build_rate = alive / build_s
@@ -190,6 +202,7 @@ def main() -> None:
         "hash_mode": args.hash_mode,
         "build_s": round(build_s, 2),
         "build_vectors_per_s": round(build_rate, 1),
+        "build_cold_s": round(cold_s, 2) if not args.parquet else None,
         "query_qps": round(qps, 1),
         "platform": jax.devices()[0].platform,
         "capacity": stats["capacity"],
