@@ -85,6 +85,9 @@ class LSHRS:
             signature SimHash ranking on the MXU) is available.
         group_size / dedupe / query_mode / bucket_cap: device store
             engine knobs, see `lshrs_tpu.storage.device.DeviceStore`.
+        payload_dtype: resident payload precision — ``"float32"``
+            (value-exact cosines) or ``"bfloat16"`` (half the payload
+            HBM; ~1e-3 relative cosine rounding). Device backend only.
         hash_mode: where this instance hashes — ``"device"`` (one MXU
             matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
             ships 64-byte packed signatures; wins when the host->device
@@ -123,6 +126,7 @@ class LSHRS:
         bucket_cap: int = 128,
         hash_mode: str = "device",
         hamming_storage: str = "planes",
+        payload_dtype: str = "float32",
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -176,6 +180,7 @@ class LSHRS:
                     dedupe=dedupe,
                     query_mode=query_mode,
                     bucket_cap=bucket_cap,
+                    payload_dtype=payload_dtype,
                 )
             else:
                 self._storage = DeviceStore(
@@ -191,6 +196,7 @@ class LSHRS:
                     dedupe=dedupe,
                     query_mode=query_mode,
                     bucket_cap=bucket_cap,
+                    payload_dtype=payload_dtype,
                 )
         elif backend == "memory":
             self._storage = MemoryStorage()
@@ -252,6 +258,7 @@ class LSHRS:
             "bucket_cap": bucket_cap,
             "hash_mode": hash_mode,
             "hamming_storage": hamming_storage,
+            "payload_dtype": payload_dtype,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -1037,6 +1044,7 @@ class LSHRS:
             "bucket_cap": tpu_config.get("bucket_cap", 128),
             "hash_mode": tpu_config.get("hash_mode", "device"),
             "hamming_storage": tpu_config.get("hamming_storage", "planes"),
+            "payload_dtype": tpu_config.get("payload_dtype", "float32"),
         }
 
     # ------------------------------------------------------------------

@@ -57,9 +57,14 @@ def rerank_topp_core(
     """
     # HIGHEST precision: TPU matmuls default to bf16 passes (~1e-3
     # relative error) — the reference computes cosines in host float32,
-    # and ~1e-3 noise visibly reorders near-ties.
+    # and ~1e-3 noise visibly reorders near-ties. A bfloat16 payload is
+    # already rounded, so it keeps the fast native path.
+    bf16_payload = payload.dtype == jnp.bfloat16
     dots = jnp.dot(
-        payload, qvec, precision=jax.lax.Precision.HIGHEST
+        payload,
+        qvec.astype(payload.dtype) if bf16_payload else qvec,
+        preferred_element_type=jnp.float32,
+        precision=None if bf16_payload else jax.lax.Precision.HIGHEST,
     )  # (C,) — MXU matvec
     qn = jnp.sqrt(jnp.sum(qvec * qvec))
     denom = jnp.maximum(pnorm * qn, 1e-30)
@@ -98,16 +103,19 @@ def rerank_topp_batch_core(
         ``(ids (Q, max_out), sims (Q, max_out), n (Q,))`` per query,
         ordered by (cosine desc, id asc).
 
-    Precision: float32 queries get a HIGHEST-precision matmul (TPU
-    matmuls otherwise run bf16 passes with ~1e-3 relative error — enough
-    to reorder near-ties vs the reference's host-f32 cosines). Queries
-    that *arrive* as bfloat16 (the half-upload serving wire) are already
-    rounded, so they keep the fast default-precision path.
+    Precision: float32 queries against a float32 payload get a
+    HIGHEST-precision matmul (TPU matmuls otherwise run bf16 passes with
+    ~1e-3 relative error — enough to reorder near-ties vs the
+    reference's host-f32 cosines). Inputs that *arrive* rounded — a
+    bfloat16 query wire or a bfloat16 resident payload — keep the fast
+    native-precision path.
     """
-    exact = qvecs.dtype == jnp.float32
+    exact = qvecs.dtype == jnp.float32 and payload.dtype == jnp.float32
+    bf16_payload = payload.dtype == jnp.bfloat16
+    qd = qvecs.astype(payload.dtype) if bf16_payload else qvecs.astype(jnp.float32)
     qvecs = qvecs.astype(jnp.float32)
     dots = jnp.dot(
-        qvecs,
+        qd,
         payload.T,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if exact else None,

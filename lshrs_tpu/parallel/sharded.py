@@ -496,7 +496,8 @@ def _sharded_append_payload(mesh, axis, payload, pnorm, new_rows, offset):
     def local(p_l, n_l, rows, off):
         pos = _local_scatter_pos(axis, off, n, n_l.shape[0])
         p_l = p_l.at[pos].set(rows, mode="drop")
-        n_l = n_l.at[pos].set(jnp.linalg.norm(rows, axis=1), mode="drop")
+        norms = jnp.linalg.norm(rows.astype(jnp.float32), axis=1)
+        n_l = n_l.at[pos].set(norms, mode="drop")
         return p_l, n_l
 
     return jax.shard_map(

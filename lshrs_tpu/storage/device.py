@@ -168,6 +168,11 @@ class DeviceStore(BaseStorage):
             ``"packed"`` ranks via XOR+popcount over the packed words the
             collision scan already stores — zero extra memory, VPU-rate.
             Results are bit-identical.
+        payload_dtype: resident payload precision (``store_vectors``):
+            ``"float32"`` (default; value-exact cosines) or
+            ``"bfloat16"`` — HALF the payload HBM (the dominant array at
+            scale: dim bytes/slot instead of 2*dim), cosine rerank then
+            runs a native bf16 MXU matmul with ~1e-3 relative rounding.
     """
 
     supports_signature_batches = True
@@ -187,9 +192,12 @@ class DeviceStore(BaseStorage):
         bucket_cap: int = 128,
         enable_hamming: bool = False,
         hamming_storage: str = "planes",
+        payload_dtype: str = "float32",
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
             raise ValueError("chunk_size must be in (0, 16384]")
+        if payload_dtype not in ("float32", "bfloat16"):
+            raise ValueError("payload_dtype must be 'float32' or 'bfloat16'")
         if (num_bands + 1) * chunk_size >= 2**31:
             raise ValueError("num_bands * chunk_size too large for exact top-k keys")
         if store_vectors and not dim:
@@ -213,6 +221,10 @@ class DeviceStore(BaseStorage):
         self.bucket_cap = bucket_cap
         self.enable_hamming = enable_hamming
         self.hamming_storage = hamming_storage
+        self.payload_dtype = payload_dtype
+        self._payload_jdtype = (
+            jnp.bfloat16 if payload_dtype == "bfloat16" else jnp.float32
+        )
         # Lazily (re)built sorted bucket index (see lshrs_tpu.ops.bucketed).
         self._bucket_index: tuple | None = None
         self._bucket_overflows = 0
@@ -245,7 +257,9 @@ class DeviceStore(BaseStorage):
         self._ranks = jnp.zeros((cap,), dtype=jnp.int32)
         self._tie = jnp.full((cap,), -1, dtype=jnp.int32)
         self._payload = (
-            jnp.zeros((cap, self.dim), dtype=jnp.float32) if self.store_vectors else None
+            jnp.zeros((cap, self.dim), dtype=self._payload_jdtype)
+            if self.store_vectors
+            else None
         )
         self._pnorm = (
             jnp.zeros((cap,), dtype=jnp.float32) if self.store_vectors else None
@@ -455,11 +469,12 @@ class DeviceStore(BaseStorage):
         if self._payload is not None and vectors is not None:
             rows_p = np.zeros((pad, self.dim), dtype=np.float32)
             rows_p[: slots.size] = vectors
+            rows_d = jnp.asarray(rows_p).astype(self._payload_jdtype)
             self._payload = _scatter_rows_jit(
-                self._payload, jnp.asarray(slots_p), jnp.asarray(rows_p)
+                self._payload, jnp.asarray(slots_p), rows_d
             )
             self._pnorm = self._pnorm.at[jnp.asarray(slots_p)].set(
-                jnp.linalg.norm(jnp.asarray(rows_p), axis=1), mode="drop"
+                jnp.linalg.norm(rows_d.astype(jnp.float32), axis=1), mode="drop"
             )
         if self._planes is not None:
             planes_rows = unpack_bitplanes(
@@ -487,7 +502,11 @@ class DeviceStore(BaseStorage):
             words_dev = jnp.pad(words_dev, ((0, pad - n), (0, 0)))
         rows = None
         if self._payload is not None:
-            rows = jnp.asarray(vectors, dtype=jnp.float32)
+            # Store-precision rows: norms are computed from the ROUNDED
+            # payload so the cosine denominator matches the stored bits.
+            rows = jnp.asarray(vectors, dtype=jnp.float32).astype(
+                self._payload_jdtype
+            )
             if pad != n:
                 rows = jnp.pad(rows, ((0, pad - n), (0, 0)))
         return n, ids_p, words_dev, rows
@@ -509,7 +528,9 @@ class DeviceStore(BaseStorage):
         if self._payload is not None:
             self._payload = _append_rows_jit(self._payload, rows, offset)
             self._pnorm = jax.lax.dynamic_update_slice(
-                self._pnorm, jnp.linalg.norm(rows, axis=1), (offset,)
+                self._pnorm,
+                jnp.linalg.norm(rows.astype(jnp.float32), axis=1),
+                (offset,),
             )
         if self._planes is not None:
             planes_rows = unpack_bitplanes(
@@ -530,7 +551,7 @@ class DeviceStore(BaseStorage):
         )
         self._ids = ids.at[: self._capacity].set(self._ids)
         if self._payload is not None:
-            payload = jnp.zeros((new_cap, self.dim), dtype=jnp.float32)
+            payload = jnp.zeros((new_cap, self.dim), dtype=self._payload_jdtype)
             self._payload = payload.at[: self._capacity].set(self._payload)
             pnorm = jnp.zeros((new_cap,), dtype=jnp.float32)
             self._pnorm = pnorm.at[: self._capacity].set(self._pnorm)
@@ -1072,7 +1093,7 @@ class DeviceStore(BaseStorage):
                 count=len(indices),
             )
             payload = self._payload
-        return np.asarray(payload)[slots]
+        return np.asarray(payload)[slots].astype(np.float32)
 
     # ------------------------------------------------------------------
     # bucket-level parity API
@@ -1198,7 +1219,12 @@ class DeviceStore(BaseStorage):
 
     def stats(self) -> dict:
         sig_bytes = self._capacity * self.words * 4
-        payload_bytes = self._capacity * (self.dim or 0) * 4 if self.store_vectors else 0
+        payload_itemsize = 2 if self.payload_dtype == "bfloat16" else 4
+        payload_bytes = (
+            self._capacity * (self.dim or 0) * payload_itemsize
+            if self.store_vectors
+            else 0
+        )
         return {
             "backend": "device",
             "size": self._size,
@@ -1229,7 +1255,11 @@ class DeviceStore(BaseStorage):
                 "sig": np.asarray(self._sig_t[:, :n].T),
             }
             if self._payload is not None:
-                out["payload"] = np.asarray(self._payload[:n])
+                # Export as float32: .npz round-trips builtin dtypes only
+                # (a bfloat16 store re-rounds identically on restore).
+                out["payload"] = np.asarray(
+                    self._payload[:n].astype(jnp.float32)
+                )
         return out
 
     def load_state_arrays(self, state: dict[str, np.ndarray]) -> None:

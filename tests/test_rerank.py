@@ -181,3 +181,42 @@ def test_snapshot_topp_fn_matches_batch_and_staleness(make_device_lsh, rng):
     lsh.index([99], rng.standard_normal((1, 32)).astype(np.float32))
     with pytest.raises(RuntimeError, match="stale"):
         serve(qw, qv)
+
+
+def test_bf16_payload_dtype(make_device_lsh, rng):
+    """payload_dtype='bfloat16' halves payload memory and keeps rerank
+    correct within bf16 rounding; the config round-trips persistence."""
+    import pickle
+
+    base = rng.standard_normal((50, 32)).astype(np.float32)
+    f32 = make_device_lsh(store_vectors=True)
+    bf16 = make_device_lsh(store_vectors=True, payload_dtype="bfloat16")
+    f32.index(list(range(50)), base)
+    bf16.index(list(range(50)), base)
+
+    assert (
+        bf16._storage.stats()["payload_bytes"]
+        == f32._storage.stats()["payload_bytes"] // 2
+    )
+
+    a = f32.get_above_p_batch(base[:4], p=1.0, top_k=5)
+    b = bf16.get_above_p_batch(base[:4], p=1.0, top_k=5)
+    for ra, rb in zip(a, b):
+        assert ra[0][0] == rb[0][0]  # self-match id
+        np.testing.assert_allclose(
+            [s for _, s in ra], [s for _, s in rb], atol=2e-2
+        )
+
+    # fetches come back as float32; persistence keeps the dtype config
+    assert bf16._storage.get_vectors([3]).dtype == np.float32
+    re = pickle.loads(pickle.dumps(bf16))
+    assert re._tpu_config["payload_dtype"] == "bfloat16"
+    assert re._storage.payload_dtype == "bfloat16"
+    rb2 = re.get_above_p_batch(base[:4], p=1.0, top_k=5)
+    for x, y in zip(b, rb2):
+        assert [i for i, _ in x] == [i for i, _ in y]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="payload_dtype"):
+        make_device_lsh(store_vectors=True, payload_dtype="fp8")
