@@ -110,18 +110,15 @@ def main() -> None:
     else:
         # Pre-generate outside the timed region (standard_normal at this
         # size costs multiple seconds per batch on a 1-core host and is
-        # not part of the ingest path being measured).
-        batches = []
+        # not part of the ingest path being measured). ONE resident copy:
+        # the loader slices views of these arrays.
+        all_ids = np.arange(args.n, dtype=np.int64)
+        all_vecs = np.empty((args.n, args.dim), dtype=np.float32)
         for start in range(0, args.n, args.batch):
             m = min(args.batch, args.n - start)
-            batches.append(
-                (
-                    np.arange(start, start + m, dtype=np.int64),
-                    rng.standard_normal((m, args.dim)).astype(np.float32),
-                )
-            )
-        all_ids = np.concatenate([b[0] for b in batches])
-        all_vecs = np.concatenate([b[1] for b in batches])
+            all_vecs[start : start + m] = rng.standard_normal(
+                (m, args.dim)
+            ).astype(np.float32)
 
         def timed_build(instance: LSHRS) -> float:
             t0 = time.perf_counter()
@@ -144,7 +141,6 @@ def main() -> None:
         lsh = fresh_lsh()
         store, hasher = lsh._storage, lsh._hasher
         build_s = timed_build(lsh)
-        del batches
     alive = lsh.stats()["index"]["alive"]
     build_rate = alive / build_s
 

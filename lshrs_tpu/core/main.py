@@ -326,11 +326,17 @@ class LSHRS:
 
         # Two-stage ingest pipeline: hash batch i+1 on a worker thread
         # (BLAS releases the GIL) while the main thread commits batch i
-        # (device dispatch + transfer). Only worth it with >= 2 host
-        # cores: on a 1-core host the hash thread and the transfer RPC
-        # convoy on the single CPU and throughput craters (measured 8x
-        # WORSE at 1M x 256d over the tunnel).
-        if not self._device_mode or (os.cpu_count() or 1) < 2:
+        # (device dispatch + transfer). Only worth it with >= 2 CPUs
+        # actually available to THIS process (cgroup/affinity-aware —
+        # os.cpu_count() reports the machine and would enable the
+        # pipeline inside a 1-CPU container): on one core the hash
+        # thread and the transfer RPC convoy and throughput craters
+        # (measured 8x WORSE at 1M x 256d over the tunnel).
+        try:
+            avail_cpus = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):  # non-Linux
+            avail_cpus = os.cpu_count() or 1
+        if not self._device_mode or avail_cpus < 2:
             for indices, vectors in stream:
                 self.index(indices, vectors)
             return

@@ -223,9 +223,10 @@ class ShardedDeviceStore(DeviceStore):
             self.mesh,
             self.axis,
             self._sig_t,
-            self._refine_rows(
+            self._refine_rows_for(
                 min(self.group, self._local_rows()),
-                self._pallas_chunk() if self._use_pallas() else None,
+                self._pallas_chunk(),
+                self._use_pallas(),
             )
             if self._use_grouped()
             else self._sig_rows,
@@ -266,8 +267,12 @@ class ShardedDeviceStore(DeviceStore):
         ham_grouped = (
             supports_hamming_grouped(p, local) and local % self.group == 0
         )
+        # The sharded hamming cores run the XLA (non-Pallas, contiguous)
+        # formulation — use_pallas=False keeps the table layout in lockstep.
         ham_rows = (
-            self._refine_rows(min(self.group, local), None)
+            self._refine_rows_for(
+                min(self.group, local), min(self.chunk, local), False
+            )
             if ham_grouped
             else self._sig_rows
         )
@@ -375,16 +380,16 @@ class ShardedDeviceStore(DeviceStore):
             # Grouped refine table in the geometry of the served mode
             # (hamming: contiguous; collision: strided iff Pallas).
             if mode == "hamming":
+                # sharded hamming cores run the XLA contiguous formulation
                 rows = (
-                    self._refine_rows(group, None)
+                    self._refine_rows_for(group, chunk, False)
                     if ham_grouped
                     else self._sig_rows
                 )
             else:
                 rows = (
-                    self._refine_rows(
-                        group,
-                        self._pallas_chunk() if self._use_pallas() else None,
+                    self._refine_rows_for(
+                        group, self._pallas_chunk(), self._use_pallas()
                     )
                     if grouped
                     else self._sig_rows

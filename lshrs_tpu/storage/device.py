@@ -315,6 +315,16 @@ class DeviceStore(BaseStorage):
             self._tie = compute_global_tie(self._ids)
             self._ranks_dirty = False
 
+    def _refine_rows_for(
+        self, group: int, chunk: int, use_pallas: bool
+    ) -> jax.Array:
+        """Grouped refine table matching EXACTLY the kernel geometry the
+        caller passes alongside it (strided iff the Pallas kernel runs).
+        Always take the table through this helper with the same
+        ``group``/``chunk``/``use_pallas`` the query core receives — a
+        mismatched layout silently gathers the wrong slots."""
+        return self._refine_rows(group, chunk if use_pallas else None)
+
     def _refine_rows(self, group: int, strided_chunk: int | None) -> jax.Array:
         """Lazily built GROUPED refine table for the given geometry.
 
@@ -601,9 +611,10 @@ class DeviceStore(BaseStorage):
                 pallas_chunk=self._pallas_chunk(),
                 q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
                 use_pallas=self._use_pallas(),
-                sig_rows=self._refine_rows(
+                sig_rows=self._refine_rows_for(
                     min(self.group, self._capacity),
-                    self._pallas_chunk() if self._use_pallas() else None,
+                    self._pallas_chunk(),
+                    self._use_pallas(),
                 ),
             )
         return collision_topk(
@@ -717,18 +728,22 @@ class DeviceStore(BaseStorage):
             # Grouped refine table in the geometry of the served mode.
             if mode == "hamming":
                 rows = (
-                    self._refine_rows(group, ham_tile if ham_pallas else None)
+                    self._refine_rows_for(group, ham_tile, ham_pallas)
                     if ham_grouped
                     else None
                 )
             else:
                 rows = (
-                    self._refine_rows(group, pallas_chunk if use_pallas else None)
+                    self._refine_rows_for(group, pallas_chunk, use_pallas)
                     if grouped
                     else None
                 )
+            # Read under the SAME lock hold as the state capture: a
+            # mutation racing with snapshot creation must leave a closure
+            # that fails the staleness check, not one that dispatches on
+            # donated (deleted) buffers.
+            snapshot_gen = self._generation
 
-        snapshot_gen = self._generation
         # State rides as jit ARGUMENTS, not captured constants: captured
         # arrays are embedded in the program (and shipped to remote compile
         # services), which blows up for multi-hundred-MB stores.
@@ -858,7 +873,7 @@ class DeviceStore(BaseStorage):
                 self.num_bands, self.rows_per_band, self.chunk,
             )
             out = max(1, min(max_out, self._capacity))
-        snapshot_gen = self._generation
+            snapshot_gen = self._generation  # atomic with the state capture
         state = (sig_t, ids, payload, pnorm)
 
         @jax.jit
@@ -934,9 +949,7 @@ class DeviceStore(BaseStorage):
                     group=group,
                     use_pallas=use_pallas,
                     q_tile=q_tile,
-                    sig_rows=self._refine_rows(
-                        group, pallas_tile if use_pallas else None
-                    ),
+                    sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas),
                 )
             return hamming_topk_packed_chunked(
                 self._sig_t, self._ids, self._ranks, qw,
@@ -953,9 +966,7 @@ class DeviceStore(BaseStorage):
                 group=group,
                 use_pallas=use_pallas,
                 q_tile=q_tile,
-                sig_rows=self._refine_rows(
-                    group, pallas_tile if use_pallas else None
-                ),
+                sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas),
             )
         return hamming_topk_chunked(
             self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk

@@ -77,7 +77,7 @@ def test_create_signatures_pipelined_multicore(make_device_lsh, rng, monkeypatch
     path exactly (stream order, one flush per batch)."""
     import os
 
-    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    monkeypatch.setattr(os, "sched_getaffinity", lambda pid: {0, 1, 2, 3})
     X = rng.standard_normal((40, 32)).astype(np.float32)
     lsh = make_device_lsh()
     lsh.create_signatures(format="numpy", vectors=X, batch_size=8, prefetch=0)
@@ -93,7 +93,7 @@ def test_create_signatures_pipelined_validation_error(make_device_lsh, rng, monk
 
     import pytest
 
-    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    monkeypatch.setattr(os, "sched_getaffinity", lambda pid: {0, 1, 2, 3})
     X = rng.standard_normal((16, 32)).astype(np.float32)
     X[12] = 0.0  # zero vector in the SECOND batch
     lsh = make_device_lsh()
