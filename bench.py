@@ -83,8 +83,8 @@ def main() -> None:
         _ = np.asarray(store._ids[:8])  # ordered completion barrier
         return time.perf_counter() - t0
 
-    # best of two: the tunnel occasionally stalls for tens of seconds
-    build_s = min(timed_build(), timed_build())
+    # best of three: the tunnel occasionally stalls for tens of seconds
+    build_s = min(timed_build() for _ in range(3))
     build_rate = N_VECTORS / build_s
 
     # ---- query ------------------------------------------------------------
