@@ -65,10 +65,10 @@ from lshrs_tpu.ops.hamming import (
 )
 from lshrs_tpu.ops.rerank import rerank_topp, rerank_topp_batch_core
 from lshrs_tpu.ops.scan import (
+    build_grouped_refine_rows,
     collision_counts,
     collision_topk,
     collision_topk_core,
-    build_grouped_refine_rows,
     collision_topk_grouped,
     collision_topk_grouped_core,
     compute_chunk_ranks,
