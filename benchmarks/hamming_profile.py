@@ -52,6 +52,7 @@ def main() -> None:
     ap.add_argument("--q", type=int, default=8192)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--group", type=int, default=64)
+    ap.add_argument("--q-tile", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -72,7 +73,7 @@ def main() -> None:
     C, Q, K, GROUP = args.cap, args.q, args.k, args.group
     P = B * R
     CHUNK = GROUP * 128
-    QT = min(256, Q)
+    QT = min(args.q_tile, Q)
     scale = key_scale(C)
 
     h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)

@@ -150,3 +150,52 @@ def test_device_store_compact_holds_lock_against_writers():
     for j in (100, 110, 119):
         _, ids = store.query_topk(words[j : j + 1], 1)
         assert ids[0][0] == j
+
+
+def test_snapshot_closure_race_with_append(rng):
+    """A snapshot taken concurrently with appends must either serve the
+    pre-mutation state or raise the stale RuntimeError — never dispatch
+    on donated buffers (regression: the generation used to be read
+    outside the lock that captures the state arrays)."""
+    import threading
+
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=16, seed=0)
+    X = rng.standard_normal((600, 16)).astype(np.float32)
+    words = h.hash_batch_words_host(X)
+    store = DeviceStore(
+        num_bands=4, rows_per_band=8, dim=16, store_vectors=True,
+        chunk_size=128, initial_capacity=2048,
+    )
+    store.add_signature_batch(np.arange(200), words[:200], X[:200])
+
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def writer():
+        i = 200
+        while not stop.is_set() and i < 600:
+            store.add_signature_batch(
+                np.arange(i, i + 10), words[i : i + 10], X[i : i + 10]
+            )
+            i += 10
+
+    def snapshotter():
+        qw = words[:8]
+        for _ in range(30):
+            try:
+                serve = store.snapshot_query_fn(3)
+                np.asarray(serve(qw))
+            except RuntimeError as e:
+                if "stale" not in str(e):
+                    errs.append(e)
+            except Exception as e:  # deleted-buffer crashes land here
+                errs.append(e)
+
+    t1 = threading.Thread(target=writer)
+    t2 = threading.Thread(target=snapshotter)
+    t1.start(); t2.start()
+    t2.join(); stop.set(); t1.join()
+    assert not errs, errs
