@@ -350,6 +350,14 @@ class LSHRS:
                     indices, vectors = next(it)
                 except StopIteration:
                     break
+                except BaseException:
+                    # Match the sequential path's partial-commit semantics:
+                    # it commits batch i before pulling batch i+1, so a
+                    # loader failure must not drop the already-hashed batch.
+                    if pending is not None:
+                        self._commit_index_batch(pending.result())
+                        pending = None
+                    raise
                 fut = ex.submit(self._prepare_index_batch, indices, vectors)
                 if pending is not None:
                     self._commit_index_batch(pending.result())
@@ -740,10 +748,14 @@ class LSHRS:
 
         The public face of the snapshot serving fast path (device backend
         only): each call of the returned closure hashes its batch through
-        this instance's hash path (host mode ships the minimal dense wire
-        encoding) and runs ONE fused device dispatch. Mutating the index
-        invalidates the closure (it raises ``RuntimeError``) — take a new
-        one after ingesting.
+        this instance's hash path and runs ONE fused *query* dispatch
+        (wire decode + scan + exact top-k + id select). With
+        ``hash_mode="host"`` the minimal dense wire encoding ships and
+        that is the only device program per batch; ``hash_mode="device"``
+        additionally dispatches the hash matmul as its own program first
+        (two round trips per batch). Mutating the index invalidates the
+        closure (it raises ``RuntimeError``) — take a new one after
+        ingesting.
 
         Args:
             top_k: result depth per query.
@@ -794,8 +806,10 @@ class LSHRS:
                     import ml_dtypes
 
                     qv = arr.astype(ml_dtypes.bfloat16)
-                self._count("queries_served", arr.shape[0])
                 ids, sims, n = serve(sig, qv)
+                # Count after the dispatch: stale-snapshot calls raise and
+                # must not inflate queries_served.
+                self._count("queries_served", arr.shape[0])
                 return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
             return run_topp
@@ -807,8 +821,11 @@ class LSHRS:
         def run(vectors):
             arr = _validate(vectors)
             sig = self._hash_for_ingest(arr)
+            out = np.asarray(serve(sig))
+            # Count after the dispatch: stale-snapshot calls raise and must
+            # not inflate queries_served.
             self._count("queries_served", arr.shape[0])
-            return np.asarray(serve(sig))
+            return out
 
         return run
 

@@ -121,14 +121,17 @@ class ShardedDeviceStore(DeviceStore):
         # P(axis, None): local block g = local group g, as the shard-local
         # query cores expect.
         key = (group, strided_chunk)
-        cached = self._rows_ext.get(key)
+        cached = self._rows_ext.pop(key, None)
         if cached is None:
             self._ensure_ranks()
             cached = _sharded_refine_rows(
                 self.mesh, self.axis, self._sig_rows, self._tie, self._ids,
                 group=group, strided_chunk=strided_chunk,
             )
-            self._rows_ext[key] = cached
+        # LRU-bounded, same policy as the base class (see _MAX_REFINE_GEOMETRIES).
+        self._rows_ext[key] = cached
+        while len(self._rows_ext) > self._MAX_REFINE_GEOMETRIES:
+            self._rows_ext.pop(next(iter(self._rows_ext)))
         return cached
 
     def _check_placement(self) -> None:

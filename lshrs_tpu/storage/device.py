@@ -325,6 +325,12 @@ class DeviceStore(BaseStorage):
         mismatched layout silently gathers the wrong slots."""
         return self._refine_rows(group, chunk if use_pallas else None)
 
+    # At most this many refine-table geometries stay resident. Each table
+    # is ~(BW + 2) * 4 bytes/slot (~72 MB at 1M slots for BW=16); two
+    # covers the steady state (one collision + one Hamming geometry) while
+    # bounding HBM when geometries churn (e.g. group_size sweeps).
+    _MAX_REFINE_GEOMETRIES = 2
+
     def _refine_rows(self, group: int, strided_chunk: int | None) -> jax.Array:
         """Lazily built GROUPED refine table for the given geometry.
 
@@ -334,11 +340,15 @@ class DeviceStore(BaseStorage):
         Pallas kernels, contiguous for the XLA fallback). Refinement then
         gathers one wide row per candidate group — 8x faster than
         per-slot row gathers at 1M slots (the TPU gather is
-        row-count-bound at narrow widths). Cached per geometry;
-        invalidated on any mutation.
+        row-count-bound at narrow widths). Cached per geometry with LRU
+        eviction past ``_MAX_REFINE_GEOMETRIES`` (each table costs
+        ``(BW + 2) * 4`` bytes/slot of HBM — see PERFORMANCE.md's memory
+        budget); invalidated on any mutation. Eviction only drops this
+        store's reference — serving closures that captured a table keep
+        it alive independently.
         """
         key = (group, strided_chunk)
-        cached = self._rows_ext.get(key)
+        cached = self._rows_ext.pop(key, None)
         if cached is None:
             self._ensure_ranks()  # the tie column must be fresh
             ext = jnp.concatenate(
@@ -352,7 +362,10 @@ class DeviceStore(BaseStorage):
             cached = build_grouped_refine_rows(
                 ext, group=group, strided_chunk=strided_chunk
             )
-            self._rows_ext[key] = cached
+        # Re-insert last (dict preserves insertion order = LRU order).
+        self._rows_ext[key] = cached
+        while len(self._rows_ext) > self._MAX_REFINE_GEOMETRIES:
+            self._rows_ext.pop(next(iter(self._rows_ext)))
         return cached
 
     # ------------------------------------------------------------------
@@ -1094,14 +1107,26 @@ class DeviceStore(BaseStorage):
         return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
-        """Fetch resident payload rows by id (requires ``store_vectors``)."""
+        """Fetch resident payload rows by id (requires ``store_vectors``).
+
+        Raises ``KeyError`` with a contract-level message for ids that were
+        never indexed or have been deleted (deleted ids are popped from the
+        id -> slot map by `remove_indices`).
+        """
         if self._payload is None:
             raise RuntimeError("store_vectors=False: no resident payload to fetch")
         if self._slot_of is None:
             raise RuntimeError("get_vectors requires dedupe=True (id -> slot map)")
         with self._lock:
+            slot_of = self._slot_of
+            missing = [int(i) for i in indices if int(i) not in slot_of]
+            if missing:
+                raise KeyError(
+                    f"ids not present in the index (unknown or deleted): "
+                    f"{missing[:8]}{'...' if len(missing) > 8 else ''}"
+                )
             slots = np.fromiter(
-                (self._slot_of[int(i)] for i in indices),
+                (slot_of[int(i)] for i in indices),
                 dtype=np.int64,
                 count=len(indices),
             )

@@ -360,3 +360,31 @@ def test_grouped_refine_matches_elementwise_fallback(rng):
     )
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     np.testing.assert_array_equal(np.asarray(hi1), np.asarray(hi2))
+
+
+def test_get_vectors_unknown_or_deleted_id_message(hasher, rng):
+    X = rng.standard_normal((6, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store(dim=D, store_vectors=True)
+    store.add_signature_batch(np.arange(6), words, X)
+
+    with pytest.raises(KeyError, match="unknown or deleted"):
+        store.get_vectors([99])
+    store.remove_indices([2])
+    with pytest.raises(KeyError, match="unknown or deleted"):
+        store.get_vectors([2])  # stale caller after delete
+    # surviving ids still resolve
+    np.testing.assert_array_equal(store.get_vectors([3])[0], X[3])
+
+
+def test_refine_table_cache_is_bounded(hasher, rng):
+    X = rng.standard_normal((64, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store = make_store()
+    store.add_signature_batch(np.arange(64), words)
+    # Request more geometries than the cache bound; LRU must evict.
+    for g, ch in [(8, None), (16, None), (8, 64), (16, 64), (8, None)]:
+        store._refine_rows(min(g, store._capacity), ch)
+        assert len(store._rows_ext) <= store._MAX_REFINE_GEOMETRIES
+    # Most recently used geometry is resident.
+    assert (8, None) in store._rows_ext
