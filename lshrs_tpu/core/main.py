@@ -88,6 +88,13 @@ class LSHRS:
         payload_dtype: resident payload precision — ``"float32"``
             (value-exact cosines) or ``"bfloat16"`` (half the payload
             HBM; ~1e-3 relative cosine rounding). Device backend only.
+        rerank_engine: top-p rerank formulation — ``"full"`` (whole-store
+            cosine matmul), ``"gather"`` (candidate-gather: rerank only
+            the top ``rerank_candidates`` most-colliding slots; cost
+            scales with candidates, not index size) or ``"auto"``
+            (default — gather at scale when the expected candidate load
+            fits the budget). See `lshrs_tpu.storage.device.DeviceStore`.
+        rerank_candidates: per-query candidate budget of the gather engine.
         hash_mode: where this instance hashes — ``"device"`` (one MXU
             matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
             ships 64-byte packed signatures; wins when the host->device
@@ -127,6 +134,8 @@ class LSHRS:
         hash_mode: str = "device",
         hamming_storage: str = "planes",
         payload_dtype: str = "float32",
+        rerank_engine: str = "auto",
+        rerank_candidates: int = 1024,
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -181,6 +190,8 @@ class LSHRS:
                     query_mode=query_mode,
                     bucket_cap=bucket_cap,
                     payload_dtype=payload_dtype,
+                    rerank_engine=rerank_engine,
+                    rerank_candidates=rerank_candidates,
                 )
             else:
                 self._storage = DeviceStore(
@@ -197,6 +208,8 @@ class LSHRS:
                     query_mode=query_mode,
                     bucket_cap=bucket_cap,
                     payload_dtype=payload_dtype,
+                    rerank_engine=rerank_engine,
+                    rerank_candidates=rerank_candidates,
                 )
         elif backend == "memory":
             self._storage = MemoryStorage()
@@ -259,6 +272,8 @@ class LSHRS:
             "hash_mode": hash_mode,
             "hamming_storage": hamming_storage,
             "payload_dtype": payload_dtype,
+            "rerank_engine": rerank_engine,
+            "rerank_candidates": rerank_candidates,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -862,16 +877,32 @@ class LSHRS:
             return None  # prefix too short: take the general path
         return [(int(i), float(s)) for i, s in zip(ids[:limit], sims[:limit])]
 
+    # First guess for the bounded unbounded-candidate enumeration; grows
+    # geometrically until the device-verified candidate count fits, so the
+    # host readback stays O(candidates) instead of O(capacity).
+    _CANDIDATE_ENUM_START = 4096
+
     def _ordered_candidates(self, query_vector: np.ndarray) -> list[tuple[int, int]]:
-        """All colliding candidates ordered by ``(-count, id)``."""
+        """All colliding candidates ordered by ``(-count, id)``.
+
+        Device mode enumerates them BOUNDED: an exact device top-M by
+        ``(count, id)`` plus an O(1)-readback total-candidate probe
+        (`DeviceStore.query_nnz`); M grows geometrically on the rare
+        queries whose candidate set exceeds it. The reference (and the
+        previous implementation) materialised the entire per-slot count
+        array on the host (`/root/reference/lshrs/core/main.py:605-614`)
+        — 4 MB of readback per query at 1M slots.
+        """
         if self._device_mode:
             qwords = self._hash_words(query_vector[None, :])
-            counts, ids = self._storage.query_counts(qwords)  # type: ignore[attr-defined]
-            counts, ids = counts[0], ids
-            hit = counts > 0
-            c, i = counts[hit], ids[hit]
-            order = np.lexsort((i, -c))
-            return [(int(i[j]), int(c[j])) for j in order]
+            n = int(self._storage.query_nnz(qwords)[0])  # type: ignore[attr-defined]
+            if n == 0:
+                return []
+            m = max(self._CANDIDATE_ENUM_START, 1 << (n - 1).bit_length())
+            counts, ids = self._storage.query_topk(qwords, m)  # type: ignore[attr-defined]
+            return [
+                (int(i), int(c)) for i, c in zip(ids[0, :n], counts[0, :n])
+            ]
         counts_map = self._candidate_counts(query_vector)
         return sorted(counts_map.items(), key=lambda item: (-item[1], item[0]))
 
@@ -1068,6 +1099,8 @@ class LSHRS:
             "hash_mode": tpu_config.get("hash_mode", "device"),
             "hamming_storage": tpu_config.get("hamming_storage", "planes"),
             "payload_dtype": tpu_config.get("payload_dtype", "float32"),
+            "rerank_engine": tpu_config.get("rerank_engine", "auto"),
+            "rerank_candidates": tpu_config.get("rerank_candidates", 1024),
         }
 
     # ------------------------------------------------------------------

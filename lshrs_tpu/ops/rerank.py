@@ -25,6 +25,8 @@ __all__ = [
     "rerank_topp",
     "rerank_topp_batch_core",
     "rerank_topp_batch",
+    "rerank_topp_gather_core",
+    "rerank_topp_gather",
 ]
 
 # Host-side constant: module import must not touch the device backend.
@@ -158,3 +160,212 @@ def rerank_topp_batch_core(
 rerank_topp_batch = partial(jax.jit, static_argnames=("max_out",))(
     rerank_topp_batch_core
 )
+
+
+def rerank_topp_gather_core(
+    payload: jax.Array,
+    pnorm: jax.Array,
+    ids: jax.Array,
+    tie: jax.Array,
+    sig_t: jax.Array,
+    qwords: jax.Array,
+    qvecs: jax.Array,
+    *,
+    num_bands: int,
+    max_out: int,
+    max_candidates: int,
+    group: int,
+    pallas_chunk: int,
+    q_tile: int,
+    use_pallas: bool,
+    interpret: bool = False,
+    sig_rows: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Candidate-gather top-p rerank: cost scales with CANDIDATES, not capacity.
+
+    The full-store formulation (`rerank_topp_batch_core`) computes a
+    ``(Q, C)`` cosine matmul and masks afterwards — brute-force kNN cost
+    that throws away LSH's selectivity past ~100k slots. This core keeps
+    the reference's candidates-only principle
+    (`/root/reference/lshrs/core/main.py:633-647`) on device:
+
+        1. group-max collision keys over the store (the same fused
+           Pallas/XLA stage the top-k fast path uses — VPU-rate compares,
+           ~``dim/num_words`` x fewer FLOPs than the cosine matmul),
+        2. top-``max_candidates`` groups by max key; because keys are
+           globally distinct, every group containing a colliding slot
+           outranks every collision-free group, so whenever fewer than
+           ``max_candidates`` groups contain collisions the candidate set
+           is COVERED in full (detected exactly, see below),
+        3. refine those groups' slots (counts / tie / id), select the top
+           ``max_candidates`` slots by ``(count, tie)``,
+        4. gather ONLY those slots' payload rows — ``(Q, M, dim)`` — and
+           rerank with one small batched matmul + exact
+           (cosine desc, id asc) sort.
+
+    Args:
+        payload / pnorm / ids / tie / sig_t: store state (see `DeviceStore`).
+        qwords: ``(Q, BW)`` uint32 query signatures.
+        qvecs: ``(Q, dim)`` float32 (or bfloat16 wire) queries.
+        max_out: ranked prefix length per query.
+        max_candidates: M — groups refined and slots reranked per query.
+        group / pallas_chunk / q_tile / use_pallas / sig_rows: fast-path
+            geometry, exactly as `collision_topk_grouped_core`.
+
+    Returns:
+        ``(ids (Q, max_out), sims (Q, max_out), n (Q,), exact (Q,))``.
+        ``exact[q]`` is True iff query q's FULL colliding candidate set was
+        reranked (guaranteed identical to the full-store formulation);
+        otherwise the ranking covers the ``max_candidates`` candidates with
+        the most band collisions and ``n`` is a lower bound. Exactness
+        detection: if the worst selected group's max key is below the
+        collision scale, some selected group is collision-free, hence every
+        collision group was selected.
+    """
+    from lshrs_tpu.ops.pallas_scan import group_max_keys, key_scale
+    from lshrs_tpu.ops.scan import (
+        _hierarchical_top_groups,
+        band_counts_t,
+        gather_refine_group_rows,
+    )
+
+    bw, c = sig_t.shape
+    q = qwords.shape[0]
+    w = bw // num_bands
+    scale = key_scale(c)
+    ng = c // group
+
+    # -- stage 1: group-max keys (shared with the collision fast path) ------
+    if use_pallas:
+        q_pad = -(-q // q_tile) * q_tile
+        qw = jnp.pad(qwords, ((0, q_pad - q), (0, 0))) if q_pad != q else qwords
+        gmax = group_max_keys(
+            sig_t, tie, qw,
+            num_bands=num_bands, words=w, group=group, chunk=pallas_chunk,
+            q_tile=q_tile, scale=scale, interpret=interpret,
+        )[:q]
+    else:
+        counts_full = band_counts_t(sig_t, qwords, num_bands)
+        key_full = counts_full * (tie >= 0).astype(jnp.int32)[
+            None, :
+        ] * scale + jnp.maximum(tie, 0)[None, :]
+        gmax = key_full.reshape(q, ng, group).max(axis=-1)
+
+    # -- stage 2: top-M groups + coverage detection -------------------------
+    m = min(max_candidates, ng)
+    top_groups = _hierarchical_top_groups(
+        gmax, m=m, ngc=pallas_chunk // group if use_pallas else None
+    )
+    gsel = jnp.take_along_axis(gmax, top_groups, axis=1)  # (Q, m)
+    covered = (gsel.min(axis=1) < scale) | (m == ng)
+
+    # -- stage 3: refine selected groups ------------------------------------
+    mg = m * group
+    if use_pallas:
+        # Pallas grouping is strided within each chunk (see pallas_scan):
+        # group g = (chunk ci, lane j); its slots are ci*chunk + j + i*ngc.
+        ngc = pallas_chunk // group
+        ci = top_groups // ngc
+        j = top_groups % ngc
+        slots = (
+            ci[..., None] * pallas_chunk
+            + j[..., None]
+            + jnp.arange(group)[None, None, :] * ngc
+        ).reshape(q, mg)
+    else:
+        slots = (
+            top_groups[..., None] * group + jnp.arange(group)[None, None, :]
+        ).reshape(q, mg)
+    if sig_rows is not None:
+        # One wide row-gather per candidate group (8x faster than per-slot
+        # gathers at 1M slots); slot order matches the arithmetic `slots`.
+        cwords, cand_tie, cand_ids = gather_refine_group_rows(
+            sig_rows, top_groups, bw=bw, group=group
+        )
+        counts = None
+        for b in range(num_bands):
+            eq = cwords[:, :, b * w, :] == qwords[:, b * w][:, None, None]
+            for jj in range(1, w):
+                eq &= (
+                    cwords[:, :, b * w + jj, :]
+                    == qwords[:, b * w + jj][:, None, None]
+                )
+            counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        counts = counts.reshape(q, mg)
+        cand_tie = cand_tie.reshape(q, mg)
+        cand_ids = cand_ids.reshape(q, mg)
+    else:
+        cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
+        counts = None
+        for b in range(num_bands):
+            eq = cand_sig[b * w] == qwords[:, b * w][:, None]
+            for jj in range(1, w):
+                eq &= cand_sig[b * w + jj] == qwords[:, b * w + jj][:, None]
+            counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, mg)
+        cand_ids = jnp.take(ids, slots.reshape(-1)).reshape(q, mg)
+
+    alive = cand_tie >= 0
+    colliding = (counts > 0) & alive
+    n = colliding.sum(axis=1)  # exact iff covered
+
+    # -- stage 4: top-M slots by (count, tie), gather payload, rerank -------
+    m_slots = min(max_candidates, mg)
+    key = counts * alive.astype(jnp.int32) * scale + jnp.maximum(cand_tie, 0)
+    top_key, top_pos = jax.lax.top_k(key, m_slots)
+    sel_counts = top_key // scale
+    sel_slots = jnp.take_along_axis(slots, top_pos, axis=1)
+    sel_ids = jnp.take_along_axis(cand_ids, top_pos, axis=1)
+    exact = covered & (n <= m_slots)
+
+    dim = payload.shape[1]
+    rows = jnp.take(payload, sel_slots.reshape(-1), axis=0).reshape(
+        q, m_slots, dim
+    )
+    pn = jnp.take(pnorm, sel_slots.reshape(-1)).reshape(q, m_slots)
+
+    # Precision contract mirrors rerank_topp_batch_core: f32 x f32 runs
+    # HIGHEST (value-exact vs the reference's host-f32 cosines); inputs
+    # that arrive rounded (bf16 wire / bf16 payload) keep the native path.
+    value_exact = qvecs.dtype == jnp.float32 and payload.dtype == jnp.float32
+    bf16_payload = payload.dtype == jnp.bfloat16
+    qd = qvecs.astype(payload.dtype) if bf16_payload else qvecs.astype(jnp.float32)
+    qvecs_f32 = qvecs.astype(jnp.float32)
+    dots = jnp.einsum(
+        "qmd,qd->qm",
+        rows,
+        qd,
+        precision=jax.lax.Precision.HIGHEST if value_exact else None,
+        preferred_element_type=jnp.float32,
+    )
+    qn = jnp.sqrt(jnp.sum(qvecs_f32 * qvecs_f32, axis=1, keepdims=True))
+    denom = jnp.maximum(pn * qn, 1e-30)
+    sims = dots / denom
+
+    mask = sel_counts > 0
+    neg = jnp.where(mask, -sims, jnp.inf)
+    tie_id = jnp.where(mask, sel_ids, _INT32_MAX)
+    _, _, sorted_sims, sorted_ids = jax.lax.sort(
+        (neg, tie_id, sims, sel_ids), num_keys=2
+    )
+    out = min(max_out, m_slots)
+    valid = jnp.minimum(n, m_slots)
+    out_ids = jnp.where(
+        jnp.arange(out)[None, :] < valid[:, None], sorted_ids[:, :out], -1
+    )
+    out_sims = sorted_sims[:, :out]
+    if out < max_out:
+        out_ids = jnp.pad(
+            out_ids, ((0, 0), (0, max_out - out)), constant_values=-1
+        )
+        out_sims = jnp.pad(out_sims, ((0, 0), (0, max_out - out)))
+    return out_ids, out_sims, n, exact
+
+
+rerank_topp_gather = partial(
+    jax.jit,
+    static_argnames=(
+        "num_bands", "max_out", "max_candidates", "group", "pallas_chunk",
+        "q_tile", "use_pallas", "interpret",
+    ),
+)(rerank_topp_gather_core)

@@ -43,6 +43,8 @@ __all__ = [
     "collision_topk_core",
     "collision_counts",
     "collision_counts_core",
+    "collision_nnz",
+    "collision_nnz_core",
     "collision_topk_grouped_core",
     "collision_topk_grouped",
     "merge_topk_pools",
@@ -473,6 +475,44 @@ def collision_counts_core(
 
 collision_counts = partial(jax.jit, static_argnames=("num_bands", "chunk"))(
     collision_counts_core
+)
+
+
+def collision_nnz_core(
+    sig_t: jax.Array,
+    ids: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_bands: int,
+    chunk: int,
+) -> jax.Array:
+    """Per-query colliding-candidate count, ``(Q,)`` int32.
+
+    The reduction happens inside the chunk scan, so nothing ``(Q, C)``
+    ever materialises — this is what lets the unbounded-candidate API
+    (``top_k=None``) verify a bounded enumeration's completeness with
+    ``O(Q)`` readback instead of the reference-shaped ``O(Q, C)`` count
+    matrix (`/root/reference/lshrs/core/main.py:605-614` reads the whole
+    candidate dict).
+    """
+    bw, c_total = sig_t.shape
+    nchunks = c_total // chunk
+    q = qwords.shape[0]
+    sig_c = jnp.moveaxis(sig_t.reshape(bw, nchunks, chunk), 1, 0)
+    ids_c = ids.reshape(nchunks, chunk)
+
+    def body(acc, xs):
+        chunk_sig_t, chunk_ids = xs
+        counts = band_counts_t(chunk_sig_t, qwords, num_bands)
+        hit = (counts > 0) & (chunk_ids[None, :] >= 0)
+        return acc + hit.sum(axis=1, dtype=jnp.int32), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((q,), jnp.int32), (sig_c, ids_c))
+    return acc
+
+
+collision_nnz = partial(jax.jit, static_argnames=("num_bands", "chunk"))(
+    collision_nnz_core
 )
 
 

@@ -219,6 +219,20 @@ class ShardedDeviceStore(DeviceStore):
             and local >= self.group * 128
         )
 
+    def _resolve_rerank_engine(self, engine, max_candidates):
+        # The base gather engine selects groups with shard-LOCAL tie keys,
+        # which are not globally distinct — cross-shard candidate selection
+        # under GSPMD would misorder. Until the shard_map gather formulation
+        # lands, sharded stores rerank with the full GSPMD matmul.
+        engine = engine if engine is not None else self.rerank_engine
+        if engine == "gather":
+            raise RuntimeError(
+                "rerank_engine='gather' is not supported on sharded stores "
+                "yet; use 'full' (the GSPMD matmul) or 'auto'"
+            )
+        eng, mc = super()._resolve_rerank_engine("full", max_candidates)
+        return eng, mc
+
     def _query_topk_dev(self, qw: jax.Array, k: int):
         self._ensure_ranks()
         k_eff = max(1, min(k, self._local_rows()))
@@ -315,6 +329,22 @@ class ShardedDeviceStore(DeviceStore):
             grouped=ham_grouped,
             group=min(self.group, local),
         )
+
+    def query_nnz(self, qwords) -> np.ndarray:
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        with self._lock:
+            if self._size == 0:
+                return np.zeros((qw.shape[0],), np.int32)
+            n = _sharded_nnz(
+                self.mesh,
+                self.axis,
+                self._sig_t,
+                self._ids,
+                qw,
+                num_bands=self.num_bands,
+                chunk=min(self.chunk, self._local_rows()),
+            )
+        return np.asarray(n)
 
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
@@ -689,6 +719,23 @@ def _sharded_hamming_packed(
         out_specs=(P(), P()),
         check_vma=False,
     )(sig_t, rows, ids, ranks, tie, qwords)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))
+def _sharded_nnz(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk):
+    from lshrs_tpu.ops.scan import collision_nnz_core
+
+    def local(sig_l, ids_l, qw):
+        n_l = collision_nnz_core(sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk)
+        return jax.lax.psum(n_l, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(sig_t, ids, qwords)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))

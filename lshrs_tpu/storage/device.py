@@ -63,7 +63,12 @@ from lshrs_tpu.ops.hamming import (
     supports_hamming_grouped,
     unpack_bitplanes,
 )
-from lshrs_tpu.ops.rerank import rerank_topp, rerank_topp_batch_core
+from lshrs_tpu.ops.rerank import (
+    rerank_topp,
+    rerank_topp_batch_core,
+    rerank_topp_gather,
+    rerank_topp_gather_core,
+)
 from lshrs_tpu.ops.scan import (
     build_grouped_refine_rows,
     collision_counts,
@@ -173,6 +178,16 @@ class DeviceStore(BaseStorage):
             ``"bfloat16"`` — HALF the payload HBM (the dominant array at
             scale: dim bytes/slot instead of 2*dim), cosine rerank then
             runs a native bf16 MXU matmul with ~1e-3 relative rounding.
+        rerank_engine: top-p rerank formulation — ``"full"`` (one
+            ``(Q, C)`` cosine matmul over the whole store; exact, but
+            brute-force-kNN cost at scale), ``"gather"`` (candidate-gather:
+            select the top ``rerank_candidates`` candidates by collision
+            count, gather ONLY their payload rows, rerank the small block —
+            cost scales with candidates, not capacity; exact whenever the
+            candidate set fits, detected per query) or ``"auto"``
+            (default: gather past ``_GATHER_MIN_CAPACITY`` slots when the
+            expected candidate load fits, full otherwise).
+        rerank_candidates: per-query candidate budget of the gather engine.
     """
 
     supports_signature_batches = True
@@ -193,11 +208,17 @@ class DeviceStore(BaseStorage):
         enable_hamming: bool = False,
         hamming_storage: str = "planes",
         payload_dtype: str = "float32",
+        rerank_engine: str = "auto",
+        rerank_candidates: int = 1024,
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
             raise ValueError("chunk_size must be in (0, 16384]")
         if payload_dtype not in ("float32", "bfloat16"):
             raise ValueError("payload_dtype must be 'float32' or 'bfloat16'")
+        if rerank_engine not in ("auto", "full", "gather"):
+            raise ValueError("rerank_engine must be 'auto', 'full' or 'gather'")
+        if rerank_candidates <= 0:
+            raise ValueError("rerank_candidates must be greater than zero")
         if (num_bands + 1) * chunk_size >= 2**31:
             raise ValueError("num_bands * chunk_size too large for exact top-k keys")
         if store_vectors and not dim:
@@ -222,6 +243,9 @@ class DeviceStore(BaseStorage):
         self.enable_hamming = enable_hamming
         self.hamming_storage = hamming_storage
         self.payload_dtype = payload_dtype
+        self.rerank_engine = rerank_engine
+        self.rerank_candidates = rerank_candidates
+        self._rerank_truncations = 0
         self._payload_jdtype = (
             jnp.bfloat16 if payload_dtype == "bfloat16" else jnp.float32
         )
@@ -294,6 +318,50 @@ class DeviceStore(BaseStorage):
         # (q_tile, chunk // group); Mosaic needs its minor dim >= 128,
         # so the chunk scales with group_size.
         return min(max(4096, self.group * 128), self._capacity)
+
+    # Below this capacity the full (Q, C) rerank matmul is cheap enough
+    # that the gather engine's extra stages are pure overhead (measured
+    # 13.5 ms / 1024 queries at 100k x 768d for the full path).
+    _GATHER_MIN_CAPACITY = 1 << 18
+
+    def _gather_usable(self) -> bool:
+        return self.store_vectors and self._use_grouped()
+
+    def _expected_candidates(self) -> float:
+        """Expected colliding candidates per query for random pairs:
+        ``alive * (1 - (1 - 2^-r)^b) ~ alive * b * 2^-r``. Real workloads
+        with near-duplicates exceed this; truncations are counted."""
+        alive = max(0, self._size - self._tombstones)
+        r = min(self.rows_per_band, 40)  # avoid float underflow theatrics
+        return alive * (1.0 - (1.0 - 2.0**-r) ** self.num_bands)
+
+    def _resolve_rerank_engine(
+        self, engine: str | None, max_candidates: int | None
+    ) -> tuple[str, int]:
+        engine = engine if engine is not None else self.rerank_engine
+        mc = max_candidates if max_candidates is not None else self.rerank_candidates
+        if engine not in ("auto", "full", "gather"):
+            raise ValueError("rerank engine must be 'auto', 'full' or 'gather'")
+        if mc <= 0:
+            raise ValueError("max_candidates must be greater than zero")
+        if engine == "gather" and not self._gather_usable():
+            raise RuntimeError(
+                "rerank_engine='gather' requires store_vectors=True and the "
+                "grouped fast path (capacity within int32 key packing)"
+            )
+        if engine == "auto":
+            engine = (
+                "gather"
+                if (
+                    self._gather_usable()
+                    and self._capacity >= self._GATHER_MIN_CAPACITY
+                    # a gather budget the expected load would blow through
+                    # on most queries just truncates; stay on full.
+                    and self._expected_candidates() <= mc / 2
+                )
+                else "full"
+            )
+        return engine, mc
 
     def _refresh_ranks(self) -> None:
         """Mark selection keys stale after a mutation (recomputed lazily).
@@ -847,12 +915,19 @@ class DeviceStore(BaseStorage):
 
         return serve
 
-    def snapshot_topp_fn(self, max_out: int, *, wire: str = "words"):
+    def snapshot_topp_fn(
+        self,
+        max_out: int,
+        *,
+        wire: str = "words",
+        engine: str | None = None,
+        max_candidates: int | None = None,
+    ):
         """Compiled single-dispatch top-p rerank closure (serving path).
 
         The rerank analogue of :meth:`snapshot_query_fn`: one jitted
-        program per batch fuses wire decode + collision counts + cosine
-        MXU matmul + the exact (cosine desc, id asc) ordering. The
+        program per batch fuses wire decode + candidate scoring + cosine
+        rerank + the exact (cosine desc, id asc) ordering. The
         synchronous `query_topp_batch` path is transport-bound on
         remote-attached devices (device compute is ~13 ms / 1024 queries
         at 100k x 768d vs ~200 ms e2e); this closure lets callers overlap
@@ -862,6 +937,11 @@ class DeviceStore(BaseStorage):
             max_out: ranked prefix length per query.
             wire: ``"words"`` or ``"dense"`` signature encoding (as
                 :meth:`snapshot_query_fn`).
+            engine / max_candidates: rerank formulation override (see the
+                class docstring); resolved once at snapshot time. On the
+                gather engine a returned ``n[i] >= max_candidates`` marks
+                a possibly-truncated ranking (the serving hot loop does
+                not read back the per-query exactness flags).
 
         Returns:
             callable ``(signatures, qvecs) -> (ids (Q, max_out) int32,
@@ -880,24 +960,50 @@ class DeviceStore(BaseStorage):
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_topp_fn requires a non-empty store")
-            sig_t, ids = self._sig_t, self._ids
-            payload, pnorm = self._payload, self._pnorm
+            eng, mc = self._resolve_rerank_engine(engine, max_candidates)
             num_bands, rows_per_band, chunk = (
                 self.num_bands, self.rows_per_band, self.chunk,
             )
             out = max(1, min(max_out, self._capacity))
+            if eng == "gather":
+                self._ensure_ranks()
+                group = min(self.group, self._capacity)
+                use_pallas = self._use_pallas()
+                pallas_chunk = self._pallas_chunk()
+                state = (
+                    self._sig_t,
+                    self._ids,
+                    self._tie,
+                    self._payload,
+                    self._pnorm,
+                    self._refine_rows_for(group, pallas_chunk, use_pallas),
+                )
+            else:
+                state = (self._sig_t, self._ids, None, self._payload, self._pnorm, None)
             snapshot_gen = self._generation  # atomic with the state capture
-        state = (sig_t, ids, payload, pnorm)
 
         @jax.jit
         def _serve(q, qv, st):
-            sig_t_, ids_, payload_, pnorm_ = st
+            sig_t_, ids_, tie_, payload_, pnorm_, rows_ = st
             if wire == "dense":
                 q = dense_to_words(
                     q, num_bands=num_bands, rows_per_band=rows_per_band
                 )
             else:
                 q = q.astype(jnp.uint32)
+            if eng == "gather":
+                out_ids, sims, n, _exact = rerank_topp_gather_core(
+                    payload_, pnorm_, ids_, tie_, sig_t_, q, qv,
+                    num_bands=num_bands,
+                    max_out=out,
+                    max_candidates=mc,
+                    group=group,
+                    pallas_chunk=pallas_chunk,
+                    q_tile=min(128, _next_pow2(max(8, q.shape[0]))),
+                    use_pallas=use_pallas,
+                    sig_rows=rows_,
+                )
+                return out_ids, sims, n
             counts = collision_counts_core(
                 sig_t_, ids_, q, num_bands=num_bands, chunk=chunk
             )
@@ -936,6 +1042,24 @@ class DeviceStore(BaseStorage):
             )
             ids = self._ids
         return np.asarray(counts), np.asarray(ids)
+
+    def query_nnz(self, qwords) -> np.ndarray:
+        """Per-query colliding-candidate counts, ``(Q,)`` — O(Q) readback.
+
+        The completeness probe of the bounded candidate enumeration: the
+        reduction runs inside the device chunk scan, so the ``(Q, C)``
+        count matrix never exists anywhere.
+        """
+        from lshrs_tpu.ops.scan import collision_nnz
+
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        with self._lock:
+            if self._size == 0:
+                return np.zeros((qw.shape[0],), np.int32)
+            n = collision_nnz(
+                self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+            )
+        return np.asarray(n)
 
     def _query_hamming_dev(self, qw: jax.Array, k: int):
         """Device-resident Hamming top-k, grouped path when the packed
@@ -1058,7 +1182,14 @@ class DeviceStore(BaseStorage):
         return np.asarray(ids), np.asarray(sims), int(n)
 
     def query_topp_batch(
-        self, qwords, qvecs: np.ndarray, max_out: int, *, wire_dtype: str = "float32"
+        self,
+        qwords,
+        qvecs: np.ndarray,
+        max_out: int,
+        *,
+        wire_dtype: str = "float32",
+        engine: str | None = None,
+        max_candidates: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched fused top-p rerank (one device dispatch for the batch).
 
@@ -1073,6 +1204,13 @@ class DeviceStore(BaseStorage):
                 win when the host->device link bounds rerank throughput —
                 at ~1e-2 relative cosine error (queries are rounded once;
                 the payload side stays f32).
+            engine / max_candidates: override the store's
+                ``rerank_engine`` / ``rerank_candidates`` for this call
+                (see the class docstring). On the gather engine, queries
+                whose candidate set exceeds the budget rerank the
+                ``max_candidates`` most-colliding candidates; ``n`` is
+                then a lower bound and ``stats()['rerank_truncations']``
+                is incremented.
         """
         if self._payload is None:
             raise RuntimeError("store_vectors=False: no resident payload to rerank")
@@ -1087,23 +1225,53 @@ class DeviceStore(BaseStorage):
                     np.zeros((q, max_out), np.float32),
                     np.zeros((q,), np.int32),
                 )
+            eng, mc = self._resolve_rerank_engine(engine, max_candidates)
             out = max(1, min(max_out, self._capacity))
             qv = np.asarray(qvecs, dtype=np.float32)
             if wire_dtype == "bfloat16":
                 import ml_dtypes
 
                 qv = qv.astype(ml_dtypes.bfloat16)
-            ids, sims, n = _topp_batch_jit(
-                self._sig_t,
-                self._ids,
-                self._payload,
-                self._pnorm,
-                qw,
-                jnp.asarray(qv),
-                num_bands=self.num_bands,
-                chunk=self.chunk,
-                max_out=out,
-            )
+            if eng == "gather":
+                self._ensure_ranks()
+                group = min(self.group, self._capacity)
+                use_pallas = self._use_pallas()
+                pallas_chunk = self._pallas_chunk()
+                ids, sims, n, exact = rerank_topp_gather(
+                    self._payload,
+                    self._pnorm,
+                    self._ids,
+                    self._tie,
+                    self._sig_t,
+                    qw,
+                    jnp.asarray(qv),
+                    num_bands=self.num_bands,
+                    max_out=out,
+                    max_candidates=mc,
+                    group=group,
+                    pallas_chunk=pallas_chunk,
+                    q_tile=min(128, _next_pow2(max(8, q))),
+                    use_pallas=use_pallas,
+                    sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas),
+                )
+            else:
+                exact = None
+                ids, sims, n = _topp_batch_jit(
+                    self._sig_t,
+                    self._ids,
+                    self._payload,
+                    self._pnorm,
+                    qw,
+                    jnp.asarray(qv),
+                    num_bands=self.num_bands,
+                    chunk=self.chunk,
+                    max_out=out,
+                )
+        if exact is not None:
+            truncated = int(q - np.asarray(exact).sum())
+            if truncated:
+                with self._lock:
+                    self._rerank_truncations += truncated
         return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
@@ -1278,6 +1446,12 @@ class DeviceStore(BaseStorage):
                 else 0
             ),
             "bucket_overflows": self._bucket_overflows,
+            "rerank_engine": (
+                self._resolve_rerank_engine(None, None)[0]
+                if self.store_vectors
+                else None
+            ),
+            "rerank_truncations": self._rerank_truncations,
             "fast_path": self._use_grouped(),
             "pallas": self._use_grouped() and self._use_pallas(),
             "signature_bytes": sig_bytes,

@@ -388,3 +388,46 @@ def test_refine_table_cache_is_bounded(hasher, rng):
         assert len(store._rows_ext) <= store._MAX_REFINE_GEOMETRIES
     # Most recently used geometry is resident.
     assert (8, None) in store._rows_ext
+
+
+def test_query_nnz_matches_full_counts(hasher, rng):
+    X = rng.standard_normal((300, D)).astype(np.float32)
+    X[200:250] = X[:50]  # duplicate signatures inflate candidate sets
+    store = make_store()
+    store.add_signature_batch(np.arange(300), hasher.hash_batch_words_host(X))
+
+    qw = hasher.hash_batch_words_host(X[:9])
+    counts, ids = store.query_counts(qw)
+    expected = ((counts > 0) & (ids[None, :] >= 0)).sum(axis=1)
+    np.testing.assert_array_equal(store.query_nnz(qw), expected)
+    # deletions shrink the probe
+    store.remove_indices([0, 200])
+    counts2, ids2 = store.query_counts(qw)
+    expected2 = ((counts2 > 0) & (ids2[None, :] >= 0)).sum(axis=1)
+    np.testing.assert_array_equal(store.query_nnz(qw), expected2)
+
+
+def test_unbounded_query_uses_bounded_enumeration(hasher, rng, monkeypatch):
+    """query(top_k=None) must go through the nnz probe + bounded top-M,
+    never the (Q, capacity) host readback."""
+    from lshrs_tpu import LSHRS
+
+    X = rng.standard_normal((120, D)).astype(np.float32)
+    lsh = LSHRS(dim=D, num_perm=B * R, num_bands=B, rows_per_band=R,
+                backend="device", chunk_size=64, initial_capacity=256)
+    lsh.index(list(range(120)), X)
+
+    def boom(*a, **k):  # the unbounded readback must not be touched
+        raise AssertionError("query_counts called on the bounded path")
+
+    monkeypatch.setattr(lsh._storage, "query_counts", boom)
+    out = lsh.query(X[7], top_k=None)
+    assert out[0] == 7
+    # parity with the brute-force candidate set
+    words = hasher.hash_batch_words_host(X)
+    qw = hasher.hash_batch_words_host(X[7:8])[0]
+    eq = (words == qw[None, :]).reshape(120, B, -1).all(-1)
+    counts = eq.sum(-1)
+    expected = [i for c, i in sorted((-int(c), int(i))
+                for i, c in enumerate(counts) if c > 0)]
+    assert out == expected

@@ -1,0 +1,199 @@
+"""Candidate-gather rerank engine: exactness vs the full-matmul path,
+coverage/truncation detection, engine resolution, persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lshrs_tpu import LSHRS
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.ops.rerank import rerank_topp_gather_core
+from lshrs_tpu.storage.device import DeviceStore
+
+B, R, D = 4, 8, 32
+
+
+@pytest.fixture
+def hasher() -> LSHHasher:
+    return LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+
+
+def make_store(**kw) -> DeviceStore:
+    defaults = dict(
+        num_bands=B, rows_per_band=R, dim=D, store_vectors=True,
+        chunk_size=256, initial_capacity=4096, group_size=64,
+    )
+    defaults.update(kw)
+    return DeviceStore(**defaults)
+
+
+@pytest.fixture
+def populated(hasher, rng):
+    n = 2000
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    # clusters of near-duplicates so candidate sets are non-trivial
+    X[1000:1100] = X[:100] + 0.01 * rng.standard_normal((100, D)).astype(np.float32)
+    store = make_store()
+    store.add_signature_batch(np.arange(n), hasher.hash_batch_words_host(X), X)
+    return store, X
+
+
+def test_gather_matches_full_when_covered(populated, hasher, rng):
+    store, X = populated
+    Q = np.concatenate([X[:6], rng.standard_normal((4, D)).astype(np.float32)])
+    qw = hasher.hash_batch_words_host(Q)
+
+    full_ids, full_sims, full_n = store.query_topp_batch(qw, Q, 64, engine="full")
+    g_ids, g_sims, g_n = store.query_topp_batch(
+        qw, Q, 64, engine="gather", max_candidates=1024
+    )
+    np.testing.assert_array_equal(g_n, full_n)
+    np.testing.assert_array_equal(g_ids, full_ids)
+    valid = full_ids >= 0  # entries past n carry unspecified sims
+    np.testing.assert_allclose(
+        g_sims[valid], full_sims[valid], rtol=1e-5, atol=1e-6
+    )
+    assert store.stats()["rerank_truncations"] == 0
+
+
+def test_gather_truncation_detected_and_counted(hasher, rng):
+    # every vector identical -> every slot collides with the query
+    n = 512
+    X = np.tile(rng.standard_normal((1, D)).astype(np.float32), (n, 1))
+    store = make_store(initial_capacity=512, dedupe=False)
+    store.add_signature_batch(np.arange(n), hasher.hash_batch_words_host(X), X)
+
+    qw = hasher.hash_batch_words_host(X[:1])
+    ids, sims, cnt = store.query_topp_batch(
+        qw, X[:1], 64, engine="gather", max_candidates=64
+    )
+    assert store.stats()["rerank_truncations"] == 1
+    # truncated ranking holds the 64 most-colliding candidates: counts are
+    # all equal here, so the (count, tie) selection keeps the lowest ids,
+    # and equal cosines order by id.
+    assert list(ids[0]) == list(range(64))
+    assert int(cnt[0]) >= 64  # lower bound on the true candidate count
+
+
+def test_gather_core_exact_flag(populated, hasher, rng):
+    store, X = populated
+    store._ensure_ranks()
+    qw = jnp.asarray(hasher.hash_batch_words_host(X[:4]), dtype=jnp.uint32)
+    _, _, n, exact = rerank_topp_gather_core(
+        store._payload, store._pnorm, store._ids, store._tie, store._sig_t,
+        qw, jnp.asarray(X[:4]),
+        num_bands=B, max_out=16, max_candidates=512,
+        group=64, pallas_chunk=4096, q_tile=8, use_pallas=False,
+    )
+    assert bool(np.asarray(exact).all())
+    # a tiny budget on a self-query with near-dup cluster -> not exact
+    _, _, _, exact_small = rerank_topp_gather_core(
+        store._payload, store._pnorm, store._ids, store._tie, store._sig_t,
+        qw, jnp.asarray(X[:4]),
+        num_bands=B, max_out=4, max_candidates=1,
+        group=64, pallas_chunk=4096, q_tile=8, use_pallas=False,
+    )
+    assert not bool(np.asarray(exact_small).all())
+
+
+def test_gather_pallas_interpret_parity(populated, hasher):
+    """The strided (Pallas) formulation must agree bit-for-bit with the
+    contiguous XLA formulation (interpret mode runs the kernel on CPU)."""
+    store, X = populated
+    store._ensure_ranks()
+    qw = jnp.asarray(hasher.hash_batch_words_host(X[:8]), dtype=jnp.uint32)
+    kw = dict(
+        num_bands=B, max_out=32, max_candidates=256, group=64, q_tile=8,
+    )
+    ids_x, sims_x, n_x, ex_x = rerank_topp_gather_core(
+        store._payload, store._pnorm, store._ids, store._tie, store._sig_t,
+        qw, jnp.asarray(X[:8]),
+        pallas_chunk=4096, use_pallas=False, **kw,
+    )
+    ids_p, sims_p, n_p, ex_p = rerank_topp_gather_core(
+        store._payload, store._pnorm, store._ids, store._tie, store._sig_t,
+        qw, jnp.asarray(X[:8]),
+        pallas_chunk=2048, use_pallas=True, interpret=True,
+        sig_rows=store._refine_rows_for(64, 2048, True), **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+    np.testing.assert_array_equal(np.asarray(ex_p), np.asarray(ex_x))
+    np.testing.assert_allclose(np.asarray(sims_p), np.asarray(sims_x), rtol=1e-6)
+
+
+def test_snapshot_topp_fn_gather_matches_and_staleness(populated, hasher):
+    store, X = populated
+    qw = hasher.hash_batch_words_host(X[:5])
+    ref = store.query_topp_batch(qw, X[:5], 32, engine="gather", max_candidates=512)
+
+    serve = store.snapshot_topp_fn(32, engine="gather", max_candidates=512)
+    got = tuple(np.asarray(x) for x in serve(qw, X[:5]))
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-6)
+    np.testing.assert_array_equal(got[2], ref[2])
+
+    store.add_signature_batch([9999], hasher.hash_batch_words_host(X[:1]), X[:1])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(qw, X[:5])
+
+
+def test_engine_resolution(populated):
+    store, X = populated
+    # auto on a small store -> full (capacity below the threshold)
+    assert store._resolve_rerank_engine(None, None)[0] == "full"
+    # past the capacity threshold with a sparse expected load -> gather
+    store._GATHER_MIN_CAPACITY = 1024
+    assert store._resolve_rerank_engine("auto", 1024)[0] == "gather"
+    # expected candidate load exceeding the budget keeps the full engine
+    assert store._resolve_rerank_engine("auto", 4)[0] == "full"
+    with pytest.raises(ValueError, match="engine"):
+        store._resolve_rerank_engine("approximate", None)
+    with pytest.raises(ValueError, match="max_candidates"):
+        store._resolve_rerank_engine("full", 0)
+    # explicit gather without payload/fast-path support is refused
+    bare = DeviceStore(num_bands=B, rows_per_band=R, chunk_size=128,
+                       initial_capacity=128)
+    with pytest.raises(RuntimeError, match="gather"):
+        bare._resolve_rerank_engine("gather", 64)
+
+
+def test_rerank_config_persistence_roundtrip(rng):
+    import pickle
+
+    X = rng.standard_normal((40, 16)).astype(np.float32)
+    lsh = LSHRS(
+        dim=16, num_perm=16, num_bands=4, rows_per_band=4,
+        backend="device", store_vectors=True,
+        chunk_size=128, initial_capacity=128,
+        rerank_engine="full", rerank_candidates=333,
+    )
+    lsh.index(list(range(40)), X)
+    re = pickle.loads(pickle.dumps(lsh))
+    assert re._tpu_config["rerank_engine"] == "full"
+    assert re._tpu_config["rerank_candidates"] == 333
+    assert re._storage.rerank_engine == "full"
+    assert re._storage.rerank_candidates == 333
+    with pytest.raises(ValueError, match="rerank_engine"):
+        LSHRS(dim=16, num_perm=16, backend="device", rerank_engine="nope")
+
+
+def test_sharded_store_refuses_gather(rng):
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    store = ShardedDeviceStore(
+        mesh=make_mesh(4), num_bands=B, rows_per_band=R, dim=D,
+        store_vectors=True, chunk_size=128, initial_capacity=512,
+    )
+    X = rng.standard_normal((64, D)).astype(np.float32)
+    h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+    store.add_signature_batch(np.arange(64), h.hash_batch_words_host(X), X)
+    qw = h.hash_batch_words_host(X[:2])
+    with pytest.raises(RuntimeError, match="sharded"):
+        store.query_topp_batch(qw, X[:2], 8, engine="gather")
+    # auto resolves to the GSPMD full path and still answers
+    ids, _, _ = store.query_topp_batch(qw, X[:2], 8)
+    assert ids[0, 0] == 0 and ids[1, 0] == 1

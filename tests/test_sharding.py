@@ -275,3 +275,19 @@ def test_sharded_topp_rerank_matches_unsharded(mesh, hasher, rng):
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
     np.testing.assert_array_equal(n1, n2)
     assert (i1[:, 0] == np.arange(6)).all()  # self-match first
+
+
+def test_sharded_nnz_matches_unsharded(mesh, hasher, rng):
+    X = rng.standard_normal((300, D)).astype(np.float32)
+    X[150:200] = X[:50]  # shared signatures across shard boundaries
+    words = hasher.hash_batch_words_host(X)
+    single = DeviceStore(num_bands=B, rows_per_band=R, chunk_size=64,
+                         initial_capacity=64)
+    sharded = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64,
+    )
+    single.add_signature_batch(np.arange(300), words)
+    sharded.add_signature_batch(np.arange(300), words)
+    qw = hasher.hash_batch_words_host(X[:7])
+    np.testing.assert_array_equal(sharded.query_nnz(qw), single.query_nnz(qw))
