@@ -95,6 +95,16 @@ class LSHRS:
             (default — gather at scale when the expected candidate load
             fits the budget). See `lshrs_tpu.storage.device.DeviceStore`.
         rerank_candidates: per-query candidate budget of the gather engine.
+        engine: top-k ranking engine — ``"collision"`` (band-collision
+            counting, exact reference parity), ``"hamming"``
+            (full-signature packed-Hamming ranking: every hash bit is
+            used, typically higher recall at equal memory) or ``"auto"``
+            (default: collision below `_AUTO_HAMMING_CAPACITY` slots,
+            packed-Hamming past it — the regime where the collision scan
+            falls under 100k QPS/chip). Auto/hamming engines keep the
+            zero-memory packed Hamming mode available automatically.
+            Candidate enumeration (``top_k=None``) and top-p rerank keep
+            collision semantics in every engine.
         hash_mode: where this instance hashes — ``"device"`` (one MXU
             matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
             ships 64-byte packed signatures; wins when the host->device
@@ -136,6 +146,7 @@ class LSHRS:
         payload_dtype: str = "float32",
         rerank_engine: str = "auto",
         rerank_candidates: int = 1024,
+        engine: str = "auto",
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -145,6 +156,16 @@ class LSHRS:
             raise ValueError("buffer_size must be greater than zero")
         if hash_mode not in ("device", "host"):
             raise ValueError("hash_mode must be 'device' or 'host'")
+        if engine not in ("auto", "collision", "hamming"):
+            raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
+        self._engine = engine
+        if engine != "collision" and backend == "device" and not enable_hamming:
+            # Keep the Hamming ranking mode available at zero cost: the
+            # "packed" formulation ranks from the words the collision scan
+            # already stores (no extra HBM). A user-enabled Hamming keeps
+            # their storage choice.
+            enable_hamming = True
+            hamming_storage = "packed"
 
         if num_bands is None or rows_per_band is None:
             num_bands, rows_per_band = get_optimal_config(num_perm, similarity_threshold)
@@ -274,6 +295,7 @@ class LSHRS:
             "payload_dtype": payload_dtype,
             "rerank_engine": rerank_engine,
             "rerank_candidates": rerank_candidates,
+            "engine": engine,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -530,6 +552,32 @@ class LSHRS:
     # queries
     # ------------------------------------------------------------------
 
+    # Capacity at which the auto engine switches top-k ranking from
+    # band-collision counting to packed-Hamming. Measured on v5e: the
+    # collision scan falls under the 100k QPS/chip bar between 512k and
+    # 1M slots (57k @ 1M) while packed Hamming holds 169k @ 1M at exactly
+    # equal memory and better recall (PERFORMANCE.md).
+    _AUTO_HAMMING_CAPACITY = 1 << 19
+
+    def _use_hamming_ranking(self) -> bool:
+        """True when top-k queries should rank by full-signature Hamming.
+
+        ``engine="collision"`` never does (reference parity);
+        ``engine="hamming"`` always does; ``engine="auto"`` switches once
+        the index capacity crosses `_AUTO_HAMMING_CAPACITY` — the regime
+        where the collision scan can no longer hold the throughput bar.
+        Only top-k RANKING changes: candidate enumeration (``top_k=None``)
+        and top-p rerank keep collision semantics in every engine.
+        """
+        if not self._device_mode or not getattr(self._storage, "enable_hamming", False):
+            return False
+        if self._engine == "hamming":
+            return True
+        return (
+            self._engine == "auto"
+            and getattr(self._storage, "_capacity", 0) >= self._AUTO_HAMMING_CAPACITY
+        )
+
     def query(
         self,
         vector: np.ndarray,
@@ -560,6 +608,9 @@ class LSHRS:
             and top_k > 0
         ):
             qwords = self._hash_words(query_vector[None, :])
+            if self._use_hamming_ranking():
+                hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+                return [int(i) for i in ids[0] if i >= 0]
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
 
@@ -620,6 +671,9 @@ class LSHRS:
         if self._device_mode:
             self._count("queries_served", arr.shape[0])
             qwords = self._hash_words(arr)
+            if self._use_hamming_ranking():
+                _, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+                return [[int(i) for i in row if i >= 0] for row in ids]
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [
                 [int(i) for i, c in zip(row_ids, row_counts) if c > 0]
@@ -756,7 +810,7 @@ class LSHRS:
         self,
         top_k: int = 10,
         *,
-        mode: str = "collision",
+        mode: Optional[str] = None,
         wire_dtype: str = "float32",
     ):
         """Compiled high-QPS serving closure over the *current* index.
@@ -778,7 +832,9 @@ class LSHRS:
                 (full-signature SimHash ranking, requires
                 ``enable_hamming=True``) or ``"topp"`` (fused cosine
                 rerank against the resident payload, requires
-                ``store_vectors=True``).
+                ``store_vectors=True``). ``None`` (default) follows the
+                instance's resolved ranking ``engine`` — collision below
+                `_AUTO_HAMMING_CAPACITY` slots, packed-Hamming past it.
             wire_dtype: ``"topp"`` only — ``"bfloat16"`` ships the raw
                 query vectors at half the bytes (~1e-2 relative cosine
                 rounding); ``"float32"`` is value-exact.
@@ -791,6 +847,8 @@ class LSHRS:
         """
         if not self._device_mode:
             raise RuntimeError("serving_fn requires the device backend")
+        if mode is None:
+            mode = "hamming" if self._use_hamming_ranking() else "collision"
         if mode not in ("collision", "hamming", "topp"):
             raise ValueError("mode must be 'collision', 'hamming' or 'topp'")
         if top_k is None or top_k <= 0:
@@ -961,6 +1019,8 @@ class LSHRS:
             "similarity_threshold": self._config["similarity_threshold"],
             "redis_prefix": self._redis_config["prefix"],
             "backend": self._tpu_config["backend"],
+            "engine": self._engine,
+            "ranking": "hamming" if self._use_hamming_ranking() else "collision",
             "buffered_operations": buffered,
             "counters": dict(self._counters),
         }
@@ -1101,6 +1161,9 @@ class LSHRS:
             "payload_dtype": tpu_config.get("payload_dtype", "float32"),
             "rerank_engine": tpu_config.get("rerank_engine", "auto"),
             "rerank_candidates": tpu_config.get("rerank_candidates", 1024),
+            # Saved instances predating the engine knob behaved as
+            # "collision"; restore them unchanged.
+            "engine": tpu_config.get("engine", "collision"),
         }
 
     # ------------------------------------------------------------------

@@ -276,6 +276,19 @@ class ShardedDeviceStore(DeviceStore):
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return counts, ids
 
+    def _hamming_geometry(self, local: int) -> tuple[int, bool, int]:
+        """(tile, use_pallas, group) for the shard-local Hamming cores.
+
+        Mirrors `DeviceStore._query_hamming_dev`: the Pallas kernels run
+        per shard under `shard_map` on the local block whenever its row
+        count tiles (group * 128 | local); the refine-table strides are
+        kept in lockstep via `_refine_rows_for`.
+        """
+        group = min(self.group, local)
+        pallas_tile = group * 128  # Pallas out blocks need a >=128 minor dim
+        use_pallas = self._use_pallas() and local % pallas_tile == 0
+        return pallas_tile, use_pallas, group
+
     def _query_hamming_dev(self, qw: jax.Array, k: int):
         self._ensure_ranks()
         p = self.num_bands * self.rows_per_band
@@ -284,15 +297,14 @@ class ShardedDeviceStore(DeviceStore):
         ham_grouped = (
             supports_hamming_grouped(p, local) and local % self.group == 0
         )
-        # The sharded hamming cores run the XLA (non-Pallas, contiguous)
-        # formulation — use_pallas=False keeps the table layout in lockstep.
+        pallas_tile, use_pallas, group = self._hamming_geometry(local)
+        chunk = pallas_tile if use_pallas else min(self.chunk, local)
         ham_rows = (
-            self._refine_rows_for(
-                min(self.group, local), min(self.chunk, local), False
-            )
+            self._refine_rows_for(group, chunk, use_pallas)
             if ham_grouped
             else self._sig_rows
         )
+        q_tile = min(512, _next_pow2(max(8, qw.shape[0])))
         if self.hamming_storage == "packed":
             return _sharded_hamming_packed(
                 self.mesh,
@@ -305,9 +317,11 @@ class ShardedDeviceStore(DeviceStore):
                 qw,
                 num_perm=p,
                 k=k_eff,
-                chunk=min(self.chunk, local),
+                chunk=chunk,
                 grouped=ham_grouped,
-                group=min(self.group, local),
+                group=group,
+                use_pallas=use_pallas,
+                q_tile=q_tile,
             )
         qbits = unpack_bitplanes(
             qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
@@ -325,9 +339,11 @@ class ShardedDeviceStore(DeviceStore):
             qw,
             num_perm=p,
             k=k_eff,
-            chunk=min(self.chunk, local),
+            chunk=chunk,
             grouped=ham_grouped,
-            group=min(self.group, local),
+            group=group,
+            use_pallas=use_pallas,
+            q_tile=q_tile,
         )
 
     def query_nnz(self, qwords) -> np.ndarray:
@@ -410,12 +426,13 @@ class ShardedDeviceStore(DeviceStore):
                 supports_hamming_grouped(num_perm, local) and local % group == 0
             )
             packed = self.hamming_storage == "packed"
+            ham_tile, ham_pallas, _ = self._hamming_geometry(local)
+            ham_chunk = ham_tile if ham_pallas else chunk
             # Grouped refine table in the geometry of the served mode
-            # (hamming: contiguous; collision: strided iff Pallas).
+            # (strided iff the Pallas kernel runs).
             if mode == "hamming":
-                # sharded hamming cores run the XLA contiguous formulation
                 rows = (
-                    self._refine_rows_for(group, chunk, False)
+                    self._refine_rows_for(group, ham_chunk, ham_pallas)
                     if ham_grouped
                     else self._sig_rows
                 )
@@ -437,19 +454,22 @@ class ShardedDeviceStore(DeviceStore):
             sig_t, rows_, ids, ranks, tie, planes = st
             q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
             if mode == "hamming":
+                ham_q_tile = min(512, _next_pow2(max(8, qw.shape[0])))
                 if packed:
                     return _sharded_hamming_packed(
                         mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
-                        num_perm=num_perm, k=k_eff, chunk=chunk,
+                        num_perm=num_perm, k=k_eff, chunk=ham_chunk,
                         grouped=ham_grouped, group=group,
+                        use_pallas=ham_pallas, q_tile=ham_q_tile,
                     )[1]
                 qbits = unpack_bitplanes(
                     qw, num_bands=num_bands, rows_per_band=rows_per_band
                 )
                 return _sharded_hamming(
                     mesh, axis, planes, sig_t, rows_, ids, ranks, tie, qbits, qw,
-                    num_perm=num_perm, k=k_eff, chunk=chunk,
+                    num_perm=num_perm, k=k_eff, chunk=ham_chunk,
                     grouped=ham_grouped, group=group,
+                    use_pallas=ham_pallas, q_tile=ham_q_tile,
                 )[1]
             return _sharded_topk(
                 mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
@@ -643,17 +663,22 @@ def _sharded_topk(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "num_perm", "k", "chunk", "grouped", "group"),
+    static_argnames=(
+        "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
+        "use_pallas", "q_tile", "interpret",
+    ),
 )
 def _sharded_hamming(
     mesh, axis, planes, sig_t, rows, ids, ranks, tie, qbits, qwords,
     *, num_perm, k, chunk, grouped, group,
+    use_pallas=False, q_tile=128, interpret=False,
 ):
     def local(planes_l, sig_l, rows_l, ids_l, ranks_l, tie_l, qb, qw):
         if grouped:
             hamming, out_ids = hamming_topk_core(
                 planes_l, sig_l, ids_l, tie_l, qb, qw,
                 k=k, chunk=chunk, group=group,
+                use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
                 sig_rows=rows_l,
             )
         else:
@@ -684,17 +709,22 @@ def _sharded_hamming(
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "axis", "num_perm", "k", "chunk", "grouped", "group"),
+    static_argnames=(
+        "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
+        "use_pallas", "q_tile", "interpret",
+    ),
 )
 def _sharded_hamming_packed(
     mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_perm, k, chunk, grouped, group,
+    use_pallas=False, q_tile=128, interpret=False,
 ):
     def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
             hamming, out_ids = hamming_topk_packed_core(
                 sig_l, ids_l, tie_l, qw,
                 num_perm=num_perm, k=k, chunk=chunk, group=group,
+                use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
                 sig_rows=rows_l,
             )
         else:

@@ -480,8 +480,10 @@ def test_serving_fn_validation(make_device_lsh, make_lsh, rng):
         lsh.serving_fn(0)
     with pytest.raises(ValueError, match="wire_dtype"):
         lsh.serving_fn(3, wire_dtype="fp8")
+    gated = make_device_lsh(engine="collision")
+    gated.index([0, 1], rng.standard_normal((2, 32)).astype(np.float32))
     with pytest.raises(RuntimeError, match="enable_hamming"):
-        lsh.serving_fn(3, mode="hamming")
+        gated.serving_fn(3, mode="hamming")
     serve = lsh.serving_fn(3)
     with pytest.raises(ValueError, match="shape"):
         serve(np.ones((2, 8), np.float32))

@@ -1,0 +1,102 @@
+"""The auto ranking engine: packed-Hamming at scale, collision parity below."""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pytest
+
+from lshrs_tpu import LSHRS
+
+
+def make(engine="auto", **kw):
+    defaults = dict(
+        dim=32, num_perm=32, num_bands=8, rows_per_band=4,
+        backend="device", chunk_size=128, initial_capacity=128,
+    )
+    defaults.update(kw)
+    return LSHRS(engine=engine, **defaults)
+
+
+def test_auto_engine_enables_packed_hamming_at_zero_cost(rng):
+    lsh = make()
+    st = lsh._storage
+    assert st.enable_hamming and st.hamming_storage == "packed"
+    assert st.stats()["hamming_plane_bytes"] == 0  # no bitplane array
+    # explicit hamming config is respected, not overridden
+    user = make(enable_hamming=True, hamming_storage="planes")
+    assert user._storage.hamming_storage == "planes"
+    # parity engine keeps the reference shape exactly
+    parity = make(engine="collision")
+    assert not parity._storage.enable_hamming
+
+
+def test_auto_engine_ranks_by_collision_below_threshold(rng):
+    lsh = make()
+    assert lsh.stats()["ranking"] == "collision"
+    X = rng.standard_normal((50, 32)).astype(np.float32)
+    lsh.index(list(range(50)), X)
+    parity = make(engine="collision")
+    parity.index(list(range(50)), X)
+    for qi in (0, 7, 31):
+        assert lsh.get_top_k(X[qi], topk=8) == parity.get_top_k(X[qi], topk=8)
+
+
+def test_auto_engine_switches_past_capacity_threshold(rng, monkeypatch):
+    lsh = make()
+    X = rng.standard_normal((60, 32)).astype(np.float32)
+    lsh.index(list(range(60)), X)
+    monkeypatch.setattr(LSHRS, "_AUTO_HAMMING_CAPACITY", 128)
+    assert lsh._storage._capacity >= 128
+    assert lsh.stats()["ranking"] == "hamming"
+    ham = make(engine="hamming")
+    ham.index(list(range(60)), X)
+    q = X[5] + 0.02 * rng.standard_normal(32).astype(np.float32)
+    assert lsh.get_top_k(q, topk=6) == [i for i, _ in ham.query_hamming(q, top_k=6)]
+    assert lsh.query_batch(X[:4], top_k=3)[2][0] == 2
+    # serving_fn default mode follows the engine
+    serve = lsh.serving_fn(top_k=3)
+    out = serve(X[:4])
+    assert out[1, 0] == 1
+
+
+def test_hamming_engine_ranks_every_bit(rng):
+    """engine='hamming' must order by full-signature distance where the
+    collision engine sees only all-or-nothing band ties."""
+    lsh = make(engine="hamming")
+    X = rng.standard_normal((40, 32)).astype(np.float32)
+    lsh.index(list(range(40)), X)
+    assert lsh.stats()["ranking"] == "hamming"
+    got = lsh.get_top_k(X[3], topk=5)
+    assert got[0] == 3
+    expect = [i for i, _ in lsh.query_hamming(X[3], top_k=5)]
+    assert got == expect
+
+
+def test_engine_persistence_roundtrip_and_legacy_default(rng, tmp_path):
+    lsh = make(engine="hamming")
+    X = rng.standard_normal((30, 32)).astype(np.float32)
+    lsh.index(list(range(30)), X)
+    re = pickle.loads(pickle.dumps(lsh))
+    assert re._engine == "hamming"
+    assert re.get_top_k(X[4], topk=3) == lsh.get_top_k(X[4], topk=3)
+
+    lsh.save_to_disk(tmp_path / "idx")
+    back = LSHRS.load_from_disk(tmp_path / "idx")
+    assert back._engine == "hamming"
+
+    # configs saved before the engine knob restore as parity collision
+    import json
+
+    meta_path = tmp_path / "idx" / "metadata.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["tpu_config"]["engine"]
+    meta_path.write_text(json.dumps(meta))
+    legacy = LSHRS.load_from_disk(tmp_path / "idx")
+    assert legacy._engine == "collision"
+
+
+def test_engine_validation():
+    with pytest.raises(ValueError, match="engine"):
+        make(engine="warp")

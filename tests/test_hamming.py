@@ -91,8 +91,11 @@ def test_orchestrator_query_hamming(rng):
     scores = [s for _, s in out]
     assert scores == sorted(scores, reverse=True)
 
+    # the parity engine keeps Hamming mode gated (the auto engine
+    # default opens it at zero cost via packed storage)
     plain = LSHRS(dim=D, num_perm=P, num_bands=B, rows_per_band=R,
-                  backend="device", chunk_size=64, initial_capacity=64)
+                  backend="device", chunk_size=64, initial_capacity=64,
+                  engine="collision")
     with pytest.raises(RuntimeError, match="enable_hamming"):
         plain.index([0], X[:1]) or plain.query_hamming(X[0])
 

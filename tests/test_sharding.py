@@ -291,3 +291,64 @@ def test_sharded_nnz_matches_unsharded(mesh, hasher, rng):
     sharded.add_signature_batch(np.arange(300), words)
     qw = hasher.hash_batch_words_host(X[:7])
     np.testing.assert_array_equal(sharded.query_nnz(qw), single.query_nnz(qw))
+
+
+def test_sharded_hamming_pallas_interpret_parity(mesh, hasher, rng):
+    """The Pallas Hamming kernels under shard_map (interpret mode on the
+    virtual mesh) must match the single-device oracle bit-for-bit, for
+    both the packed-words and bitplane storage formulations."""
+    from lshrs_tpu.parallel.sharded import (
+        _sharded_hamming,
+        _sharded_hamming_packed,
+    )
+    from lshrs_tpu.ops.hamming import unpack_bitplanes
+
+    n = 900
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    X[400:450] = X[:50]  # exact ties across shards stress the merge
+    words = hasher.hash_batch_words_host(X)
+    ids = rng.permutation(50_000)[:n]
+
+    # group=8 -> pallas tile = 1024 rows/shard -> capacity 8192 over 8 shards
+    single = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=1024,
+        initial_capacity=8192, group_size=8,
+        enable_hamming=True, hamming_storage="planes",
+    )
+    sharded = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, chunk_size=1024,
+        initial_capacity=8192, group_size=8,
+        enable_hamming=True, hamming_storage="planes",
+    )
+    single.add_signature_batch(ids, words)
+    sharded.add_signature_batch(ids, words)
+
+    qw = hasher.hash_batch_words_host(X[:10])
+    ref_h, ref_i = single.query_hamming(qw, 15)
+
+    sharded._ensure_ranks()
+    local = sharded._local_rows()
+    assert local == 1024
+    tile, group = 8 * 128, 8
+    rows = sharded._refine_rows_for(group, tile, True)
+    import jax.numpy as jnp
+
+    qwj = jnp.asarray(qw, dtype=jnp.uint32)
+    h_p, i_p = _sharded_hamming_packed(
+        sharded.mesh, sharded.axis, sharded._sig_t, rows, sharded._ids,
+        sharded._ranks, sharded._tie, qwj,
+        num_perm=B * R, k=15, chunk=tile, grouped=True, group=group,
+        use_pallas=True, q_tile=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_p), ref_i)
+    np.testing.assert_array_equal(np.asarray(h_p), ref_h)
+
+    qbits = unpack_bitplanes(qwj, num_bands=B, rows_per_band=R)
+    h_b, i_b = _sharded_hamming(
+        sharded.mesh, sharded.axis, sharded._planes, sharded._sig_t, rows,
+        sharded._ids, sharded._ranks, sharded._tie, qbits, qwj,
+        num_perm=B * R, k=15, chunk=tile, grouped=True, group=group,
+        use_pallas=True, q_tile=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_b), ref_i)
+    np.testing.assert_array_equal(np.asarray(h_b), ref_h)
