@@ -127,6 +127,15 @@ class LSHHasher:
             self._proj_dev = jnp.asarray(self._proj.T)
         return self._proj_dev
 
+    def device_projection(self) -> jax.Array:
+        """The ``(dim, num_perm)`` device-resident projection (lazy upload).
+
+        Feed this to `DeviceStore.add_vectors_batch` for the fused
+        hash+append build path; it is the same array the device query
+        hash uses, so signatures agree bit-for-bit.
+        """
+        return self._device_projection()
+
     # -- single-vector / parity API -----------------------------------------
 
     def hash_vector(self, vector: np.ndarray) -> HashSignatures:

@@ -193,6 +193,25 @@ class ShardedDeviceStore(DeviceStore):
         super()._overwrite(slots, words_np, vectors)
         self._check_placement()
 
+    def add_vectors_batch(self, indices, vectors, proj_t) -> None:
+        """Sharded fused build: hash once (the query path's jitted
+        program, replicated) then the SPMD scatter-append. Two dispatches
+        instead of one — the base class's donated single-program form
+        would fight GSPMD placement for marginal gain; hashing is ~3 ms
+        per 100k vectors either way."""
+        from lshrs_tpu.hash.hasher import _hash_batch_words_jit
+
+        x = jnp.asarray(vectors, dtype=jnp.float32)
+        words = _hash_batch_words_jit(
+            x,
+            jnp.asarray(proj_t, dtype=jnp.float32),
+            num_bands=self.num_bands,
+            rows_per_band=self.rows_per_band,
+        )
+        self.add_signature_batch(
+            indices, words, x if self.store_vectors else None
+        )
+
     # -- sharded queries -----------------------------------------------------
 
     def _local_rows(self) -> int:

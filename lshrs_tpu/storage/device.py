@@ -98,6 +98,68 @@ def _append_jit(sig_t, ids, new_sig_t, new_ids, offset):
     return sig_t, ids
 
 
+def _hash_words_fused(x, proj_t, *, num_bands, rows_per_band):
+    # HIGHEST precision: identical matmul spec to the query hash path
+    # (`lshrs_tpu.hash.hasher._hash_batch_words_jit`) — verified bit-exact
+    # on TPU across fusion boundaries, so fused-built rows self-match
+    # device-hashed queries exactly.
+    proj = jnp.dot(
+        x,
+        proj_t,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    from lshrs_tpu.ops.bitpack import pack_bits_to_words
+
+    return pack_bits_to_words(
+        proj > 0, num_bands=num_bands, rows_per_band=rows_per_band
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2),
+    static_argnames=("num_bands", "rows_per_band"),
+)
+def _hash_append_jit(
+    sig_t, sig_rows, ids, x, proj_t, new_ids, offset, *, num_bands, rows_per_band
+):
+    """ONE device program: hash (MXU matmul + bitpack) + tail-append.
+
+    The TPU-native bulk-build hot path: measured 3.3M vectors/s at
+    100k x 768d -> 256 bits on v5e (vs ~250k/s for any host-side sgemm on
+    a one-core host, and a ~34k/s transport ceiling for streaming raw
+    bf16 vectors over a 47 MB/s remote tunnel — see PERFORMANCE.md).
+    """
+    w = _hash_words_fused(x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band)
+    sig_t = jax.lax.dynamic_update_slice(sig_t, w.T, (0, offset))
+    sig_rows = jax.lax.dynamic_update_slice(sig_rows, w, (offset, 0))
+    ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
+    return sig_t, sig_rows, ids, w
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3, 4),
+    static_argnames=("num_bands", "rows_per_band", "payload_dtype"),
+)
+def _hash_append_payload_jit(
+    sig_t, sig_rows, ids, payload, pnorm, x, proj_t, new_ids, offset,
+    *, num_bands, rows_per_band, payload_dtype,
+):
+    """`_hash_append_jit` + payload/pnorm append, still one dispatch."""
+    w = _hash_words_fused(x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band)
+    sig_t = jax.lax.dynamic_update_slice(sig_t, w.T, (0, offset))
+    sig_rows = jax.lax.dynamic_update_slice(sig_rows, w, (offset, 0))
+    ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
+    rows = x.astype(payload_dtype)
+    payload = jax.lax.dynamic_update_slice(payload, rows, (offset, 0))
+    pnorm = jax.lax.dynamic_update_slice(
+        pnorm, jnp.linalg.norm(rows.astype(jnp.float32), axis=1), (offset,)
+    )
+    return sig_t, sig_rows, ids, payload, pnorm, w
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _append_rows_jit(arr, new_rows, offset):
     return jax.lax.dynamic_update_slice(arr, new_rows, (offset, 0))
@@ -529,6 +591,102 @@ class DeviceStore(BaseStorage):
                         vectors = vectors[~existing_mask]
             if ids32.size:
                 self._append(ids32, words, vectors)
+
+    def add_vectors_batch(
+        self,
+        indices: Sequence[int] | np.ndarray,
+        vectors,
+        proj_t,
+    ) -> None:
+        """Fused device build: hash + append a raw-vector batch in ONE
+        device program (`_hash_append_jit`).
+
+        This is the TPU-native bulk-ingest hot path for device-resident
+        vectors (e.g. embeddings produced on the same chip): 3.3M
+        vectors/s measured at 100k x 768d -> 256 bits on v5e. The hash
+        matmul runs the exact program the device query path uses
+        (HIGHEST-precision ``(n, dim) @ (dim, num_perm)``), so stored and
+        query signatures agree bit-for-bit.
+
+        Args:
+            indices: integer ids in ``[0, 2**31)``.
+            vectors: ``(n, dim)`` float32 — device array (stays resident)
+                or host array (uploaded once).
+            proj_t: ``(dim, num_perm)`` float32 projection, transposed —
+                `LSHHasher.device_projection`.
+
+        Batches containing duplicate or already-present ids take the
+        hash-then-upsert slow path (same result, more dispatches).
+        """
+        ids_np = np.asarray(indices, dtype=np.int64).reshape(-1)
+        if ids_np.size == 0:
+            return
+        if ids_np.min() < 0 or ids_np.max() > _MAX_ID:
+            raise ValueError("indices must be in [0, 2**31) for the device store")
+        n = ids_np.size
+        x = jnp.asarray(vectors, dtype=jnp.float32)
+        if x.ndim != 2 or (self.dim is not None and x.shape[1] != self.dim):
+            raise ValueError(
+                f"vectors must have shape ({n}, {self.dim}); "
+                f"received {tuple(x.shape)}"
+            )
+        if x.shape[0] != n:
+            raise ValueError(
+                f"vectors must have shape ({n}, {x.shape[1]}); "
+                f"received {tuple(x.shape)}"
+            )
+        proj_dev = jnp.asarray(proj_t, dtype=jnp.float32)
+        ids32 = ids_np.astype(np.int32)
+        with self._lock:
+            if self._slot_of is not None and self._needs_upsert(ids32):
+                # Upsert path: hash with the SAME jitted program the query
+                # path uses (bit-agreement), then the generic upsert logic.
+                from lshrs_tpu.hash.hasher import _hash_batch_words_jit
+
+                words = _hash_batch_words_jit(
+                    x,
+                    proj_dev,
+                    num_bands=self.num_bands,
+                    rows_per_band=self.rows_per_band,
+                )
+                self.add_signature_batch(
+                    ids_np, words, np.asarray(x) if self.store_vectors else None
+                )
+                return
+            pad = _next_pow2(n)
+            if self._size + pad > self._capacity:
+                self._grow(max(2 * self._capacity, _next_pow2(self._size + pad)))
+            ids_p = np.full(pad, -1, dtype=np.int32)
+            ids_p[:n] = ids32
+            if pad != n:
+                # zero rows hash to the all-zero signature on dead slots
+                x = jnp.pad(x, ((0, pad - n), (0, 0)))
+            offset = np.int32(self._size)
+            if self._payload is not None:
+                (
+                    self._sig_t, self._sig_rows, self._ids,
+                    self._payload, self._pnorm, w,
+                ) = _hash_append_payload_jit(
+                    self._sig_t, self._sig_rows, self._ids,
+                    self._payload, self._pnorm,
+                    x, proj_dev, jnp.asarray(ids_p), offset,
+                    num_bands=self.num_bands,
+                    rows_per_band=self.rows_per_band,
+                    payload_dtype=self._payload_jdtype,
+                )
+            else:
+                self._sig_t, self._sig_rows, self._ids, w = _hash_append_jit(
+                    self._sig_t, self._sig_rows, self._ids,
+                    x, proj_dev, jnp.asarray(ids_p), offset,
+                    num_bands=self.num_bands,
+                    rows_per_band=self.rows_per_band,
+                )
+            if self._planes is not None:
+                planes_rows = unpack_bitplanes(
+                    w, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+                )
+                self._planes = _append_rows_jit(self._planes, planes_rows, offset)
+            self._append_finish(ids32, n)
 
     def _needs_upsert(self, ids32: np.ndarray) -> bool:
         """True when the batch contains duplicate or already-present ids.
