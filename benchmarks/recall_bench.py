@@ -152,6 +152,15 @@ def main() -> None:
     ap.add_argument("--dist", choices=["clustered", "heavy"], default="clustered",
                     help="base-data generator: Gaussian-mixture clusters or "
                     "GloVe-like heavy-tailed (Zipf clusters, anisotropic axes)")
+    ap.add_argument("--source", default=None,
+                    help="path to REAL embeddings (.npy 2-D float array, or "
+                    ".npz whose first array is one) — e.g. GloVe/fastText "
+                    "vectors exported with np.save. Overrides --dist/--dim/"
+                    "--n; the last --queries rows are held out as queries "
+                    "and the rest are indexed. This bench host has no "
+                    "network egress, so real-dataset numbers must be "
+                    "produced by pointing this flag at a local export "
+                    "(see PERFORMANCE.md, 'Real-embedding recall').")
     args = ap.parse_args()
 
     import jax
@@ -163,12 +172,29 @@ def main() -> None:
         pass
 
     rng = np.random.default_rng(7)
-    gen = make_clustered if args.dist == "clustered" else make_heavy_tailed
-    base = gen(args.n, args.dim, n_clusters=max(1000, args.n // 1000), rng=rng)
-    q_idx = rng.permutation(args.n)[: args.queries]
-    queries = base[q_idx] + 0.05 * rng.standard_normal(
-        (args.queries, args.dim)
-    ).astype(np.float32)
+    if args.source:
+        arr = np.load(args.source, allow_pickle=False)
+        if hasattr(arr, "files"):  # .npz: take the first array
+            arr = arr[arr.files[0]]
+        arr = np.asarray(arr, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[0] <= args.queries:
+            raise SystemExit(
+                f"--source must be a 2-D array with more than "
+                f"{args.queries} rows; got shape {arr.shape}"
+            )
+        # drop exact-zero rows (unindexable) then split held-out queries
+        arr = arr[np.abs(arr).max(axis=1) > 1e-8]
+        base, queries = arr[: -args.queries], arr[-args.queries :]
+        args.n, args.dim = base.shape
+        dist_label = f"source:{Path(args.source).name}"
+    else:
+        gen = make_clustered if args.dist == "clustered" else make_heavy_tailed
+        base = gen(args.n, args.dim, n_clusters=max(1000, args.n // 1000), rng=rng)
+        q_idx = rng.permutation(args.n)[: args.queries]
+        queries = base[q_idx] + 0.05 * rng.standard_normal(
+            (args.queries, args.dim)
+        ).astype(np.float32)
+        dist_label = args.dist
 
     gt = exact_topk_device(base, queries, args.k)
 
@@ -176,7 +202,7 @@ def main() -> None:
         row = run_threshold(base, queries, gt, t, args)
         row.update({
             "n": args.n, "dim": args.dim, "num_perm": args.num_perm,
-            "dist": args.dist,
+            "dist": dist_label,
         })
         print(json.dumps(row))
 

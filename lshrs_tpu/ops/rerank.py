@@ -310,6 +310,10 @@ def rerank_topp_gather_core(
     n = colliding.sum(axis=1)  # exact iff covered
 
     # -- stage 4: top-M slots by (count, tie), gather payload, rerank -------
+    # (A two-level per-group pre-selection was tried here and measured
+    # STRICTLY slower — XLA lowers even k=8 top_k over a tiny minor axis
+    # to a sort, so the extra pass doubles the sort work. The flat top-M
+    # is the fastest exact formulation measured.)
     m_slots = min(max_candidates, mg)
     key = counts * alive.astype(jnp.int32) * scale + jnp.maximum(cand_tie, 0)
     top_key, top_pos = jax.lax.top_k(key, m_slots)
@@ -349,7 +353,9 @@ def rerank_topp_gather_core(
         (neg, tie_id, sims, sel_ids), num_keys=2
     )
     out = min(max_out, m_slots)
-    valid = jnp.minimum(n, m_slots)
+    # valid = colliding candidates actually SELECTED (== n when exact;
+    # smaller under group/coverage truncation — never expose junk slots).
+    valid = mask.sum(axis=1)
     out_ids = jnp.where(
         jnp.arange(out)[None, :] < valid[:, None], sorted_ids[:, :out], -1
     )

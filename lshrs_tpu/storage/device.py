@@ -381,10 +381,14 @@ class DeviceStore(BaseStorage):
         # so the chunk scales with group_size.
         return min(max(4096, self.group * 128), self._capacity)
 
-    # Below this capacity the full (Q, C) rerank matmul is cheap enough
-    # that the gather engine's extra stages are pure overhead (measured
-    # 13.5 ms / 1024 queries at 100k x 768d for the full path).
+    # Measured v5e cost model at 768d, 1024-query batches (PERFORMANCE.md):
+    #   full(C)  ~ 125 ms * C / 1M        (the (Q, C) HIGHEST matmul)
+    #   gather   ~ 0.25 ms * mc + 25 ms * C / 1M   (capacity-flat to 1st order)
+    # so the engines cross over near C ~ 2560 * max_candidates. The auto
+    # policy picks gather past that point (and never below the absolute
+    # floor, where the full matmul is trivially cheap).
     _GATHER_MIN_CAPACITY = 1 << 18
+    _GATHER_CROSSOVER_SLOTS_PER_CANDIDATE = 2560
 
     def _gather_usable(self) -> bool:
         return self.store_vectors and self._use_grouped()
@@ -417,6 +421,9 @@ class DeviceStore(BaseStorage):
                 if (
                     self._gather_usable()
                     and self._capacity >= self._GATHER_MIN_CAPACITY
+                    # past the measured cost crossover (see the model above)
+                    and self._capacity
+                    >= mc * self._GATHER_CROSSOVER_SLOTS_PER_CANDIDATE
                     # a gather budget the expected load would blow through
                     # on most queries just truncates; stay on full.
                     and self._expected_candidates() <= mc / 2

@@ -119,10 +119,14 @@ def test_gather_pallas_interpret_parity(populated, hasher):
         pallas_chunk=2048, use_pallas=True, interpret=True,
         sig_rows=store._refine_rows_for(64, 2048, True), **kw,
     )
-    np.testing.assert_array_equal(np.asarray(ids_p), np.asarray(ids_x))
+    ids_x, ids_p = np.asarray(ids_x), np.asarray(ids_p)
+    np.testing.assert_array_equal(ids_p, ids_x)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
     np.testing.assert_array_equal(np.asarray(ex_p), np.asarray(ex_x))
-    np.testing.assert_allclose(np.asarray(sims_p), np.asarray(sims_x), rtol=1e-6)
+    valid = ids_x >= 0  # entries past the valid prefix carry junk sims
+    np.testing.assert_allclose(
+        np.asarray(sims_p)[valid], np.asarray(sims_x)[valid], rtol=1e-6
+    )
 
 
 def test_snapshot_topp_fn_gather_matches_and_staleness(populated, hasher):
@@ -145,9 +149,14 @@ def test_engine_resolution(populated):
     store, X = populated
     # auto on a small store -> full (capacity below the threshold)
     assert store._resolve_rerank_engine(None, None)[0] == "full"
-    # past the capacity threshold with a sparse expected load -> gather
+    # past the capacity floor AND the measured cost crossover -> gather
     store._GATHER_MIN_CAPACITY = 1024
+    store._GATHER_CROSSOVER_SLOTS_PER_CANDIDATE = 2
     assert store._resolve_rerank_engine("auto", 1024)[0] == "gather"
+    # below the crossover the full matmul is cheaper
+    store._GATHER_CROSSOVER_SLOTS_PER_CANDIDATE = 10_000
+    assert store._resolve_rerank_engine("auto", 1024)[0] == "full"
+    store._GATHER_CROSSOVER_SLOTS_PER_CANDIDATE = 2
     # expected candidate load exceeding the budget keeps the full engine
     assert store._resolve_rerank_engine("auto", 4)[0] == "full"
     with pytest.raises(ValueError, match="engine"):

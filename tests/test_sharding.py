@@ -352,3 +352,38 @@ def test_sharded_hamming_pallas_interpret_parity(mesh, hasher, rng):
     )
     np.testing.assert_array_equal(np.asarray(i_b), ref_i)
     np.testing.assert_array_equal(np.asarray(h_b), ref_h)
+
+
+def test_sharded_snapshot_topp_fn_parity_and_staleness(mesh, hasher, rng):
+    """The inherited rerank closure on a sharded store (GSPMD partitions
+    the counts scan + cosine matmul) must match query_topp_batch exactly,
+    serve both wires, and go stale on mutation."""
+    n = 300
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    st = ShardedDeviceStore(
+        mesh=mesh, num_bands=B, rows_per_band=R, dim=D, store_vectors=True,
+        chunk_size=64, initial_capacity=64,
+    )
+    st.add_signature_batch(np.arange(n), words, X)
+
+    qv = X[:5]
+    qw = hasher.hash_batch_words_host(qv)
+    ref_ids, ref_sims, ref_n = st.query_topp_batch(qw, qv, 7)
+
+    serve = st.snapshot_topp_fn(7, wire="words")
+    ids, sims, cnt = (np.asarray(x) for x in serve(qw, qv))
+    np.testing.assert_array_equal(ids, ref_ids)
+    valid = ref_ids >= 0
+    np.testing.assert_allclose(sims[valid], ref_sims[valid], rtol=1e-5)
+    np.testing.assert_array_equal(cnt, ref_n)
+    assert (ids[:, 0] == np.arange(5)).all()
+
+    dense = hasher.hash_batch_dense_host(qv)
+    serve_d = st.snapshot_topp_fn(7, wire="dense")
+    ids_d, _, _ = (np.asarray(x) for x in serve_d(dense, qv))
+    np.testing.assert_array_equal(ids_d, ref_ids)
+
+    st.add_signature_batch([999], words[:1], X[:1])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(qw, qv)
