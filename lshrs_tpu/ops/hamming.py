@@ -39,6 +39,7 @@ from lshrs_tpu.ops.pallas_scan import (
 from lshrs_tpu.ops.scan import merge_topk_pools
 
 __all__ = [
+    "hamming_q_tile",
     "unpack_bitplanes",
     "hamming_topk",
     "hamming_topk_core",
@@ -54,6 +55,25 @@ __all__ = [
 def supports_hamming_grouped(num_perm: int, capacity: int) -> bool:
     """True when the (scaled-dot, tie) key packs into a positive int32."""
     return (num_perm + 2) * key_scale(capacity) < 2**31
+
+
+def hamming_q_tile(q: int, chunk: int) -> int:
+    """Widest safe query tile for the Hamming kernels at this chunk size.
+
+    The kernels hold (q_tile, chunk) int32 intermediates (distance
+    accumulator + packed keys) in VMEM; Mosaic's scoped stack limit is
+    16 MB, so the tile must shrink as the chunk grows — q_tile=512 at
+    chunk=8192 OOMs ("exceeded scoped vmem limit", observed on v5e at 1M
+    slots with group=64). Cap the key intermediate at ~4 MB: 512-wide
+    tiles when they fit (measured ~12% faster than 128 on the 1M planes
+    kernel), narrower for wide chunks.
+    """
+    cap = max(128, (1 << 22) // (4 * chunk))
+    tile = min(512, cap)
+    while tile & (tile - 1):  # clamp to a power of two
+        tile &= tile - 1
+    q_pow2 = 1 << max(3, (max(q, 1) - 1).bit_length())
+    return min(tile, max(8, q_pow2))
 
 
 @partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))

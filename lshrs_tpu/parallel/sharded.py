@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lshrs_tpu.ops.hamming import (
+    hamming_q_tile,
     hamming_topk_chunked_core,
     hamming_topk_core,
     hamming_topk_packed_chunked_core,
@@ -238,19 +239,114 @@ class ShardedDeviceStore(DeviceStore):
             and local >= self.group * 128
         )
 
-    def _resolve_rerank_engine(self, engine, max_candidates):
-        # The base gather engine selects groups with shard-LOCAL tie keys,
-        # which are not globally distinct — cross-shard candidate selection
-        # under GSPMD would misorder. Until the shard_map gather formulation
-        # lands, sharded stores rerank with the full GSPMD matmul.
-        engine = engine if engine is not None else self.rerank_engine
-        if engine == "gather":
-            raise RuntimeError(
-                "rerank_engine='gather' is not supported on sharded stores "
-                "yet; use 'full' (the GSPMD matmul) or 'auto'"
+    def _rerank_cost_rows(self) -> int:
+        # The rerank cost model scales with per-SHARD rows (every shard
+        # scans/gathers only its local block under shard_map).
+        return self._local_rows()
+
+    def _expected_candidates(self) -> float:
+        # Per-shard expectation: the gather budget applies per shard.
+        return super()._expected_candidates() / self.n_shards
+
+    def _gather_usable(self) -> bool:
+        return self.store_vectors and self._use_grouped()  # local geometry
+
+    def _topp_gather_dispatch(self, qw, qv_dev, max_out: int, mc: int):
+        """Shard_map gather rerank: each shard reranks its local
+        candidates exactly (shard-local tie keys are exactly what the
+        gather core expects per block), then the per-shard (cosine, id)
+        k-lists merge over ICI — the same merge-correctness argument as
+        the top-k path, with cosine as the (absolute, shard-independent)
+        primary key. The per-query candidate budget is ``mc`` PER SHARD."""
+        self._ensure_ranks()
+        local = self._local_rows()
+        group = min(self.group, local)
+        use_pallas = self._use_pallas()
+        pallas_chunk = self._pallas_chunk()
+        return _sharded_topp_gather(
+            self.mesh,
+            self.axis,
+            self._payload,
+            self._pnorm,
+            self._ids,
+            self._tie,
+            self._sig_t,
+            self._refine_rows_for(group, pallas_chunk, use_pallas),
+            qw,
+            qv_dev,
+            num_bands=self.num_bands,
+            max_out=max_out,
+            max_candidates=mc,
+            group=group,
+            pallas_chunk=pallas_chunk,
+            q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+            use_pallas=use_pallas,
+        )
+
+    def snapshot_topp_fn(
+        self,
+        max_out: int,
+        *,
+        wire: str = "words",
+        engine: str | None = None,
+        max_candidates: int | None = None,
+    ):
+        """Sharded rerank serving closure. The full engine inherits the
+        GSPMD program; the gather engine compiles the shard_map gather
+        (`_topp_gather_dispatch`) behind the same staleness contract."""
+        eng, mc = self._resolve_rerank_engine(engine, max_candidates)
+        if eng != "gather":
+            return super().snapshot_topp_fn(
+                max_out, wire=wire, engine="full", max_candidates=mc
             )
-        eng, mc = super()._resolve_rerank_engine("full", max_candidates)
-        return eng, mc
+        if wire not in ("words", "dense"):
+            raise ValueError("wire must be 'words' or 'dense'")
+        from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
+
+        with self._lock:
+            if self._size == 0:
+                raise RuntimeError("snapshot_topp_fn requires a non-empty store")
+            self._ensure_ranks()
+            local = self._local_rows()
+            group = min(self.group, local)
+            use_pallas = self._use_pallas()
+            pallas_chunk = self._pallas_chunk()
+            out = max(1, min(max_out, local))
+            num_bands, rows_per_band = self.num_bands, self.rows_per_band
+            mesh, axis = self.mesh, self.axis
+            state = (
+                self._payload, self._pnorm, self._ids, self._tie,
+                self._sig_t,
+                self._refine_rows_for(group, pallas_chunk, use_pallas),
+            )
+            snapshot_gen = self._generation
+
+        @jax.jit
+        def _serve(q, qv, st):
+            if wire == "dense":
+                q = _d2w(q, num_bands=num_bands, rows_per_band=rows_per_band)
+            else:
+                q = q.astype(jnp.uint32)
+            ids_o, sims, n, _exact = _sharded_topp_gather(
+                mesh, axis, *st, q, qv,
+                num_bands=num_bands, max_out=out, max_candidates=mc,
+                group=group, pallas_chunk=pallas_chunk,
+                q_tile=min(128, _next_pow2(max(8, q.shape[0]))),
+                use_pallas=use_pallas,
+            )
+            return ids_o, sims, n
+
+        def serve(q, qv):
+            with self._lock:
+                if self._generation != snapshot_gen:
+                    raise RuntimeError(
+                        "snapshot_topp_fn is stale: the store was mutated "
+                        "after the snapshot was taken; call snapshot_topp_fn "
+                        "again"
+                    )
+                return _serve(q, jnp.asarray(qv), state)
+
+        return serve
 
     def _query_topk_dev(self, qw: jax.Array, k: int):
         self._ensure_ranks()
@@ -323,7 +419,7 @@ class ShardedDeviceStore(DeviceStore):
             if ham_grouped
             else self._sig_rows
         )
-        q_tile = min(512, _next_pow2(max(8, qw.shape[0])))
+        q_tile = hamming_q_tile(qw.shape[0], chunk)
         if self.hamming_storage == "packed":
             return _sharded_hamming_packed(
                 self.mesh,
@@ -473,7 +569,7 @@ class ShardedDeviceStore(DeviceStore):
             sig_t, rows_, ids, ranks, tie, planes = st
             q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
             if mode == "hamming":
-                ham_q_tile = min(512, _next_pow2(max(8, qw.shape[0])))
+                ham_q_tile = hamming_q_tile(qw.shape[0], ham_chunk)
                 if packed:
                     return _sharded_hamming_packed(
                         mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
@@ -768,6 +864,73 @@ def _sharded_hamming_packed(
         out_specs=(P(), P()),
         check_vma=False,
     )(sig_t, rows, ids, ranks, tie, qwords)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "num_bands", "max_out", "max_candidates",
+        "group", "pallas_chunk", "q_tile", "use_pallas", "interpret",
+    ),
+)
+def _sharded_topp_gather(
+    mesh, axis, payload, pnorm, ids, tie, sig_t, rows, qwords, qvecs,
+    *, num_bands, max_out, max_candidates, group, pallas_chunk, q_tile,
+    use_pallas, interpret=False,
+):
+    """SPMD candidate-gather rerank: shard-local gather rerank + cosine merge.
+
+    Each shard runs `rerank_topp_gather_core` on its local block (the
+    shard-local tie keys are exactly the per-block keys the core expects;
+    the per-query candidate budget applies PER SHARD), then the
+    ``(cosine, id)`` prefix lists merge over one ICI ``all_gather`` —
+    exact, because cosine is an absolute key: the global top-``max_out``
+    by (cosine desc, id asc) is contained in the union of per-shard
+    top-``max_out`` lists. ``n`` is the psum of shard-local candidate
+    counts; ``exact`` ANDs the shard flags.
+    """
+    from lshrs_tpu.ops.rerank import rerank_topp_gather_core
+
+    _INT32_MAX = jnp.int32(2**31 - 1)
+
+    def local(payload_l, pnorm_l, ids_l, tie_l, sig_l, rows_l, qw, qv):
+        out_ids, sims, n_l, exact_l = rerank_topp_gather_core(
+            payload_l, pnorm_l, ids_l, tie_l, sig_l, qw, qv,
+            num_bands=num_bands, max_out=max_out,
+            max_candidates=max_candidates, group=group,
+            pallas_chunk=pallas_chunk, q_tile=q_tile,
+            use_pallas=use_pallas, interpret=interpret, sig_rows=rows_l,
+        )
+        ids_g = jax.lax.all_gather(out_ids, axis)  # (S, Q, max_out)
+        sims_g = jax.lax.all_gather(sims, axis)
+        q = qw.shape[0]
+        pool_ids = jnp.moveaxis(ids_g, 0, 1).reshape(q, -1)
+        pool_sims = jnp.moveaxis(sims_g, 0, 1).reshape(q, -1)
+        valid = pool_ids >= 0
+        neg = jnp.where(valid, -pool_sims, jnp.inf)
+        tie_id = jnp.where(valid, pool_ids, _INT32_MAX)
+        _, _, s_sims, s_ids = jax.lax.sort(
+            (neg, tie_id, pool_sims, pool_ids), num_keys=2
+        )
+        nv = valid.sum(axis=1)
+        out = min(max_out, s_ids.shape[1])
+        m_ids = jnp.where(
+            jnp.arange(out)[None, :] < nv[:, None], s_ids[:, :out], -1
+        )
+        n = jax.lax.psum(n_l, axis)
+        exact = jax.lax.pmin(exact_l.astype(jnp.int32), axis) > 0
+        return m_ids, s_sims[:, :out], n, exact
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis), P(axis), P(axis), P(None, axis),
+            P(axis, None), P(), P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )(payload, pnorm, ids, tie, sig_t, rows, qwords, qvecs)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))

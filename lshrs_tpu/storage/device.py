@@ -52,6 +52,7 @@ from lshrs_tpu.ops.bitpack import (
 )
 from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
 from lshrs_tpu.ops.hamming import (
+    hamming_q_tile,
     hamming_topk,
     hamming_topk_chunked,
     hamming_topk_chunked_core,
@@ -393,6 +394,11 @@ class DeviceStore(BaseStorage):
     def _gather_usable(self) -> bool:
         return self.store_vectors and self._use_grouped()
 
+    def _rerank_cost_rows(self) -> int:
+        """Row count the rerank cost model scales with (per-device rows:
+        the whole capacity here, the shard-local rows when sharded)."""
+        return self._capacity
+
     def _expected_candidates(self) -> float:
         """Expected colliding candidates per query for random pairs:
         ``alive * (1 - (1 - 2^-r)^b) ~ alive * b * 2^-r``. Real workloads
@@ -416,14 +422,14 @@ class DeviceStore(BaseStorage):
                 "grouped fast path (capacity within int32 key packing)"
             )
         if engine == "auto":
+            rows = self._rerank_cost_rows()
             engine = (
                 "gather"
                 if (
                     self._gather_usable()
-                    and self._capacity >= self._GATHER_MIN_CAPACITY
+                    and rows >= self._GATHER_MIN_CAPACITY
                     # past the measured cost crossover (see the model above)
-                    and self._capacity
-                    >= mc * self._GATHER_CROSSOVER_SLOTS_PER_CANDIDATE
+                    and rows >= mc * self._GATHER_CROSSOVER_SLOTS_PER_CANDIDATE
                     # a gather budget the expected load would blow through
                     # on most queries just truncates; stay on full.
                     and self._expected_candidates() <= mc / 2
@@ -998,7 +1004,9 @@ class DeviceStore(BaseStorage):
         def run_slice(qw, st):
             sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
             if mode == "hamming":
-                q_tile = min(512, _next_pow2(max(8, qw.shape[0])))
+                q_tile = hamming_q_tile(
+                    qw.shape[0], ham_tile if ham_pallas else chunk
+                )
                 if planes_ is None:  # hamming_storage="packed"
                     if ham_grouped:
                         _, out = hamming_topk_packed_core(
@@ -1239,10 +1247,13 @@ class DeviceStore(BaseStorage):
         group = min(self.group, self._capacity)
         pallas_tile = group * 128  # Pallas out blocks need a >=128 minor dim
         use_pallas = self._use_pallas() and self._capacity % pallas_tile == 0
-        # Wider query tiles keep the MXU dot busier: 256 measured ~7%
-        # faster than 128, 512 another ~5% on the 1M kernel (the planes
-        # chunk stays VMEM-resident either way).
-        q_tile = min(512, _next_pow2(max(8, qw.shape[0])))
+        # Wider query tiles keep the MXU dot busier (512 measured ~12%
+        # faster than 128 on the 1M planes kernel) but the (q_tile, chunk)
+        # VMEM intermediates must fit Mosaic's scoped stack -- see
+        # `hamming_q_tile`.
+        q_tile = hamming_q_tile(
+            qw.shape[0], pallas_tile if use_pallas else self.chunk
+        )
         if self.hamming_storage == "packed":
             if grouped:
                 return hamming_topk_packed(
@@ -1398,26 +1409,8 @@ class DeviceStore(BaseStorage):
 
                 qv = qv.astype(ml_dtypes.bfloat16)
             if eng == "gather":
-                self._ensure_ranks()
-                group = min(self.group, self._capacity)
-                use_pallas = self._use_pallas()
-                pallas_chunk = self._pallas_chunk()
-                ids, sims, n, exact = rerank_topp_gather(
-                    self._payload,
-                    self._pnorm,
-                    self._ids,
-                    self._tie,
-                    self._sig_t,
-                    qw,
-                    jnp.asarray(qv),
-                    num_bands=self.num_bands,
-                    max_out=out,
-                    max_candidates=mc,
-                    group=group,
-                    pallas_chunk=pallas_chunk,
-                    q_tile=min(128, _next_pow2(max(8, q))),
-                    use_pallas=use_pallas,
-                    sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas),
+                ids, sims, n, exact = self._topp_gather_dispatch(
+                    qw, jnp.asarray(qv), out, mc
                 )
             else:
                 exact = None
@@ -1438,6 +1431,32 @@ class DeviceStore(BaseStorage):
                 with self._lock:
                     self._rerank_truncations += truncated
         return np.asarray(ids), np.asarray(sims), np.asarray(n)
+
+    def _topp_gather_dispatch(self, qw, qv_dev, max_out: int, mc: int):
+        """Gather-engine rerank dispatch (call under the lock); returns
+        device ``(ids, sims, n, exact)``. Sharded stores override with
+        the shard_map formulation."""
+        self._ensure_ranks()
+        group = min(self.group, self._capacity)
+        use_pallas = self._use_pallas()
+        pallas_chunk = self._pallas_chunk()
+        return rerank_topp_gather(
+            self._payload,
+            self._pnorm,
+            self._ids,
+            self._tie,
+            self._sig_t,
+            qw,
+            qv_dev,
+            num_bands=self.num_bands,
+            max_out=max_out,
+            max_candidates=mc,
+            group=group,
+            pallas_chunk=pallas_chunk,
+            q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
+            use_pallas=use_pallas,
+            sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas),
+        )
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
         """Fetch resident payload rows by id (requires ``store_vectors``).

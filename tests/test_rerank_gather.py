@@ -190,19 +190,43 @@ def test_rerank_config_persistence_roundtrip(rng):
         LSHRS(dim=16, num_perm=16, backend="device", rerank_engine="nope")
 
 
-def test_sharded_store_refuses_gather(rng):
+def test_sharded_gather_matches_unsharded_full(rng):
+    """The shard_map gather rerank (per-shard gather + cosine ICI merge)
+    must match the single-device full formulation id-for-id on covered
+    queries, and serve through the sharded snapshot closure."""
     from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
 
-    store = ShardedDeviceStore(
-        mesh=make_mesh(4), num_bands=B, rows_per_band=R, dim=D,
-        store_vectors=True, chunk_size=128, initial_capacity=512,
-    )
-    X = rng.standard_normal((64, D)).astype(np.float32)
+    n = 600
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    X[300:360] = X[:60] + 0.01 * rng.standard_normal((60, D)).astype(np.float32)
     h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
-    store.add_signature_batch(np.arange(64), h.hash_batch_words_host(X), X)
-    qw = h.hash_batch_words_host(X[:2])
-    with pytest.raises(RuntimeError, match="sharded"):
-        store.query_topp_batch(qw, X[:2], 8, engine="gather")
-    # auto resolves to the GSPMD full path and still answers
-    ids, _, _ = store.query_topp_batch(qw, X[:2], 8)
-    assert ids[0, 0] == 0 and ids[1, 0] == 1
+    words = h.hash_batch_words_host(X)
+
+    single = make_store(initial_capacity=1024, chunk_size=128)
+    single.add_signature_batch(np.arange(n), words, X)
+    sharded = ShardedDeviceStore(
+        mesh=make_mesh(8), num_bands=B, rows_per_band=R, dim=D,
+        store_vectors=True, chunk_size=128, initial_capacity=1024,
+        group_size=64,
+    )
+    sharded.add_signature_batch(np.arange(n), words, X)
+
+    qv = X[:6]
+    qw = h.hash_batch_words_host(qv)
+    ref_ids, ref_sims, ref_n = single.query_topp_batch(qw, qv, 16, engine="full")
+    g_ids, g_sims, g_n = sharded.query_topp_batch(
+        qw, qv, 16, engine="gather", max_candidates=256
+    )
+    np.testing.assert_array_equal(g_ids, ref_ids)
+    np.testing.assert_array_equal(g_n, ref_n)
+    valid = ref_ids >= 0
+    np.testing.assert_allclose(g_sims[valid], ref_sims[valid], rtol=1e-5)
+    assert sharded.stats()["rerank_truncations"] == 0
+
+    serve = sharded.snapshot_topp_fn(16, engine="gather", max_candidates=256)
+    s_ids, s_sims, s_n = (np.asarray(x) for x in serve(qw, qv))
+    np.testing.assert_array_equal(s_ids, ref_ids)
+    np.testing.assert_array_equal(s_n, ref_n)
+    sharded.add_signature_batch([5000], words[:1], X[:1])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(qw, qv)
