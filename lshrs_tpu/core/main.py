@@ -97,14 +97,17 @@ class LSHRS:
         rerank_candidates: per-query candidate budget of the gather engine.
         engine: top-k ranking engine — ``"collision"`` (band-collision
             counting, exact reference parity), ``"hamming"``
-            (full-signature packed-Hamming ranking: every hash bit is
-            used, typically higher recall at equal memory) or ``"auto"``
-            (default: collision below `_AUTO_HAMMING_CAPACITY` slots,
-            packed-Hamming past it — the regime where the collision scan
-            falls under 100k QPS/chip). Auto/hamming engines keep the
-            zero-memory packed Hamming mode available automatically.
-            Candidate enumeration (``top_k=None``) and top-p rerank keep
-            collision semantics in every engine.
+            (full-signature Hamming ranking: every hash bit is used,
+            higher recall than collision at every measured operating
+            point) or ``"auto"`` (default: collision below
+            `_AUTO_HAMMING_CAPACITY` slots, Hamming past it — the regime
+            where the collision scan falls under 100k QPS/chip).
+            Auto/hamming engines maintain int8 bitplanes (the MXU
+            formulation, 169k QPS at 1M vs ~51k for the zero-memory
+            packed variant) at ``num_perm`` bytes/slot unless the caller
+            pins ``hamming_storage`` themselves. Candidate enumeration
+            (``top_k=None``) and top-p rerank keep collision semantics
+            in every engine.
         hash_mode: where this instance hashes — ``"device"`` (one MXU
             matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
             ships 64-byte packed signatures; wins when the host->device
@@ -160,12 +163,15 @@ class LSHRS:
             raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
         self._engine = engine
         if engine != "collision" and backend == "device" and not enable_hamming:
-            # Keep the Hamming ranking mode available at zero cost: the
-            # "packed" formulation ranks from the words the collision scan
-            # already stores (no extra HBM). A user-enabled Hamming keeps
-            # their storage choice.
+            # The auto/hamming engines rank with the int8 bitplane (MXU)
+            # formulation: measured 169k QPS at 1M slots vs ~51k for the
+            # zero-memory packed (VPU popcount) variant — the throughput
+            # bar at scale is what the engine switch exists for. Costs
+            # num_perm bytes/slot of HBM (256 MB at 1M x 256 bits);
+            # construct with enable_hamming=True, hamming_storage="packed"
+            # to trade that memory back at ~3x lower Hamming QPS.
             enable_hamming = True
-            hamming_storage = "packed"
+            hamming_storage = "planes"
 
         if num_bands is None or rows_per_band is None:
             num_bands, rows_per_band = get_optimal_config(num_perm, similarity_threshold)
@@ -576,10 +582,10 @@ class LSHRS:
     # ------------------------------------------------------------------
 
     # Capacity at which the auto engine switches top-k ranking from
-    # band-collision counting to packed-Hamming. Measured on v5e: the
-    # collision scan falls under the 100k QPS/chip bar between 512k and
-    # 1M slots (57k @ 1M) while packed Hamming holds 169k @ 1M at exactly
-    # equal memory and better recall (PERFORMANCE.md).
+    # band-collision counting to Hamming. Measured on v5e: the collision
+    # scan falls under the 100k QPS/chip bar between 512k and 1M slots
+    # (57k @ 1M) while bitplane (MXU) Hamming holds 169k @ 1M with better
+    # recall (PERFORMANCE.md).
     _AUTO_HAMMING_CAPACITY = 1 << 19
 
     def _use_hamming_ranking(self) -> bool:

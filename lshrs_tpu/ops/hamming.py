@@ -57,21 +57,24 @@ def supports_hamming_grouped(num_perm: int, capacity: int) -> bool:
     return (num_perm + 2) * key_scale(capacity) < 2**31
 
 
-def hamming_q_tile(q: int, chunk: int) -> int:
+def hamming_q_tile(q: int, chunk: int, *, packed: bool = False) -> int:
     """Widest safe query tile for the Hamming kernels at this chunk size.
 
-    The kernels hold (q_tile, chunk) int32 intermediates (distance
-    accumulator + packed keys) in VMEM; Mosaic's scoped stack limit is
-    16 MB, so the tile must shrink as the chunk grows — q_tile=512 at
-    chunk=8192 OOMs ("exceeded scoped vmem limit", observed on v5e at 1M
-    slots with group=64). Cap the key intermediate at ~4 MB: 512-wide
-    tiles when they fit (measured ~12% faster than 128 on the 1M planes
-    kernel), narrower for wide chunks.
+    The PACKED kernel's explicit popcount-accumulation chain holds
+    several (q_tile, chunk) int32 intermediates on Mosaic's 16 MB scoped
+    VMEM stack — q_tile=512 at chunk=8192 OOMs ("exceeded scoped vmem
+    limit", observed on v5e at 1M slots, group=64) — so its tile shrinks
+    as the chunk grows (key intermediate capped at ~4 MB). The bitplane
+    (MXU) kernel schedules its dot through the MXU and runs 512 x 8192
+    within budget (the round-2 1M numbers were measured exactly there);
+    it keeps the wide tile, which is ~12% faster than 128.
     """
-    cap = max(128, (1 << 22) // (4 * chunk))
-    tile = min(512, cap)
-    while tile & (tile - 1):  # clamp to a power of two
-        tile &= tile - 1
+    tile = 512
+    if packed:
+        cap = max(128, (1 << 22) // (4 * chunk))
+        tile = min(512, cap)
+        while tile & (tile - 1):  # clamp to a power of two
+            tile &= tile - 1
     q_pow2 = 1 << max(3, (max(q, 1) - 1).bit_length())
     return min(tile, max(8, q_pow2))
 

@@ -419,7 +419,9 @@ class ShardedDeviceStore(DeviceStore):
             if ham_grouped
             else self._sig_rows
         )
-        q_tile = hamming_q_tile(qw.shape[0], chunk)
+        q_tile = hamming_q_tile(
+            qw.shape[0], chunk, packed=self.hamming_storage == "packed"
+        )
         if self.hamming_storage == "packed":
             return _sharded_hamming_packed(
                 self.mesh,
@@ -569,7 +571,9 @@ class ShardedDeviceStore(DeviceStore):
             sig_t, rows_, ids, ranks, tie, planes = st
             q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
             if mode == "hamming":
-                ham_q_tile = hamming_q_tile(qw.shape[0], ham_chunk)
+                ham_q_tile = hamming_q_tile(
+                    qw.shape[0], ham_chunk, packed=packed
+                )
                 if packed:
                     return _sharded_hamming_packed(
                         mesh, axis, sig_t, rows_, ids, ranks, tie, qw,

@@ -1005,7 +1005,9 @@ class DeviceStore(BaseStorage):
             sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
             if mode == "hamming":
                 q_tile = hamming_q_tile(
-                    qw.shape[0], ham_tile if ham_pallas else chunk
+                    qw.shape[0],
+                    ham_tile if ham_pallas else chunk,
+                    packed=planes_ is None,
                 )
                 if planes_ is None:  # hamming_storage="packed"
                     if ham_grouped:
@@ -1252,7 +1254,9 @@ class DeviceStore(BaseStorage):
         # VMEM intermediates must fit Mosaic's scoped stack -- see
         # `hamming_q_tile`.
         q_tile = hamming_q_tile(
-            qw.shape[0], pallas_tile if use_pallas else self.chunk
+            qw.shape[0],
+            pallas_tile if use_pallas else self.chunk,
+            packed=self.hamming_storage == "packed",
         )
         if self.hamming_storage == "packed":
             if grouped:
