@@ -117,3 +117,70 @@ def test_fuzz_random_op_sequences(seed, dedupe, rng):
                 (int(hv), int(i)) for hv, i in zip(ham[r_], hids[r_]) if i >= 0
             ]
             assert got == exp[: len(got)]
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_fuzz_rerank_engines_agree(seed, rng):
+    """After random append/upsert/delete/compact sequences, the gather
+    and full rerank engines must agree with each other and with a host
+    cosine oracle wherever the gather path reports exactness; the nnz
+    probe must match the model's candidate counts."""
+    op_rng = np.random.default_rng(seed)
+    h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=99)
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, dim=D, store_vectors=True,
+        chunk_size=64, initial_capacity=256, group_size=16,
+    )
+    model: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # id -> (words, vec)
+    next_id = 0
+
+    for step in range(12):
+        op = op_rng.integers(0, 10)
+        if op < 7:
+            n = int(op_rng.integers(1, 15))
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            X = op_rng.standard_normal((n, D)).astype(np.float32)
+            # occasional near-duplicates inflate candidate sets
+            if model and op_rng.integers(0, 2) == 0:
+                src = model[int(op_rng.choice(list(model.keys())))][1]
+                X[0] = src + 0.01 * op_rng.standard_normal(D).astype(np.float32)
+            words = h.hash_batch_words_host(X)
+            store.add_signature_batch(ids, words, X)
+            for i, w, v in zip(ids, words, X):
+                model[i] = (w, v)
+        elif op < 9 and model:
+            dels = op_rng.choice(
+                list(model.keys()),
+                size=min(len(model), int(op_rng.integers(1, 4))),
+                replace=False,
+            )
+            store.remove_indices([int(i) for i in dels])
+            for i in dels:
+                model.pop(int(i), None)
+        else:
+            store.compact()
+
+        if not model:
+            continue
+        q = op_rng.standard_normal((2, D)).astype(np.float32)
+        qw = h.hash_batch_words_host(q)
+
+        # nnz parity with the model
+        all_ids = np.fromiter(model.keys(), dtype=np.int64)
+        sigs = np.stack([model[int(i)][0] for i in all_ids])
+        for r_ in range(2):
+            coll = (sigs == qw[r_][None, :]).reshape(len(all_ids), B, -1)
+            n_exp = int(coll.all(-1).any(-1).sum())
+            assert int(store.query_nnz(qw)[r_]) == n_exp
+
+        f_ids, f_sims, f_n = store.query_topp_batch(qw, q, 8, engine="full")
+        g_ids, g_sims, g_n = store.query_topp_batch(
+            qw, q, 8, engine="gather", max_candidates=64
+        )
+        np.testing.assert_array_equal(g_n, f_n)
+        np.testing.assert_array_equal(g_ids, f_ids)
+        valid = f_ids >= 0
+        np.testing.assert_allclose(
+            g_sims[valid], f_sims[valid], rtol=1e-5, atol=1e-6
+        )

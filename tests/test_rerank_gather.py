@@ -230,3 +230,23 @@ def test_sharded_gather_matches_unsharded_full(rng):
     sharded.add_signature_batch([5000], words[:1], X[:1])
     with pytest.raises(RuntimeError, match="stale"):
         serve(qw, qv)
+
+
+def test_gather_multiword_bands(rng):
+    """rows_per_band > 32 (two uint32 words per band) exercises the
+    multi-word compare loops in the gather refine stage."""
+    b2, r2, d2 = 2, 40, 24  # w = ceil(40/32) = 2 words/band
+    h2 = LSHHasher(num_bands=b2, rows_per_band=r2, dim=d2, seed=7)
+    store = DeviceStore(
+        num_bands=b2, rows_per_band=r2, dim=d2, store_vectors=True,
+        chunk_size=64, initial_capacity=256, group_size=16,
+    )
+    X = rng.standard_normal((150, d2)).astype(np.float32)
+    X[100:120] = X[:20]  # exact duplicates force collisions
+    store.add_signature_batch(np.arange(150), h2.hash_batch_words_host(X), X)
+
+    qw = h2.hash_batch_words_host(X[:5])
+    f = store.query_topp_batch(qw, X[:5], 12, engine="full")
+    g = store.query_topp_batch(qw, X[:5], 12, engine="gather", max_candidates=64)
+    np.testing.assert_array_equal(g[0], f[0])
+    np.testing.assert_array_equal(g[2], f[2])
