@@ -404,8 +404,21 @@ class ShardedDeviceStore(DeviceStore):
         use_pallas = self._use_pallas() and local % pallas_tile == 0
         return pallas_tile, use_pallas, group
 
+    def _materialize_planes(self) -> jax.Array:
+        # Shard-local unpack: each shard builds its block's bitplanes from
+        # its packed rows (the base class's sliced loop would fight GSPMD
+        # placement). One dispatch; the intermediate spreads over shards.
+        return _sharded_unpack_planes(
+            self.mesh,
+            self.axis,
+            self._sig_rows,
+            num_bands=self.num_bands,
+            rows_per_band=self.rows_per_band,
+        )
+
     def _query_hamming_dev(self, qw: jax.Array, k: int):
         self._ensure_ranks()
+        self._ensure_planes()  # lazily built on first Hamming use
         p = self.num_bands * self.rows_per_band
         local = self._local_rows()
         k_eff = max(1, min(k, local))
@@ -530,6 +543,8 @@ class ShardedDeviceStore(DeviceStore):
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
             self._ensure_ranks()
+            if mode == "hamming":
+                self._ensure_planes()  # lazily built on first Hamming use
             snapshot_gen = self._generation
             num_bands, rows_per_band = self.num_bands, self.rows_per_band
             num_perm = num_bands * rows_per_band
@@ -935,6 +950,24 @@ def _sharded_topp_gather(
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )(payload, pnorm, ids, tie, sig_t, rows, qwords, qvecs)
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "axis", "num_bands", "rows_per_band")
+)
+def _sharded_unpack_planes(mesh, axis, sig_rows, *, num_bands, rows_per_band):
+    def local(rows_l):
+        return unpack_bitplanes(
+            rows_l, num_bands=num_bands, rows_per_band=rows_per_band
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(sig_rows)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))

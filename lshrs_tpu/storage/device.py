@@ -351,11 +351,12 @@ class DeviceStore(BaseStorage):
         self._pnorm = (
             jnp.zeros((cap,), dtype=jnp.float32) if self.store_vectors else None
         )
-        self._planes = (
-            jnp.zeros((cap, self.num_bands * self.rows_per_band), dtype=jnp.int8)
-            if self.enable_hamming and self.hamming_storage == "planes"
-            else None
-        )
+        # Bitplanes are LAZY: materialized from the packed words on the
+        # first Hamming use (`_ensure_planes`), then maintained by
+        # appends/overwrites. An index that never ranks by Hamming — or
+        # an auto-engine index below the ranking switch — pays zero of
+        # the num_perm bytes/slot.
+        self._planes = None
         self._ranks_dirty = False  # fresh arrays are self-consistent
 
     # -- query path selection ------------------------------------------------
@@ -457,6 +458,43 @@ class DeviceStore(BaseStorage):
             self._ranks = compute_chunk_ranks(self._ids, chunk=self.chunk)
             self._tie = compute_global_tie(self._ids)
             self._ranks_dirty = False
+
+    def _ensure_planes(self) -> None:
+        """Materialize the int8 bitplane array on first Hamming use.
+
+        Built from the packed words already stored (bit-identical by
+        construction), then kept current by the append/overwrite paths.
+        Call under the lock. Does NOT bump the generation — nothing the
+        existing snapshots captured changes.
+        """
+        if (
+            not self.enable_hamming
+            or self.hamming_storage != "planes"
+            or self._planes is not None
+        ):
+            return
+        self._planes = self._materialize_planes()
+
+    # Bound the unpack intermediate (slice_rows x num_bands x W x 32
+    # uint32) to ~1 GB per dispatch during materialization.
+    _PLANES_MATERIALIZE_STEP = 1 << 17
+
+    def _materialize_planes(self) -> jax.Array:
+        p = self.num_bands * self.rows_per_band
+        planes = jnp.zeros((self._capacity, p), dtype=jnp.int8)
+        step = min(self._PLANES_MATERIALIZE_STEP, self._capacity)
+        for off in range(0, self._capacity, step):
+            rows = jax.lax.dynamic_slice_in_dim(self._sig_rows, off, step, 0)
+            planes = jax.lax.dynamic_update_slice(
+                planes,
+                unpack_bitplanes(
+                    rows,
+                    num_bands=self.num_bands,
+                    rows_per_band=self.rows_per_band,
+                ),
+                (off, 0),
+            )
+        return planes
 
     def _refine_rows_for(
         self, group: int, chunk: int, use_pallas: bool
@@ -961,6 +999,8 @@ class DeviceStore(BaseStorage):
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
             self._ensure_ranks()
+            if mode == "hamming":
+                self._ensure_planes()  # lazily built on first Hamming use
             sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
             planes = self._planes
             grouped, use_pallas = self._use_grouped(), self._use_pallas()
@@ -1240,6 +1280,7 @@ class DeviceStore(BaseStorage):
         """Device-resident Hamming top-k, grouped path when the packed
         key fits int32, chunked selection otherwise."""
         self._ensure_ranks()
+        self._ensure_planes()  # lazily built on first Hamming use
         p = self.num_bands * self.rows_per_band
         k_eff = max(1, min(k, self._capacity))
         grouped = (

@@ -23,9 +23,17 @@ def test_auto_engine_enables_mxu_hamming(rng):
     lsh = make()
     st = lsh._storage
     # planes: the MXU formulation (169k vs ~51k QPS at 1M for packed);
-    # costs num_perm bytes/slot, maintained from construction
+    # costs num_perm bytes/slot — but only once Hamming ranking actually
+    # engages (bitplanes materialize lazily on first Hamming use)
     assert st.enable_hamming and st.hamming_storage == "planes"
-    assert st.stats()["hamming_plane_bytes"] > 0
+    assert st.stats()["hamming_plane_bytes"] == 0  # nothing used yet
+    X = rng.standard_normal((20, 32)).astype(np.float32)
+    lsh.index(list(range(20)), X)
+    assert lsh.query_hamming(X[3], top_k=2)[0][0] == 3
+    assert st.stats()["hamming_plane_bytes"] > 0  # materialized on use
+    # appends after materialization keep the planes current
+    lsh.index([50], X[:1] + 1.0)
+    assert lsh.query_hamming(X[0] + 1.0, top_k=1)[0][0] == 50
     # explicit hamming config is respected, not overridden
     user = make(enable_hamming=True, hamming_storage="packed")
     assert user._storage.hamming_storage == "packed"

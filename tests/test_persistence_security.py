@@ -109,7 +109,8 @@ def test_save_load_preserves_capabilities(tmp_path, rng):
 
     back = LSHRS.load_from_disk(tmp_path / "m")
     store = back._storage
-    assert store.enable_hamming and store._planes is not None
+    # bitplanes are lazy: capability restored, array materializes on use
+    assert store.enable_hamming and store._planes is None
     assert store.query_mode == "bucket"
     assert store.bucket_cap == 64
     assert store.group == 16

@@ -327,6 +327,7 @@ def test_sharded_hamming_pallas_interpret_parity(mesh, hasher, rng):
     ref_h, ref_i = single.query_hamming(qw, 15)
 
     sharded._ensure_ranks()
+    sharded._ensure_planes()  # bitplanes are lazy; the direct call needs them
     local = sharded._local_rows()
     assert local == 1024
     tile, group = 8 * 128, 8
