@@ -602,10 +602,23 @@ class LSHRS:
             return False
         if self._engine == "hamming":
             return True
-        return (
+        switched = (
             self._engine == "auto"
             and getattr(self._storage, "_capacity", 0) >= self._AUTO_HAMMING_CAPACITY
         )
+        if switched and not self.__dict__.get("_hamming_switch_logged"):
+            # One-time notice: the switch is monotonic (capacity only
+            # grows), so this fires at most once per instance lifetime.
+            self._hamming_switch_logged = True
+            logger.info(
+                "engine='auto': index capacity reached %d slots; top-k "
+                "ranking switched from band-collision counting to "
+                "full-signature Hamming (higher recall, ~3x throughput at "
+                "this scale; engine='collision' pins reference-parity "
+                "ordering).",
+                self._AUTO_HAMMING_CAPACITY,
+            )
+        return switched
 
     def query(
         self,

@@ -110,3 +110,17 @@ def test_engine_persistence_roundtrip_and_legacy_default(rng, tmp_path):
 def test_engine_validation():
     with pytest.raises(ValueError, match="engine"):
         make(engine="warp")
+
+
+def test_auto_switch_logged_once(rng, monkeypatch, caplog):
+    import logging
+
+    lsh = make()
+    X = rng.standard_normal((30, 32)).astype(np.float32)
+    lsh.index(list(range(30)), X)
+    monkeypatch.setattr(LSHRS, "_AUTO_HAMMING_CAPACITY", 64)
+    with caplog.at_level(logging.INFO, logger="lshrs_tpu.core.main"):
+        lsh.get_top_k(X[0], topk=2)
+        lsh.get_top_k(X[1], topk=2)
+    msgs = [r for r in caplog.records if "switched" in r.message]
+    assert len(msgs) == 1  # one-time notice
