@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--dispatches", type=int, default=8)
     ap.add_argument("--payload-dtype", choices=["float32", "bfloat16"],
                     default="float32")
+    ap.add_argument("--engines", default="full,gather",
+                    help="comma list; past ~2M slots the full engine cannot "
+                    "even compile at Q=1024 (its (Q, C) counts + sims "
+                    "temporaries alone exceed 16 GB HBM at 4M) — run "
+                    "'--engines gather' there")
     args = ap.parse_args()
 
     import jax
@@ -79,7 +84,7 @@ def main() -> None:
         qw.block_until_ready()
 
         row = {"n": n}
-        for engine in ("full", "gather"):
+        for engine in args.engines.split(","):
             serve = store.snapshot_topp_fn(
                 10, wire="words", engine=engine,
                 max_candidates=args.max_candidates,
@@ -102,9 +107,10 @@ def main() -> None:
                     float((nvals >= args.max_candidates).mean()), 4
                 )
             del serve, out, ids0
-        row["speedup"] = round(
-            row["full_ms_per_batch"] / row["gather_ms_per_batch"], 2
-        )
+        if "full_ms_per_batch" in row and "gather_ms_per_batch" in row:
+            row["speedup"] = round(
+                row["full_ms_per_batch"] / row["gather_ms_per_batch"], 2
+            )
         results.append(row)
         store.close()
         print(json.dumps({"metric": "gather_vs_full_rerank", **row}), flush=True)

@@ -391,6 +391,11 @@ class DeviceStore(BaseStorage):
     # floor, where the full matmul is trivially cheap).
     _GATHER_MIN_CAPACITY = 1 << 18
     _GATHER_CROSSOVER_SLOTS_PER_CANDIDATE = 2560
+    # The full engine materialises (Q, C) counts + f32 sims — 8 bytes per
+    # (query, slot). Past this temp budget it cannot even compile on a
+    # 16 GB chip (observed: 4M slots x 1024 queries asks for 20 GB), so
+    # auto must take gather regardless of expected truncation.
+    _FULL_RERANK_TEMP_BUDGET = 8 << 30
 
     def _gather_usable(self) -> bool:
         return self.store_vectors and self._use_grouped()
@@ -409,7 +414,7 @@ class DeviceStore(BaseStorage):
         return alive * (1.0 - (1.0 - 2.0**-r) ** self.num_bands)
 
     def _resolve_rerank_engine(
-        self, engine: str | None, max_candidates: int | None
+        self, engine: str | None, max_candidates: int | None, q: int = 1024
     ) -> tuple[str, int]:
         engine = engine if engine is not None else self.rerank_engine
         mc = max_candidates if max_candidates is not None else self.rerank_candidates
@@ -424,9 +429,16 @@ class DeviceStore(BaseStorage):
             )
         if engine == "auto":
             rows = self._rerank_cost_rows()
+            # Feasibility first: when the full engine's (Q, C) temporaries
+            # cannot fit HBM, a truncated gather beats a guaranteed OOM.
+            full_infeasible = (
+                q * rows * 8 > self._FULL_RERANK_TEMP_BUDGET
+                and self._gather_usable()
+            )
             engine = (
                 "gather"
-                if (
+                if full_infeasible
+                or (
                     self._gather_usable()
                     and rows >= self._GATHER_MIN_CAPACITY
                     # past the measured cost crossover (see the model above)
@@ -1446,7 +1458,7 @@ class DeviceStore(BaseStorage):
                     np.zeros((q, max_out), np.float32),
                     np.zeros((q,), np.int32),
                 )
-            eng, mc = self._resolve_rerank_engine(engine, max_candidates)
+            eng, mc = self._resolve_rerank_engine(engine, max_candidates, q=q)
             out = max(1, min(max_out, self._capacity))
             qv = np.asarray(qvecs, dtype=np.float32)
             if wire_dtype == "bfloat16":

@@ -250,3 +250,17 @@ def test_gather_multiword_bands(rng):
     g = store.query_topp_batch(qw, X[:5], 12, engine="gather", max_candidates=64)
     np.testing.assert_array_equal(g[0], f[0])
     np.testing.assert_array_equal(g[2], f[2])
+
+
+def test_auto_prefers_gather_when_full_cannot_fit(populated):
+    """When the full engine's (Q, C) temporaries would exceed the HBM
+    budget (observed OOM at 4M x 1024q on v5e), auto must take gather
+    even if the expected candidate load would truncate."""
+    store, X = populated
+    store._FULL_RERANK_TEMP_BUDGET = 1  # everything is "too big"
+    assert store._resolve_rerank_engine("auto", 4)[0] == "gather"
+    # without gather support, full remains the only (doomed) option
+    bare = DeviceStore(num_bands=B, rows_per_band=R, chunk_size=128,
+                       initial_capacity=128)
+    bare._FULL_RERANK_TEMP_BUDGET = 1
+    assert bare._resolve_rerank_engine("auto", 4)[0] == "full"
