@@ -32,12 +32,66 @@ __all__ = [
     "band_bytes_to_words",
     "pack_bits_dense_np",
     "dense_to_words",
+    "narrow_refine_r",
+    "narrow_words_count",
+    "pack_words_narrow",
 ]
 
 
 def words_per_band(rows_per_band: int) -> int:
     """Number of uint32 words needed to hold one band's bits."""
     return -(-rows_per_band // 32)
+
+
+def narrow_refine_r(rows_per_band: int) -> int:
+    """Bits per band in the NARROW refine-table packing, or 0 if n/a.
+
+    The word-aligned store layout spends one uint32 per band even when
+    ``rows_per_band < 32``; the refine stage is gather-bandwidth-bound, so
+    its table packs several bands per word when they fit evenly
+    (``32 % rows_per_band == 0``) — at the flagship shape (r=16) that
+    halves refine-gather traffic, worth ~22 ms per 16k-query batch at
+    131k slots (measured on v5e; see PERFORMANCE.md). Returns
+    ``rows_per_band`` when the narrow packing applies, else 0.
+    """
+    if 0 < rows_per_band < 32 and 32 % rows_per_band == 0:
+        return rows_per_band
+    return 0
+
+
+def narrow_words_count(num_bands: int, rows_per_band: int) -> int:
+    """uint32 words per slot in the narrow refine packing."""
+    bpw = 32 // rows_per_band
+    return -(-num_bands // bpw)
+
+
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
+def pack_words_narrow(
+    words: jax.Array, *, num_bands: int, rows_per_band: int
+) -> jax.Array:
+    """Word-aligned signature words -> narrow refine words (device).
+
+    Args:
+        words: ``(n, num_bands)`` uint32 — one word per band (the layout
+            when ``rows_per_band < 32``), only the low ``rows_per_band``
+            bits of each in use.
+    Returns:
+        ``(n, narrow_words_count(...))`` uint32; band ``b`` occupies bits
+        ``[(b % bpw) * r, ...)`` of word ``b // bpw`` (``bpw = 32 // r``).
+        Unused high bits of a trailing partial word are zero.
+    """
+    r = rows_per_band
+    bpw = 32 // r
+    n = words.shape[0]
+    nw = narrow_words_count(num_bands, r)
+    mask = jnp.uint32((1 << r) - 1)
+    pad = nw * bpw - num_bands
+    w = words & mask
+    if pad:
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    w = w.reshape(n, nw, bpw)
+    shifts = (jnp.arange(bpw, dtype=jnp.uint32) * jnp.uint32(r))[None, None, :]
+    return jnp.sum(w << shifts, axis=-1, dtype=jnp.uint32)
 
 
 def bytes_per_band(rows_per_band: int) -> int:

@@ -115,6 +115,7 @@ def hamming_topk_core(
     q_tile: int = 128,
     interpret: bool = False,
     sig_rows: jax.Array | None = None,
+    narrow_r: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k by (hamming asc, id asc), grouped MXU path.
 
@@ -174,15 +175,22 @@ def hamming_topk_core(
     return _select_refine(
         gmax, sig_t, ids, tie, qwords,
         p=p, k=k, chunk=chunk, group=group, strided=use_pallas,
-        sig_rows=sig_rows,
+        sig_rows=sig_rows, narrow_r=narrow_r,
     )
 
 
 def _select_refine(
-    gmax, sig_t, ids, tie, qwords, *, p, k, chunk, group, strided, sig_rows
+    gmax, sig_t, ids, tie, qwords, *, p, k, chunk, group, strided, sig_rows,
+    narrow_r=0,
 ):
     """Shared Hamming selection tail: top-k groups by max (hierarchical),
-    popcount-exact refine from packed words, exact (hamming, id) order."""
+    popcount-exact refine from packed words, exact (hamming, id) order.
+
+    ``narrow_r`` mirrors `collision_topk_grouped_core`: nonzero means
+    ``sig_rows`` is narrow-packed (`lshrs_tpu.ops.bitpack.pack_words_narrow`).
+    Popcount is layout-agnostic — the narrow words hold exactly the same
+    set bits — so only the word count and the query packing change.
+    """
     from lshrs_tpu.ops.scan import _hierarchical_top_groups
 
     c = ids.shape[0]
@@ -193,20 +201,30 @@ def _select_refine(
     top_groups = _hierarchical_top_groups(
         gmax, m=m, ngc=chunk // group if strided else None
     )
-    # Refine from packed words: hamming = sum popcount(xor) over BW words.
+    # Refine from packed words: hamming = sum popcount(xor) over the words.
     bw = sig_t.shape[0]
     mg = m * group
     if sig_rows is not None:
+        from lshrs_tpu.ops.bitpack import narrow_words_count, pack_words_narrow
         from lshrs_tpu.ops.scan import gather_refine_group_rows
 
+        if narrow_r:
+            num_bands = bw  # narrow applies only when words-per-band == 1
+            nw = narrow_words_count(num_bands, narrow_r)
+            qcmp = pack_words_narrow(
+                qwords, num_bands=num_bands, rows_per_band=narrow_r
+            )
+        else:
+            nw = bw
+            qcmp = qwords
         cwords, cand_tie, cand_ids = gather_refine_group_rows(
-            sig_rows, top_groups, bw=bw, group=group
+            sig_rows, top_groups, bw=nw, group=group
         )
         slots = None
         hamming = None
-        for wi in range(bw):
+        for wi in range(nw):
             pc = jax.lax.population_count(
-                cwords[:, :, wi, :] ^ qwords[:, wi][:, None, None]
+                cwords[:, :, wi, :] ^ qcmp[:, wi][:, None, None]
             )
             hamming = pc.astype(jnp.int32) if hamming is None else hamming + pc
         hamming = hamming.reshape(q, mg)
@@ -268,6 +286,7 @@ def hamming_topk_packed_core(
     q_tile: int = 128,
     interpret: bool = False,
     sig_rows: jax.Array | None = None,
+    narrow_r: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact Hamming top-k from PACKED words only (no bitplane array).
 
@@ -313,7 +332,7 @@ def hamming_topk_packed_core(
     return _select_refine(
         gmax, sig_t, ids, tie, qwords,
         p=p, k=k, chunk=chunk, group=group, strided=use_pallas,
-        sig_rows=sig_rows,
+        sig_rows=sig_rows, narrow_r=narrow_r,
     )
 
 
@@ -367,6 +386,7 @@ hamming_topk_packed = partial(
     jax.jit,
     static_argnames=(
         "num_perm", "k", "chunk", "group", "use_pallas", "q_tile", "interpret",
+        "narrow_r",
     ),
 )(hamming_topk_packed_core)
 hamming_topk_packed_chunked = partial(
@@ -421,7 +441,9 @@ def hamming_topk_chunked_core(
 
 hamming_topk = partial(
     jax.jit,
-    static_argnames=("k", "chunk", "group", "use_pallas", "q_tile", "interpret"),
+    static_argnames=(
+        "k", "chunk", "group", "use_pallas", "q_tile", "interpret", "narrow_r",
+    ),
 )(hamming_topk_core)
 hamming_topk_chunked = partial(jax.jit, static_argnames=("k", "chunk"))(
     hamming_topk_chunked_core

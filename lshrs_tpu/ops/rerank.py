@@ -180,6 +180,7 @@ def rerank_topp_gather_core(
     use_pallas: bool,
     interpret: bool = False,
     sig_rows: jax.Array | None = None,
+    narrow_r: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Candidate-gather top-p rerank: cost scales with CANDIDATES, not capacity.
 
@@ -222,11 +223,13 @@ def rerank_topp_gather_core(
         collision scale, some selected group is collision-free, hence every
         collision group was selected.
     """
+    from lshrs_tpu.ops.bitpack import narrow_words_count
     from lshrs_tpu.ops.pallas_scan import group_max_keys, key_scale
     from lshrs_tpu.ops.scan import (
         _hierarchical_top_groups,
         band_counts_t,
         gather_refine_group_rows,
+        refine_counts_vs_query,
     )
 
     bw, c = sig_t.shape
@@ -279,19 +282,13 @@ def rerank_topp_gather_core(
     if sig_rows is not None:
         # One wide row-gather per candidate group (8x faster than per-slot
         # gathers at 1M slots); slot order matches the arithmetic `slots`.
+        nw = narrow_words_count(num_bands, narrow_r) if narrow_r else bw
         cwords, cand_tie, cand_ids = gather_refine_group_rows(
-            sig_rows, top_groups, bw=bw, group=group
+            sig_rows, top_groups, bw=nw, group=group
         )
-        counts = None
-        for b in range(num_bands):
-            eq = cwords[:, :, b * w, :] == qwords[:, b * w][:, None, None]
-            for jj in range(1, w):
-                eq &= (
-                    cwords[:, :, b * w + jj, :]
-                    == qwords[:, b * w + jj][:, None, None]
-                )
-            counts = eq.astype(jnp.int32) if counts is None else counts + eq
-        counts = counts.reshape(q, mg)
+        counts = refine_counts_vs_query(
+            cwords, qwords, num_bands=num_bands, words=w, narrow_r=narrow_r
+        ).reshape(q, mg)
         cand_tie = cand_tie.reshape(q, mg)
         cand_ids = cand_ids.reshape(q, mg)
     else:
@@ -372,6 +369,6 @@ rerank_topp_gather = partial(
     jax.jit,
     static_argnames=(
         "num_bands", "max_out", "max_candidates", "group", "pallas_chunk",
-        "q_tile", "use_pallas", "interpret",
+        "q_tile", "use_pallas", "interpret", "narrow_r",
     ),
 )(rerank_topp_gather_core)

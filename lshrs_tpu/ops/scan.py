@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lshrs_tpu.ops.bitpack import narrow_words_count, pack_words_narrow
 from lshrs_tpu.ops.pallas_scan import group_max_keys, key_scale, supports_fast_path
 
 __all__ = [
@@ -52,6 +53,7 @@ __all__ = [
     "compute_global_tie",
     "global_tie_core",
     "key_scale",
+    "refine_counts_vs_query",
     "supports_fast_path",
 ]
 
@@ -273,6 +275,55 @@ def gather_refine_group_rows(
     return words, tie, ids
 
 
+def refine_counts_vs_query(
+    cwords: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_bands: int,
+    words: int,
+    narrow_r: int,
+) -> jax.Array:
+    """Per-candidate collision counts of gathered refine rows vs queries.
+
+    Args:
+        cwords: ``(Q, m, nw, group)`` uint32 gathered signature words —
+            word-aligned (``nw = num_bands * words``) when ``narrow_r == 0``,
+            else NARROW-packed (``32 // narrow_r`` bands per word, see
+            `lshrs_tpu.ops.bitpack.pack_words_narrow`).
+        qwords: ``(Q, num_bands * words)`` uint32, always word-aligned
+            (packed narrow here when needed — a few shifts on ``(Q, BW)``).
+
+    Returns:
+        ``(Q, m, group)`` int32 matching-band counts.
+    """
+    if narrow_r:
+        qn = pack_words_narrow(
+            qwords, num_bands=num_bands, rows_per_band=narrow_r
+        )
+        bpw = 32 // narrow_r
+        mask = jnp.uint32((1 << narrow_r) - 1)
+        nw = cwords.shape[2]
+        counts = None
+        for wi in range(nw):
+            cw = cwords[:, :, wi, :]
+            qv = qn[:, wi][:, None, None]
+            for j in range(min(bpw, num_bands - wi * bpw)):
+                sh = jnp.uint32(j * narrow_r)
+                eq = ((cw >> sh) & mask) == ((qv >> sh) & mask)
+                counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        return counts
+    counts = None
+    for b in range(num_bands):
+        eq = cwords[:, :, b * words, :] == qwords[:, b * words][:, None, None]
+        for j in range(1, words):
+            eq &= (
+                cwords[:, :, b * words + j, :]
+                == qwords[:, b * words + j][:, None, None]
+            )
+        counts = eq.astype(jnp.int32) if counts is None else counts + eq
+    return counts
+
+
 def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax.Array:
     """Exact top-m group indices from per-group max keys.
 
@@ -316,6 +367,7 @@ def collision_topk_grouped_core(
     use_pallas: bool,
     interpret: bool = False,
     sig_rows: jax.Array | None = None,
+    narrow_r: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k via group-max keys + candidate-group refinement.
 
@@ -326,13 +378,19 @@ def collision_topk_grouped_core(
             -1 for dead (see :func:`compute_global_tie`).
         use_pallas: run the fused Pallas kernel (TPU); otherwise an
             equivalent jnp formulation (CPU tests / tiny stores).
-        sig_rows: optional ``(C // group, group * (BW + 2))`` GROUPED
+        sig_rows: optional ``(C // group, group * (nw + 2))`` GROUPED
             refine table (see :func:`build_grouped_refine_rows`, built
             with ``strided_chunk=pallas_chunk`` iff ``use_pallas``). When
             given, the refinement gathers one wide row per candidate
             GROUP — all its slots' words, ties and ids together — which
             is 8x faster than per-slot row gathers at 1M slots (the TPU
             gather is row-count-bound at narrow widths).
+        narrow_r: 0 when ``sig_rows`` carries word-aligned words
+            (``nw = BW``); else ``rows_per_band``, meaning the table is
+            narrow-packed (``nw = narrow_words_count(...)`` — see
+            `lshrs_tpu.ops.bitpack.pack_words_narrow`; refine-gather
+            traffic halves at r=16, measured -22 ms per 16k queries at
+            131k slots on v5e).
     """
     bw, c = sig_t.shape
     q = qwords.shape[0]
@@ -372,20 +430,14 @@ def collision_topk_grouped_core(
     )
     mg = m * group
     if sig_rows is not None:
+        nw = narrow_words_count(num_bands, narrow_r) if narrow_r else bw
         cwords, cand_tie, cand_ids = gather_refine_group_rows(
-            sig_rows, top_groups, bw=bw, group=group
+            sig_rows, top_groups, bw=nw, group=group
         )
         slots = None
-        counts = None
-        for b in range(num_bands):
-            eq = cwords[:, :, b * w, :] == qwords[:, b * w][:, None, None]
-            for j in range(1, w):
-                eq &= (
-                    cwords[:, :, b * w + j, :]
-                    == qwords[:, b * w + j][:, None, None]
-                )
-            counts = eq.astype(jnp.int32) if counts is None else counts + eq
-        counts = counts.reshape(q, mg)
+        counts = refine_counts_vs_query(
+            cwords, qwords, num_bands=num_bands, words=w, narrow_r=narrow_r
+        ).reshape(q, mg)
         cand_tie = cand_tie.reshape(q, mg)
         cand_ids = cand_ids.reshape(q, mg)
     else:
@@ -433,7 +485,8 @@ def collision_topk_grouped_core(
 collision_topk_grouped = partial(
     jax.jit,
     static_argnames=(
-        "num_bands", "k", "group", "pallas_chunk", "q_tile", "use_pallas", "interpret",
+        "num_bands", "k", "group", "pallas_chunk", "q_tile", "use_pallas",
+        "interpret", "narrow_r",
     ),
 )(collision_topk_grouped_core)
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from lshrs_tpu.ops.bitpack import pack_words_narrow
 from lshrs_tpu.ops.hamming import (
     hamming_q_tile,
     hamming_topk_chunked_core,
@@ -128,6 +129,7 @@ class ShardedDeviceStore(DeviceStore):
             cached = _sharded_refine_rows(
                 self.mesh, self.axis, self._sig_rows, self._tie, self._ids,
                 group=group, strided_chunk=strided_chunk,
+                narrow_r=self._refine_narrow_r,
             )
         # LRU-bounded, same policy as the base class (see _MAX_REFINE_GEOMETRIES).
         self._rows_ext[key] = cached
@@ -194,16 +196,26 @@ class ShardedDeviceStore(DeviceStore):
         super()._overwrite(slots, words_np, vectors)
         self._check_placement()
 
-    def add_vectors_batch(self, indices, vectors, proj_t) -> None:
+    def add_vectors_batch(
+        self, indices, vectors, proj_t, hash_family: str = "gaussian"
+    ) -> None:
         """Sharded fused build: hash once (the query path's jitted
         program, replicated) then the SPMD scatter-append. Two dispatches
         instead of one — the base class's donated single-program form
         would fight GSPMD placement for marginal gain; hashing is ~3 ms
         per 100k vectors either way."""
-        from lshrs_tpu.hash.hasher import _hash_batch_words_jit
+        from lshrs_tpu.hash.hasher import (
+            _hash_batch_words_jit,
+            _hash_batch_words_structured_jit,
+        )
 
+        hash_jit = (
+            _hash_batch_words_structured_jit
+            if hash_family == "structured"
+            else _hash_batch_words_jit
+        )
         x = jnp.asarray(vectors, dtype=jnp.float32)
-        words = _hash_batch_words_jit(
+        words = hash_jit(
             x,
             jnp.asarray(proj_t, dtype=jnp.float32),
             num_bands=self.num_bands,
@@ -281,6 +293,7 @@ class ShardedDeviceStore(DeviceStore):
             pallas_chunk=pallas_chunk,
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=use_pallas,
+            narrow_r=self._refine_narrow_r,
         )
 
     def snapshot_topp_fn(
@@ -314,6 +327,7 @@ class ShardedDeviceStore(DeviceStore):
             out = max(1, min(max_out, local))
             num_bands, rows_per_band = self.num_bands, self.rows_per_band
             mesh, axis = self.mesh, self.axis
+            narrow_r = self._refine_narrow_r
             state = (
                 self._payload, self._pnorm, self._ids, self._tie,
                 self._sig_t,
@@ -333,6 +347,7 @@ class ShardedDeviceStore(DeviceStore):
                 group=group, pallas_chunk=pallas_chunk,
                 q_tile=min(128, _next_pow2(max(8, q.shape[0]))),
                 use_pallas=use_pallas,
+                narrow_r=narrow_r,
             )
             return ids_o, sims, n
 
@@ -374,6 +389,7 @@ class ShardedDeviceStore(DeviceStore):
             pallas_chunk=self._pallas_chunk(),
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=self._use_pallas(),
+            narrow_r=self._refine_narrow_r,
         )
 
     def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -452,6 +468,7 @@ class ShardedDeviceStore(DeviceStore):
                 group=group,
                 use_pallas=use_pallas,
                 q_tile=q_tile,
+                narrow_r=self._refine_narrow_r if ham_grouped else 0,
             )
         qbits = unpack_bitplanes(
             qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
@@ -474,6 +491,7 @@ class ShardedDeviceStore(DeviceStore):
             group=group,
             use_pallas=use_pallas,
             q_tile=q_tile,
+            narrow_r=self._refine_narrow_r if ham_grouped else 0,
         )
 
     def query_nnz(self, qwords) -> np.ndarray:
@@ -581,6 +599,9 @@ class ShardedDeviceStore(DeviceStore):
             )
             pallas_chunk = self._pallas_chunk()
             use_pallas = self._use_pallas()
+            narrow_r = self._refine_narrow_r if (
+                ham_grouped if mode == "hamming" else grouped
+            ) else 0
 
         def run_slice(qw, st):
             sig_t, rows_, ids, ranks, tie, planes = st
@@ -595,6 +616,7 @@ class ShardedDeviceStore(DeviceStore):
                         num_perm=num_perm, k=k_eff, chunk=ham_chunk,
                         grouped=ham_grouped, group=group,
                         use_pallas=ham_pallas, q_tile=ham_q_tile,
+                        narrow_r=narrow_r,
                     )[1]
                 qbits = unpack_bitplanes(
                     qw, num_bands=num_bands, rows_per_band=rows_per_band
@@ -604,12 +626,14 @@ class ShardedDeviceStore(DeviceStore):
                     num_perm=num_perm, k=k_eff, chunk=ham_chunk,
                     grouped=ham_grouped, group=group,
                     use_pallas=ham_pallas, q_tile=ham_q_tile,
+                    narrow_r=narrow_r,
                 )[1]
             return _sharded_topk(
                 mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
                 num_bands=num_bands, k=k_eff, chunk=chunk,
                 grouped=grouped, group=group, pallas_chunk=pallas_chunk,
                 q_tile=q_tile, use_pallas=use_pallas,
+                narrow_r=narrow_r,
             )[1]
 
         @jax.jit
@@ -719,10 +743,19 @@ def _sharded_append_rows(mesh, axis, arr, new_rows, offset):
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "axis", "group", "strided_chunk")
+    jax.jit,
+    static_argnames=("mesh", "axis", "group", "strided_chunk", "narrow_r"),
 )
-def _sharded_refine_rows(mesh, axis, sig_rows, tie, ids, *, group, strided_chunk):
+def _sharded_refine_rows(
+    mesh, axis, sig_rows, tie, ids, *, group, strided_chunk, narrow_r=0
+):
     def local(rows_l, tie_l, ids_l):
+        if narrow_r:
+            rows_l = pack_words_narrow(
+                rows_l,
+                num_bands=rows_l.shape[1],  # words-per-band == 1 when narrow
+                rows_per_band=narrow_r,
+            )
         ext = jnp.concatenate(
             [
                 rows_l,
@@ -759,12 +792,13 @@ def _sharded_tie(mesh, axis, ids):
     jax.jit,
     static_argnames=(
         "mesh", "axis", "num_bands", "k", "chunk",
-        "grouped", "group", "pallas_chunk", "q_tile", "use_pallas",
+        "grouped", "group", "pallas_chunk", "q_tile", "use_pallas", "narrow_r",
     ),
 )
 def _sharded_topk(
     mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_bands, k, chunk, grouped, group, pallas_chunk, q_tile, use_pallas,
+    narrow_r=0,
 ):
     def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
@@ -772,7 +806,7 @@ def _sharded_topk(
                 sig_l, ids_l, tie_l, qw,
                 num_bands=num_bands, k=k, group=group,
                 pallas_chunk=pallas_chunk, q_tile=q_tile, use_pallas=use_pallas,
-                sig_rows=rows_l,
+                sig_rows=rows_l, narrow_r=narrow_r,
             )
         else:
             counts, out_ids = collision_topk_core(
@@ -799,13 +833,13 @@ def _sharded_topk(
     jax.jit,
     static_argnames=(
         "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
-        "use_pallas", "q_tile", "interpret",
+        "use_pallas", "q_tile", "interpret", "narrow_r",
     ),
 )
 def _sharded_hamming(
     mesh, axis, planes, sig_t, rows, ids, ranks, tie, qbits, qwords,
     *, num_perm, k, chunk, grouped, group,
-    use_pallas=False, q_tile=128, interpret=False,
+    use_pallas=False, q_tile=128, interpret=False, narrow_r=0,
 ):
     def local(planes_l, sig_l, rows_l, ids_l, ranks_l, tie_l, qb, qw):
         if grouped:
@@ -813,7 +847,7 @@ def _sharded_hamming(
                 planes_l, sig_l, ids_l, tie_l, qb, qw,
                 k=k, chunk=chunk, group=group,
                 use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
-                sig_rows=rows_l,
+                sig_rows=rows_l, narrow_r=narrow_r,
             )
         else:
             hamming, out_ids = hamming_topk_chunked_core(
@@ -845,13 +879,13 @@ def _sharded_hamming(
     jax.jit,
     static_argnames=(
         "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
-        "use_pallas", "q_tile", "interpret",
+        "use_pallas", "q_tile", "interpret", "narrow_r",
     ),
 )
 def _sharded_hamming_packed(
     mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_perm, k, chunk, grouped, group,
-    use_pallas=False, q_tile=128, interpret=False,
+    use_pallas=False, q_tile=128, interpret=False, narrow_r=0,
 ):
     def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
@@ -859,7 +893,7 @@ def _sharded_hamming_packed(
                 sig_l, ids_l, tie_l, qw,
                 num_perm=num_perm, k=k, chunk=chunk, group=group,
                 use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
-                sig_rows=rows_l,
+                sig_rows=rows_l, narrow_r=narrow_r,
             )
         else:
             hamming, out_ids = hamming_topk_packed_chunked_core(
@@ -890,12 +924,13 @@ def _sharded_hamming_packed(
     static_argnames=(
         "mesh", "axis", "num_bands", "max_out", "max_candidates",
         "group", "pallas_chunk", "q_tile", "use_pallas", "interpret",
+        "narrow_r",
     ),
 )
 def _sharded_topp_gather(
     mesh, axis, payload, pnorm, ids, tie, sig_t, rows, qwords, qvecs,
     *, num_bands, max_out, max_candidates, group, pallas_chunk, q_tile,
-    use_pallas, interpret=False,
+    use_pallas, interpret=False, narrow_r=0,
 ):
     """SPMD candidate-gather rerank: shard-local gather rerank + cosine merge.
 
@@ -919,6 +954,7 @@ def _sharded_topp_gather(
             max_candidates=max_candidates, group=group,
             pallas_chunk=pallas_chunk, q_tile=q_tile,
             use_pallas=use_pallas, interpret=interpret, sig_rows=rows_l,
+            narrow_r=narrow_r,
         )
         ids_g = jax.lax.all_gather(out_ids, axis)  # (S, Q, max_out)
         sims_g = jax.lax.all_gather(sims, axis)

@@ -48,6 +48,8 @@ from lshrs_tpu.ops.bitpack import (
     band_bytes_to_words,
     bytes_per_band,
     dense_to_words,
+    narrow_refine_r,
+    pack_words_narrow,
     words_per_band,
 )
 from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
@@ -99,19 +101,27 @@ def _append_jit(sig_t, ids, new_sig_t, new_ids, offset):
     return sig_t, ids
 
 
-def _hash_words_fused(x, proj_t, *, num_bands, rows_per_band):
+def _hash_words_fused(x, proj_t, *, num_bands, rows_per_band, hash_family="gaussian"):
     # HIGHEST precision: identical matmul spec to the query hash path
     # (`lshrs_tpu.hash.hasher._hash_batch_words_jit`) — verified bit-exact
     # on TPU across fusion boundaries, so fused-built rows self-match
-    # device-hashed queries exactly.
-    proj = jnp.dot(
-        x,
-        proj_t,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # device-hashed queries exactly. For the structured family ``proj_t``
+    # is the (nblocks, 3, dpad) diagonal array and the projection is the
+    # fixed-association FWHT (`lshrs_tpu.hash.fwht`), identical to every
+    # other structured hash path by construction.
     from lshrs_tpu.ops.bitpack import pack_bits_to_words
 
+    if hash_family == "structured":
+        from lshrs_tpu.hash.fwht import structured_coords_jax
+
+        proj = structured_coords_jax(x, proj_t, num_bands * rows_per_band)
+    else:
+        proj = jnp.dot(
+            x,
+            proj_t,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     return pack_bits_to_words(
         proj > 0, num_bands=num_bands, rows_per_band=rows_per_band
     )
@@ -120,10 +130,11 @@ def _hash_words_fused(x, proj_t, *, num_bands, rows_per_band):
 @partial(
     jax.jit,
     donate_argnums=(0, 1, 2),
-    static_argnames=("num_bands", "rows_per_band"),
+    static_argnames=("num_bands", "rows_per_band", "hash_family"),
 )
 def _hash_append_jit(
-    sig_t, sig_rows, ids, x, proj_t, new_ids, offset, *, num_bands, rows_per_band
+    sig_t, sig_rows, ids, x, proj_t, new_ids, offset, *, num_bands, rows_per_band,
+    hash_family="gaussian",
 ):
     """ONE device program: hash (MXU matmul + bitpack) + tail-append.
 
@@ -132,7 +143,10 @@ def _hash_append_jit(
     a one-core host, and a ~34k/s transport ceiling for streaming raw
     bf16 vectors over a 47 MB/s remote tunnel — see PERFORMANCE.md).
     """
-    w = _hash_words_fused(x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band)
+    w = _hash_words_fused(
+        x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band,
+        hash_family=hash_family,
+    )
     sig_t = jax.lax.dynamic_update_slice(sig_t, w.T, (0, offset))
     sig_rows = jax.lax.dynamic_update_slice(sig_rows, w, (offset, 0))
     ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
@@ -142,14 +156,17 @@ def _hash_append_jit(
 @partial(
     jax.jit,
     donate_argnums=(0, 1, 2, 3, 4),
-    static_argnames=("num_bands", "rows_per_band", "payload_dtype"),
+    static_argnames=("num_bands", "rows_per_band", "payload_dtype", "hash_family"),
 )
 def _hash_append_payload_jit(
     sig_t, sig_rows, ids, payload, pnorm, x, proj_t, new_ids, offset,
-    *, num_bands, rows_per_band, payload_dtype,
+    *, num_bands, rows_per_band, payload_dtype, hash_family="gaussian",
 ):
     """`_hash_append_jit` + payload/pnorm append, still one dispatch."""
-    w = _hash_words_fused(x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band)
+    w = _hash_words_fused(
+        x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band,
+        hash_family=hash_family,
+    )
     sig_t = jax.lax.dynamic_update_slice(sig_t, w.T, (0, offset))
     sig_rows = jax.lax.dynamic_update_slice(sig_rows, w, (offset, 0))
     ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
@@ -298,6 +315,10 @@ class DeviceStore(BaseStorage):
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
         self.words = num_bands * words_per_band(rows_per_band)
+        # Narrow refine-table packing (bands share words when they divide
+        # 32 evenly) — halves refine-gather traffic at r=16, measured
+        # -22 ms per 16k queries at 131k slots. 0 = word-aligned tables.
+        self._refine_narrow_r = narrow_refine_r(rows_per_band)
         self.dim = dim
         self.store_vectors = store_vectors
         self.chunk = chunk_size
@@ -546,9 +567,16 @@ class DeviceStore(BaseStorage):
         cached = self._rows_ext.pop(key, None)
         if cached is None:
             self._ensure_ranks()  # the tie column must be fresh
+            words = self._sig_rows
+            if self._refine_narrow_r:
+                words = pack_words_narrow(
+                    words,
+                    num_bands=self.num_bands,
+                    rows_per_band=self._refine_narrow_r,
+                )
             ext = jnp.concatenate(
                 [
-                    self._sig_rows,
+                    words,
                     jax.lax.bitcast_convert_type(self._tie, jnp.uint32)[:, None],
                     jax.lax.bitcast_convert_type(self._ids, jnp.uint32)[:, None],
                 ],
@@ -662,6 +690,7 @@ class DeviceStore(BaseStorage):
         indices: Sequence[int] | np.ndarray,
         vectors,
         proj_t,
+        hash_family: str = "gaussian",
     ) -> None:
         """Fused device build: hash + append a raw-vector batch in ONE
         device program (`_hash_append_jit`).
@@ -677,8 +706,13 @@ class DeviceStore(BaseStorage):
             indices: integer ids in ``[0, 2**31)``.
             vectors: ``(n, dim)`` float32 — device array (stays resident)
                 or host array (uploaded once).
-            proj_t: ``(dim, num_perm)`` float32 projection, transposed —
-                `LSHHasher.device_projection`.
+            proj_t: the device hash operand from
+                `LSHHasher.device_projection` — ``(dim, num_perm)``
+                float32 projection for the gaussian family, the
+                ``(nblocks, 3, dpad)`` diagonals for the structured one.
+            hash_family: ``"gaussian"`` or ``"structured"`` — must match
+                the hasher that produced ``proj_t``
+                (`LSHHasher.hash_family`).
 
         Batches containing duplicate or already-present ids take the
         hash-then-upsert slow path (same result, more dispatches).
@@ -706,9 +740,17 @@ class DeviceStore(BaseStorage):
             if self._slot_of is not None and self._needs_upsert(ids32):
                 # Upsert path: hash with the SAME jitted program the query
                 # path uses (bit-agreement), then the generic upsert logic.
-                from lshrs_tpu.hash.hasher import _hash_batch_words_jit
+                from lshrs_tpu.hash.hasher import (
+                    _hash_batch_words_jit,
+                    _hash_batch_words_structured_jit,
+                )
 
-                words = _hash_batch_words_jit(
+                hash_jit = (
+                    _hash_batch_words_structured_jit
+                    if hash_family == "structured"
+                    else _hash_batch_words_jit
+                )
+                words = hash_jit(
                     x,
                     proj_dev,
                     num_bands=self.num_bands,
@@ -738,6 +780,7 @@ class DeviceStore(BaseStorage):
                     num_bands=self.num_bands,
                     rows_per_band=self.rows_per_band,
                     payload_dtype=self._payload_jdtype,
+                    hash_family=hash_family,
                 )
             else:
                 self._sig_t, self._sig_rows, self._ids, w = _hash_append_jit(
@@ -745,6 +788,7 @@ class DeviceStore(BaseStorage):
                     x, proj_dev, jnp.asarray(ids_p), offset,
                     num_bands=self.num_bands,
                     rows_per_band=self.rows_per_band,
+                    hash_family=hash_family,
                 )
             if self._planes is not None:
                 planes_rows = unpack_bitplanes(
@@ -920,6 +964,7 @@ class DeviceStore(BaseStorage):
                     self._pallas_chunk(),
                     self._use_pallas(),
                 ),
+                narrow_r=self._refine_narrow_r,
             )
         return collision_topk(
             self._sig_t,
@@ -1054,6 +1099,7 @@ class DeviceStore(BaseStorage):
         # arrays are embedded in the program (and shipped to remote compile
         # services), which blows up for multi-hundred-MB stores.
         state = (sig_t, ids, tie, ranks, rows, planes)
+        narrow_r = self._refine_narrow_r
 
         def run_slice(qw, st):
             sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
@@ -1074,6 +1120,7 @@ class DeviceStore(BaseStorage):
                             use_pallas=ham_pallas,
                             q_tile=q_tile,
                             sig_rows=rows_,
+                            narrow_r=narrow_r,
                         )
                     else:
                         _, out = hamming_topk_packed_chunked_core(
@@ -1093,6 +1140,7 @@ class DeviceStore(BaseStorage):
                         use_pallas=ham_pallas,
                         q_tile=q_tile,
                         sig_rows=rows_,
+                        narrow_r=narrow_r,
                     )
                 else:
                     _, out = hamming_topk_chunked_core(
@@ -1106,6 +1154,7 @@ class DeviceStore(BaseStorage):
                     pallas_chunk=pallas_chunk,
                     q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
                     use_pallas=use_pallas, sig_rows=rows_,
+                    narrow_r=narrow_r,
                 )
             else:
                 _, out = collision_topk_core(
@@ -1210,6 +1259,7 @@ class DeviceStore(BaseStorage):
             else:
                 state = (self._sig_t, self._ids, None, self._payload, self._pnorm, None)
             snapshot_gen = self._generation  # atomic with the state capture
+        narrow_r = self._refine_narrow_r
 
         @jax.jit
         def _serve(q, qv, st):
@@ -1231,6 +1281,7 @@ class DeviceStore(BaseStorage):
                     q_tile=min(128, _next_pow2(max(8, q.shape[0]))),
                     use_pallas=use_pallas,
                     sig_rows=rows_,
+                    narrow_r=narrow_r,
                 )
                 return out_ids, sims, n
             counts = collision_counts_core(
@@ -1324,6 +1375,7 @@ class DeviceStore(BaseStorage):
                     use_pallas=use_pallas,
                     q_tile=q_tile,
                     sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas),
+                    narrow_r=self._refine_narrow_r,
                 )
             return hamming_topk_packed_chunked(
                 self._sig_t, self._ids, self._ranks, qw,
@@ -1341,6 +1393,7 @@ class DeviceStore(BaseStorage):
                 use_pallas=use_pallas,
                 q_tile=q_tile,
                 sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas),
+                narrow_r=self._refine_narrow_r,
             )
         return hamming_topk_chunked(
             self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
@@ -1515,6 +1568,7 @@ class DeviceStore(BaseStorage):
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=use_pallas,
             sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas),
+            narrow_r=self._refine_narrow_r,
         )
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:

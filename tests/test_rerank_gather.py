@@ -117,7 +117,8 @@ def test_gather_pallas_interpret_parity(populated, hasher):
         store._payload, store._pnorm, store._ids, store._tie, store._sig_t,
         qw, jnp.asarray(X[:8]),
         pallas_chunk=2048, use_pallas=True, interpret=True,
-        sig_rows=store._refine_rows_for(64, 2048, True), **kw,
+        sig_rows=store._refine_rows_for(64, 2048, True),
+        narrow_r=store._refine_narrow_r, **kw,
     )
     ids_x, ids_p = np.asarray(ids_x), np.asarray(ids_p)
     np.testing.assert_array_equal(ids_p, ids_x)

@@ -340,6 +340,7 @@ def test_sharded_hamming_pallas_interpret_parity(mesh, hasher, rng):
         sharded._ranks, sharded._tie, qwj,
         num_perm=B * R, k=15, chunk=tile, grouped=True, group=group,
         use_pallas=True, q_tile=8, interpret=True,
+        narrow_r=sharded._refine_narrow_r,
     )
     np.testing.assert_array_equal(np.asarray(i_p), ref_i)
     np.testing.assert_array_equal(np.asarray(h_p), ref_h)
@@ -350,6 +351,7 @@ def test_sharded_hamming_pallas_interpret_parity(mesh, hasher, rng):
         sharded._ids, sharded._ranks, sharded._tie, qbits, qwj,
         num_perm=B * R, k=15, chunk=tile, grouped=True, group=group,
         use_pallas=True, q_tile=8, interpret=True,
+        narrow_r=sharded._refine_narrow_r,
     )
     np.testing.assert_array_equal(np.asarray(i_b), ref_i)
     np.testing.assert_array_equal(np.asarray(h_b), ref_h)
