@@ -145,6 +145,7 @@ class LSHRS:
         query_mode: str = "scan",
         bucket_cap: int = 128,
         hash_mode: str = "device",
+        hash_family: str = "gaussian",
         hamming_storage: str = "planes",
         payload_dtype: str = "float32",
         rerank_engine: str = "auto",
@@ -159,6 +160,8 @@ class LSHRS:
             raise ValueError("buffer_size must be greater than zero")
         if hash_mode not in ("device", "host"):
             raise ValueError("hash_mode must be 'device' or 'host'")
+        if hash_family not in ("gaussian", "structured"):
+            raise ValueError("hash_family must be 'gaussian' or 'structured'")
         if engine not in ("auto", "collision", "hamming"):
             raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
         self._engine = engine
@@ -192,7 +195,11 @@ class LSHRS:
         self._hash_on_device = hash_mode == "device"
 
         self._hasher = LSHHasher(
-            num_bands=num_bands, rows_per_band=rows_per_band, dim=dim, seed=seed
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            dim=dim,
+            seed=seed,
+            hash_family=hash_family,
         )
 
         if storage is not None:
@@ -297,6 +304,7 @@ class LSHRS:
             "query_mode": query_mode,
             "bucket_cap": bucket_cap,
             "hash_mode": hash_mode,
+            "hash_family": hash_family,
             "hamming_storage": hamming_storage,
             "payload_dtype": payload_dtype,
             "rerank_engine": rerank_engine,
@@ -509,7 +517,8 @@ class LSHRS:
         if words is None:  # fused hash+append path
             self.flush()  # commit buffered singles first (order-preserving)
             self._storage.add_vectors_batch(  # type: ignore[attr-defined]
-                idx_arr, vecs, self._hasher.device_projection()
+                idx_arr, vecs, self._hasher.device_projection(),
+                hash_family=self._hasher.hash_family,
             )
             self._count("vectors_ingested", idx_arr.size)
             self._count("flushes")  # each fused commit is one storage write
@@ -1098,7 +1107,14 @@ class LSHRS:
         with open(output_dir / "metadata.json", "w") as f:
             json.dump(metadata, f, indent=2)
 
-        np.savez_compressed(output_dir / "projections.npz", *self._hasher.projections)
+        if self._hasher.hash_family == "structured":
+            np.savez_compressed(
+                output_dir / "diagonals.npz", diagonals=self._hasher.diagonals
+            )
+        else:
+            np.savez_compressed(
+                output_dir / "projections.npz", *self._hasher.projections
+            )
 
         if isinstance(self._storage, DeviceStore) and len(self._storage):
             np.savez_compressed(output_dir / "index.npz", **self._storage.state_arrays())
@@ -1153,11 +1169,15 @@ class LSHRS:
             **cls._restore_tpu_kwargs(tpu_config),
         )
 
-        proj_path = input_dir / "projections.npz"
-        with np.load(proj_path) as data:
-            instance._hasher.projections = [
-                data[f"arr_{i}"].astype(np.float32) for i in range(len(data.files))
-            ]
+        if instance._hasher.hash_family == "structured":
+            with np.load(input_dir / "diagonals.npz") as data:
+                instance._hasher.diagonals = data["diagonals"]
+        else:
+            with np.load(input_dir / "projections.npz") as data:
+                instance._hasher.projections = [
+                    data[f"arr_{i}"].astype(np.float32)
+                    for i in range(len(data.files))
+                ]
 
         index_path = input_dir / "index.npz"
         if index_path.exists() and isinstance(instance._storage, DeviceStore):
@@ -1199,6 +1219,7 @@ class LSHRS:
             "query_mode": tpu_config.get("query_mode", "scan"),
             "bucket_cap": tpu_config.get("bucket_cap", 128),
             "hash_mode": tpu_config.get("hash_mode", "device"),
+            "hash_family": tpu_config.get("hash_family", "gaussian"),
             "hamming_storage": tpu_config.get("hamming_storage", "planes"),
             "payload_dtype": tpu_config.get("payload_dtype", "float32"),
             "rerank_engine": tpu_config.get("rerank_engine", "auto"),
@@ -1218,8 +1239,13 @@ class LSHRS:
             "config": self._config.copy(),
             "redis_config": self._redis_config.copy(),
             "tpu_config": self._tpu_config.copy(),
-            "projections": [np.asarray(m, dtype=np.float32) for m in self._hasher.projections],
         }
+        if self._hasher.hash_family == "structured":
+            state["diagonals"] = np.asarray(self._hasher.diagonals)
+        else:
+            state["projections"] = [
+                np.asarray(m, dtype=np.float32) for m in self._hasher.projections
+            ]
         if isinstance(self._storage, DeviceStore) and len(self._storage):
             state["index_state"] = self._storage.state_arrays()
         return state
@@ -1249,9 +1275,12 @@ class LSHRS:
             **self._restore_tpu_kwargs(tpu_config),
         )
         self.__dict__ = restored.__dict__
-        self._hasher.projections = [
-            np.asarray(m, dtype=np.float32) for m in state["projections"]
-        ]
+        if "diagonals" in state:
+            self._hasher.diagonals = state["diagonals"]
+        else:
+            self._hasher.projections = [
+                np.asarray(m, dtype=np.float32) for m in state["projections"]
+            ]
         if "index_state" in state and isinstance(self._storage, DeviceStore):
             self._storage.load_state_arrays(state["index_state"])
 

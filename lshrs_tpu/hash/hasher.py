@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lshrs_tpu._config.config import HashSignatures
+from lshrs_tpu.hash.fwht import (
+    structured_coords_jax,
+    structured_coords_np,
+    structured_diags,
+)
 from lshrs_tpu.ops.bitpack import (
     band_bytes_to_words,
     pack_bits_dense_np,
@@ -59,6 +64,17 @@ def _hash_batch_words_jit(
     return pack_bits_to_words(proj > 0, num_bands=num_bands, rows_per_band=rows_per_band)
 
 
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
+def _hash_batch_words_structured_jit(
+    vectors: jax.Array, diags: jax.Array, *, num_bands: int, rows_per_band: int
+) -> jax.Array:
+    """Structured twin of :func:`_hash_batch_words_jit` (FWHT rotations)."""
+    coords = structured_coords_jax(vectors, diags, num_bands * rows_per_band)
+    return pack_bits_to_words(
+        coords > 0, num_bands=num_bands, rows_per_band=rows_per_band
+    )
+
+
 class LSHHasher:
     """Random-projection LSH hasher producing banded binary signatures.
 
@@ -67,9 +83,16 @@ class LSHHasher:
         rows_per_band: hyperplanes (bits) per band.
         dim: expected input dimensionality.
         words_per_band: uint32 words per band signature, ``ceil(r / 32)``.
+        hash_family: ``"gaussian"`` (reference parity: dense seeded
+            hyperplanes, one MXU matmul per batch) or ``"structured"``
+            (FWHT pseudo-random rotations, `lshrs_tpu.hash.fwht` — ~13x
+            fewer flops per vector, native C host path, and host/device
+            bit parity by construction).
         projections: list of per-band ``(rows_per_band, dim)`` float32
             matrices (views into one contiguous array); assignable, for
-            restore-from-disk.
+            restore-from-disk. Gaussian family only.
+        diagonals: the ``(nblocks, 3, dpad)`` +-1 diagonal array of the
+            structured family; assignable, for restore-from-disk.
     """
 
     def __init__(
@@ -78,6 +101,7 @@ class LSHHasher:
         rows_per_band: int,
         dim: int,
         seed: int = 42,
+        hash_family: str = "gaussian",
     ) -> None:
         if num_bands <= 0:
             raise ValueError("num_bands must be > 0")
@@ -85,27 +109,44 @@ class LSHHasher:
             raise ValueError("rows_per_band must be > 0")
         if dim <= 0:
             raise ValueError("dim must be > 0")
+        if hash_family not in ("gaussian", "structured"):
+            raise ValueError("hash_family must be 'gaussian' or 'structured'")
 
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
         self.dim = dim
         self.words_per_band = words_per_band(rows_per_band)
+        self.hash_family = hash_family
 
-        rng = np.random.default_rng(seed)
         num_perm = num_bands * rows_per_band
-        self._proj = rng.standard_normal((num_perm, dim)).astype(np.float32)
-        self._proj_dev: jax.Array | None = None  # (dim, num_perm), lazy
+        if hash_family == "structured":
+            self._proj = None
+            self._diags = structured_diags(seed, dim=dim, num_perm=num_perm)
+        else:
+            rng = np.random.default_rng(seed)
+            self._proj = rng.standard_normal((num_perm, dim)).astype(np.float32)
+            self._diags = None
+        self._proj_dev: jax.Array | None = None  # device operand, lazy
 
     # -- projections --------------------------------------------------------
 
     @property
     def projections(self) -> list[np.ndarray]:
         """Per-band projection matrices, reference-compatible layout."""
+        if self._proj is None:
+            raise ValueError(
+                "the structured hash family has no projection matrices; "
+                "persist `diagonals` instead"
+            )
         r = self.rows_per_band
         return [self._proj[b * r : (b + 1) * r] for b in range(self.num_bands)]
 
     @projections.setter
     def projections(self, matrices) -> None:
+        if self.hash_family != "gaussian":
+            raise ValueError(
+                "projections are assignable only on the gaussian hash family"
+            )
         mats = [np.asarray(m, dtype=np.float32) for m in matrices]
         if len(mats) != self.num_bands or any(
             m.shape != (self.rows_per_band, self.dim) for m in mats
@@ -122,26 +163,69 @@ class LSHHasher:
         """The fused ``(num_perm, dim)`` float32 projection matrix."""
         return self._proj
 
+    @property
+    def diagonals(self) -> np.ndarray:
+        """The structured family's ``(nblocks, 3, dpad)`` +-1 diagonals."""
+        if self._diags is None:
+            raise ValueError(
+                "the gaussian hash family has no diagonals; "
+                "persist `projections` instead"
+            )
+        return self._diags
+
+    @diagonals.setter
+    def diagonals(self, arr) -> None:
+        if self.hash_family != "structured":
+            raise ValueError(
+                "diagonals are assignable only on the structured hash family"
+            )
+        a = np.asarray(arr, dtype=np.float32)
+        if a.shape != self._diags.shape or not np.all(np.abs(a) == 1.0):
+            raise ValueError(
+                f"diagonals must be +-1 of shape {self._diags.shape}; "
+                f"received shape {a.shape}"
+            )
+        self._diags = a
+        self._proj_dev = None  # re-upload lazily
+
     def _device_projection(self) -> jax.Array:
         if self._proj_dev is None:
-            self._proj_dev = jnp.asarray(self._proj.T)
+            src = self._diags if self._proj is None else self._proj.T
+            self._proj_dev = jnp.asarray(src)
         return self._proj_dev
 
     def device_projection(self) -> jax.Array:
-        """The ``(dim, num_perm)`` device-resident projection (lazy upload).
+        """The device-resident hash operand (lazy upload).
 
-        Feed this to `DeviceStore.add_vectors_batch` for the fused
-        hash+append build path; it is the same array the device query
-        hash uses, so signatures agree bit-for-bit.
+        ``(dim, num_perm)`` projection for the gaussian family, the
+        ``(nblocks, 3, dpad)`` diagonals for the structured one. Feed this
+        to `DeviceStore.add_vectors_batch` (with ``hash_family=
+        hasher.hash_family``) for the fused hash+append build path; it is
+        the same array the device query hash uses, so signatures agree
+        bit-for-bit.
         """
         return self._device_projection()
 
     # -- single-vector / parity API -----------------------------------------
 
+    def _coords_host(self, arr: np.ndarray) -> np.ndarray:
+        """Host projection coordinates, ``(n, num_perm)`` float32."""
+        if self.hash_family == "structured":
+            return structured_coords_np(
+                arr, self._diags, self.num_bands * self.rows_per_band
+            )
+        return arr @ self._proj.T
+
     def hash_vector(self, vector: np.ndarray) -> HashSignatures:
         """Hash one vector to per-band packed byte signatures (host path)."""
         vec = self._validate_vector(vector)
-        bits = (self._proj @ vec > 0).reshape(1, -1)
+        if self.hash_family == "structured":
+            # FWHT association is fixed, so the batch path is bit-identical
+            # for a single row (unlike BLAS, where GEMV and GEMM may round
+            # differently — the gaussian family keeps the reference's GEMV).
+            bits = self._coords_host(vec.reshape(1, -1)) > 0
+        else:
+            bits = (self._proj @ vec > 0).reshape(1, -1)
         words = pack_bits_to_words_np(
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )[0]
@@ -183,6 +267,13 @@ class LSHHasher:
             raise ValueError(
                 f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
             )
+        if self.hash_family == "structured":
+            return _hash_batch_words_structured_jit(
+                arr,
+                self._device_projection(),
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+            )
         return _hash_batch_words_jit(
             arr,
             self._device_projection(),
@@ -191,9 +282,14 @@ class LSHHasher:
         )
 
     def hash_batch_words_host(self, vectors: np.ndarray) -> np.ndarray:
-        """NumPy twin of :meth:`hash_batch_words` (oracle / bucket backends)."""
+        """Host twin of :meth:`hash_batch_words` (oracle / bucket backends).
+
+        Gaussian: one BLAS sgemm. Structured: the native FWHT path
+        (`lshrs_tpu/native/fwht.c`) when it loads, NumPy otherwise — all
+        bit-identical (see `lshrs_tpu.hash.fwht`).
+        """
         arr = np.asarray(vectors, dtype=np.float32)
-        bits = arr @ self._proj.T > 0
+        bits = self._coords_host(arr) > 0
         return pack_bits_to_words_np(
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
@@ -206,7 +302,7 @@ class LSHHasher:
         decode on device with `lshrs_tpu.ops.bitpack.dense_to_words`.
         """
         arr = np.asarray(vectors, dtype=np.float32)
-        bits = arr @ self._proj.T > 0
+        bits = self._coords_host(arr) > 0
         return pack_bits_dense_np(
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
