@@ -21,6 +21,16 @@
  * ~2x slower than the host sgemm it is meant to replace).  Lane position
  * within the block never changes a vector's own association order.
  *
+ * Once the scratch block exceeds L1 (dpad >= 1024: 64 KB at VB = 16) the
+ * transform is L2-bandwidth-bound, so consecutive pass pairs (h, 2h) fuse
+ * into radix-4 sweeps and the inter-stage diagonal multiplies fold into
+ * the following sweep's loads — 17 block sweeps per rotation instead of
+ * 33.  The radix-4 butterfly materialises exactly the intermediates the
+ * sequential pass h would have stored (t0 = a+b, t1 = a-b, ...), so the
+ * association tree — and every float32 rounding — is unchanged (verified
+ * bit-exact against the scalar path).  Below 1024 the block is L1-resident
+ * and the plain radix-2 sweep measured faster; both geometries are kept.
+ *
  * Single-threaded by design (the serving host is 1 core; the Python side
  * overlaps hashing with device dispatch via threads, and ctypes drops the
  * GIL for the duration of the call).
@@ -65,10 +75,102 @@ static void fwht_block(float *buf, long dpad) {
     }
 }
 
+/* One radix-2 pass at width h over the (dpad, VB) block; scale (nullable)
+ * is applied on load, row j multiplied by scale[j]. */
+static void pass2_block(float *buf, long dpad, long h, const float *scale) {
+    for (long i = 0; i < dpad; i += h << 1) {
+        for (long t = 0; t < h; ++t) {
+            float *a = buf + (i + t) * VB;
+            float *b = buf + (i + t + h) * VB;
+            if (scale) {
+                float sa = scale[i + t];
+                float sb = scale[i + t + h];
+                for (int v = 0; v < VB; ++v) {
+                    float x = a[v] * sa;
+                    float y = b[v] * sb;
+                    a[v] = x + y;
+                    b[v] = x - y;
+                }
+            } else {
+                for (int v = 0; v < VB; ++v) {
+                    float x = a[v];
+                    float y = b[v];
+                    a[v] = x + y;
+                    b[v] = x - y;
+                }
+            }
+        }
+    }
+}
+
+/* Two fused passes (h, 2h).  t0..t3 are exactly the values the sequential
+ * pass h would have stored — association (and rounding) is unchanged. */
+static void pass4_block(float *buf, long dpad, long h, const float *scale) {
+    for (long i = 0; i < dpad; i += h << 2) {
+        for (long t = 0; t < h; ++t) {
+            float *pa = buf + (i + t) * VB;
+            float *pb = buf + (i + t + h) * VB;
+            float *pc = buf + (i + t + 2 * h) * VB;
+            float *pd = buf + (i + t + 3 * h) * VB;
+            if (scale) {
+                float sa = scale[i + t];
+                float sb = scale[i + t + h];
+                float sc = scale[i + t + 2 * h];
+                float sd = scale[i + t + 3 * h];
+                for (int v = 0; v < VB; ++v) {
+                    float a = pa[v] * sa;
+                    float b = pb[v] * sb;
+                    float c = pc[v] * sc;
+                    float d = pd[v] * sd;
+                    float t0 = a + b, t1 = a - b, t2 = c + d, t3 = c - d;
+                    pa[v] = t0 + t2;
+                    pb[v] = t1 + t3;
+                    pc[v] = t0 - t2;
+                    pd[v] = t1 - t3;
+                }
+            } else {
+                for (int v = 0; v < VB; ++v) {
+                    float a = pa[v];
+                    float b = pb[v];
+                    float c = pc[v];
+                    float d = pd[v];
+                    float t0 = a + b, t1 = a - b, t2 = c + d, t3 = c - d;
+                    pa[v] = t0 + t2;
+                    pb[v] = t1 + t3;
+                    pc[v] = t0 - t2;
+                    pd[v] = t1 - t3;
+                }
+            }
+        }
+    }
+}
+
+/* Full FWHT with an optional on-load scale: pass widths h = 1, 2, 4, ...
+ * exactly as fwht_block, consecutive pairs fused into radix-4 sweeps (an
+ * odd pass count leads with one radix-2 pass). */
+static void fwht_block_fused(float *buf, long dpad, const float *scale) {
+    long h = 1;
+    long npass = 0;
+    for (long d = dpad; d > 1; d >>= 1) ++npass;
+    if (npass & 1) {
+        pass2_block(buf, dpad, 1, scale);
+        scale = 0;
+        h = 2;
+    }
+    for (; h < dpad; h <<= 2) {
+        pass4_block(buf, dpad, h, scale);
+        scale = 0;
+    }
+}
+
+/* Scratch blocks of 64 KB+ spill L1; switch to the fused sweeps there. */
+#define FUSE_MIN_DPAD 1024
+
 static void run_block(const float *x, long dim, const float *diags,
                       long nblocks, long dpad, long num_perm, float *out,
                       long vb, float *buf) {
     /* x: vb consecutive vectors (vb <= VB); buf: (dpad, VB) scratch. */
+    int fused = dpad >= FUSE_MIN_DPAD;
     for (long blk = 0, produced = 0; blk < nblocks && produced < num_perm;
          ++blk) {
         const float *d0 = diags + (blk * 3 + 0) * dpad;
@@ -82,19 +184,25 @@ static void run_block(const float *x, long dim, const float *diags,
         }
         if (dim < dpad)
             memset(buf + dim * VB, 0, (size_t)(dpad - dim) * VB * sizeof(float));
-        fwht_block(buf, dpad);
-        for (long j = 0; j < dpad; ++j) {
-            float d = d1[j];
-            float *row = buf + j * VB;
-            for (int v = 0; v < VB; ++v) row[v] *= d;
+        if (fused) {
+            fwht_block_fused(buf, dpad, 0);
+            fwht_block_fused(buf, dpad, d1);
+            fwht_block_fused(buf, dpad, d2);
+        } else {
+            fwht_block(buf, dpad);
+            for (long j = 0; j < dpad; ++j) {
+                float d = d1[j];
+                float *row = buf + j * VB;
+                for (int v = 0; v < VB; ++v) row[v] *= d;
+            }
+            fwht_block(buf, dpad);
+            for (long j = 0; j < dpad; ++j) {
+                float d = d2[j];
+                float *row = buf + j * VB;
+                for (int v = 0; v < VB; ++v) row[v] *= d;
+            }
+            fwht_block(buf, dpad);
         }
-        fwht_block(buf, dpad);
-        for (long j = 0; j < dpad; ++j) {
-            float d = d2[j];
-            float *row = buf + j * VB;
-            for (int v = 0; v < VB; ++v) row[v] *= d;
-        }
-        fwht_block(buf, dpad);
         long remain = num_perm - produced;
         long take = remain < dpad ? remain : dpad;
         for (long v = 0; v < vb; ++v) {
