@@ -3,10 +3,14 @@
 Configuration #1 from BASELINE.json: dim=768, num_perm=256 banded
 random-projection LSH, get_top_k collision query over 100k indexed vectors.
 Measures end-to-end serving throughput: raw float32 query batches are
-hashed on the host (one sgemm + dense bitpack per batch — the 32-byte
-minimal wire signature; 16384-query batches amortize the tunnel's
-per-dispatch RTT, measured +8% over 8192), shipped to the device,
-scanned by the fused
+hashed on the host with the structured (FWHT) hash family — ~13x fewer
+flops than the dense sgemm, served by the native C kernel
+(`lshrs_tpu/native/fwht.c`); measured +10% median / +17% best e2e QPS
+over the gaussian family in an interleaved A/B on this 1-core host, with
+equal-or-better recall at every measured operating point — then dense
+bitpacked (the 32-byte minimal wire signature; 16384-query batches
+amortize the tunnel's per-dispatch RTT, measured +8% over 8192),
+shipped to the device, scanned by the fused
 Pallas collision/group-max kernel with exact (count, id) top-10 selection
 in ONE device dispatch per batch (`DeviceStore.snapshot_query_fn`), and
 the (Q, 10) id results are read back. A three-stage host pipeline (hasher
@@ -58,7 +62,16 @@ def main() -> None:
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(0)
 
+    # Serving + host-streamed-build hasher: the structured (FWHT) family.
+    # The device-resident fused build below keeps the gaussian family —
+    # on the MXU one dense matmul beats the FWHT butterfly passes ~3x
+    # (measured 1.8M vs 0.54M vec/s), while on the host the FWHT C path
+    # beats the sgemm ~1.4x. Each store uses ONE family end-to-end.
     hasher = LSHHasher(
+        num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND, dim=DIM, seed=42,
+        hash_family="structured",
+    )
+    dev_hasher = LSHHasher(
         num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND, dim=DIM, seed=42
     )
     store = DeviceStore(
@@ -100,7 +113,7 @@ def main() -> None:
         dedupe=False,
     )
     X_dev = jnp.asarray(X)  # one-time upload, untimed (production: born here)
-    proj = hasher.device_projection()
+    proj = dev_hasher.device_projection()
     dev_store.add_vectors_batch(ids, X_dev, proj)  # warm the fused jit
 
     def timed_device_build() -> float:
@@ -114,7 +127,7 @@ def main() -> None:
     dev_build_rate = N_VECTORS / dev_trials[0]
     dev_build_median = N_VECTORS / dev_trials[len(dev_trials) // 2]
     # fused-built rows must self-match device-hashed queries bit-for-bit
-    dq = hasher.hash_batch_words(X_dev[:2048])
+    dq = dev_hasher.hash_batch_words(X_dev[:2048])
     _, dev_ids = dev_store.query_topk(dq, 1)
     dev_self_match = float((dev_ids[:, 0] == ids[:2048]).mean())
 
@@ -198,6 +211,7 @@ def main() -> None:
             "build_stream_vectors_per_s_median": round(stream_build_median, 1),
             "qps_median": round(qps_median, 1),
             "query_batch": QUERY_BATCH,
+            "serving_hash_family": "structured",
             "pipeline": "hash-thread/dispatch/reader-thread",
             "latency_ms_per_batch": round(
                 1000 * elapsed / (n_queries / QUERY_BATCH), 3

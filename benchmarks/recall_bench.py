@@ -95,6 +95,7 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         enable_hamming=True,
         initial_capacity=1 << max(14, (args.n - 1).bit_length()),
         hash_mode="host",
+        hash_family=args.hash_family,
         dedupe=False,
     )
     t0 = time.perf_counter()
@@ -149,6 +150,9 @@ def main() -> None:
     ap.add_argument("--rerank", action="store_true",
                     help="also measure cosine-reranked recall (uploads the "
                     "full payload matrix to HBM)")
+    ap.add_argument("--hash-family", choices=["gaussian", "structured"],
+                    default="gaussian",
+                    help="LSH projection family (structured = FWHT rotations)")
     ap.add_argument("--dist", choices=["clustered", "heavy"], default="clustered",
                     help="base-data generator: Gaussian-mixture clusters or "
                     "GloVe-like heavy-tailed (Zipf clusters, anisotropic axes)")
