@@ -115,11 +115,16 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
     _, ham_ids = store.query_hamming(qwords, k)
     r_ham = recall([row[row >= 0] for row in ham_ids], gt, k)
 
+    # asymmetric SimHash recall — query keeps quantised coordinates
+    asym_rows = lsh.query_asymmetric_batch(queries, top_k=k)
+    r_asym = recall([[i for i, _ in row] for row in asym_rows], gt, k)
+
     out = {
         "threshold": threshold,
         "bands": f"{stats['num_bands']}x{stats['rows_per_band']}",
         f"recall@{k}_collision": round(r_coll, 4),
         f"recall@{k}_hamming": round(r_ham, 4),
+        f"recall@{k}_asymmetric": round(r_asym, 4),
         "build_s": round(build_s, 2),
         "query_batch_s": round(query_s, 3),
         "signature_mb": round(stats["index"]["signature_bytes"] / 2**20, 1),

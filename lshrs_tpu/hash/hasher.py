@@ -294,6 +294,20 @@ class LSHHasher:
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
 
+    def hash_batch_coords_host(self, vectors: np.ndarray) -> np.ndarray:
+        """Host projection coordinates, ``(n, num_perm)`` float32.
+
+        The pre-sign values whose signs are the hash bits — the query-side
+        operand of asymmetric ranking (`lshrs_tpu.ops.asymmetric`), which
+        keeps the query's coordinates instead of quantising them to bits.
+        """
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
+            )
+        return self._coords_host(arr)
+
     def hash_batch_dense_host(self, vectors: np.ndarray) -> np.ndarray:
         """Host hash to the dense wire format, ``(n, B * ceil(r/8))`` uint8.
 

@@ -95,28 +95,37 @@ def _make_kernel(num_bands: int, words: int, group: int, scale: int):
     return kernel
 
 
-def _make_hamming_kernel(group: int, scale: int):
+def _make_hamming_kernel(
+    group: int, scale: int, offset: int | None = None, shift: int = 1
+):
     """Kernel: MXU dots over +-1 bitplanes -> packed keys -> group-max.
 
-    q_ref:    (QT, P)   int8  — query bitplanes
+    q_ref:    (QT, P)   int8  — query operand: +-1 bitplanes (symmetric
+              Hamming, the default ``offset=None, shift=1``) or quantised
+              projection coordinates in [-qmax, qmax] (asymmetric
+              ranking, ``offset = P * qmax`` with ``shift`` chosen so the
+              key fits int32 — `lshrs_tpu.ops.asymmetric`)
     sig_ref:  (CH, P)   int8  — store bitplane chunk
     bias_ref: (1, CH)   int32 — precomputed key bias (see
               :func:`_hamming_key_bias`): ``tie + scale`` for alive
-              slots, ``-P * scale`` for dead ones. Folding the alive
-              mask / +1 / max(tie, 0) of the original formulation into
-              one precomputed vector halves the kernel's per-element VPU
-              ops (the dominant cost at large capacity: the VPU work is
-              ~15 ms/8192q at 1M slots vs ~11 ms of MXU dots).
+              slots, ``-maxscaled * scale`` for dead ones. Folding the
+              alive mask / +1 / max(tie, 0) of the original formulation
+              into one precomputed vector halves the kernel's per-element
+              VPU ops (the dominant cost at large capacity: the VPU work
+              is ~15 ms/8192q at 1M slots vs ~11 ms of MXU dots).
     out_ref:  (QT, CH // group) int32 — strided per-group max keys
 
-    Ordering proof sketch: for alive slots
-    ``key = ((dots+P)>>1)*scale + tie + scale`` is exactly the original
-    ``((dots+P)//2 + 1)*scale + tie`` — lexicographic (similarity, tie),
-    globally distinct. Any dead slot's key is
+    Ordering proof sketch (symmetric instantiation offset=P, shift=1):
+    for alive slots ``key = ((dots+P)>>1)*scale + tie + scale`` is exactly
+    the original ``((dots+P)//2 + 1)*scale + tie`` — lexicographic
+    (similarity, tie), globally distinct. Any dead slot's key is
     ``((dots+P)>>1)*scale - P*scale <= P*scale - P*scale = 0 < scale``,
     i.e. strictly below every alive key, whatever its stale bitplanes
     contain. |key| <= (P+2)*scale — the same int32 bound as before
-    (`lshrs_tpu.ops.hamming.supports_hamming_grouped`).
+    (`lshrs_tpu.ops.hamming.supports_hamming_grouped`). The general case
+    replaces P with ``maxscaled = (2*offset) >> shift``: dots lie in
+    [-offset, offset], so the scaled term lies in [0, maxscaled] and the
+    identical argument applies with |key| <= (maxscaled + 2)*scale.
 
     Fusing the dot with key construction keeps the (QT, CH) dot matrix in
     VMEM instead of round-tripping it through HBM (the XLA formulation's
@@ -125,6 +134,7 @@ def _make_hamming_kernel(group: int, scale: int):
 
     def kernel(q_ref, sig_ref, bias_ref, out_ref):
         p = q_ref.shape[1]
+        off = p if offset is None else offset
         ch = sig_ref.shape[0]
         dots = jax.lax.dot_general(
             q_ref[:, :],
@@ -132,7 +142,7 @@ def _make_hamming_kernel(group: int, scale: int):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (QT, CH) on the MXU
-        key = ((dots + p) >> 1) * scale + bias_ref[0, :][None, :]
+        key = ((dots + off) >> shift) * scale + bias_ref[0, :][None, :]
         ngc = ch // group
         gmax = key[:, :ngc]
         for i in range(1, group):
@@ -149,9 +159,14 @@ def _collision_key_bias(
     return jnp.where(tie >= 0, tie, -num_bands * scale)
 
 
-def _hamming_key_bias(tie: jax.Array, *, scale: int, num_perm: int) -> jax.Array:
-    """Precomputed per-slot key bias for the bitplane Hamming kernel."""
-    return jnp.where(tie >= 0, tie + scale, -num_perm * scale)
+def _hamming_key_bias(tie: jax.Array, *, scale: int, maxscaled: int) -> jax.Array:
+    """Precomputed per-slot key bias for the bitplane dot-ranking kernel.
+
+    ``maxscaled`` is the largest value the kernel's scaled-dot term can
+    take — ``num_perm`` for symmetric Hamming (``(2P)>>1``), generally
+    ``(2*offset) >> shift`` — so dead keys land strictly below zero.
+    """
+    return jnp.where(tie >= 0, tie + scale, -maxscaled * scale)
 
 
 def _make_hamming_packed_kernel(words: int, group: int, scale: int, num_perm: int):
@@ -240,7 +255,9 @@ def hamming_packed_group_max_keys(
 
 @partial(
     jax.jit,
-    static_argnames=("group", "chunk", "q_tile", "scale", "interpret"),
+    static_argnames=(
+        "group", "chunk", "q_tile", "scale", "interpret", "offset", "shift",
+    ),
 )
 def hamming_group_max_keys(
     planes: jax.Array,
@@ -252,13 +269,19 @@ def hamming_group_max_keys(
     q_tile: int,
     scale: int,
     interpret: bool = False,
+    offset: int | None = None,
+    shift: int = 1,
 ) -> jax.Array:
     """Per-group maxima of packed (scaled-dot, tie) keys over bitplanes.
 
     Args:
         planes: ``(C, P)`` int8 +-1 store bitplanes.
         tie: ``(C,)`` int32 tie keys (-1 dead).
-        qbits: ``(Q, P)`` int8 +-1 queries; Q a multiple of q_tile.
+        qbits: ``(Q, P)`` int8 query operand (+-1 bitplanes, or quantised
+            coordinates for asymmetric ranking); Q a multiple of q_tile.
+        offset / shift: key packing ``((dots+offset)>>shift)*scale + tie``
+            — default (None, 1) is the symmetric Hamming instantiation
+            ``offset = P``.
 
     Returns:
         ``(Q, C // group)`` int32 group-max keys, strided-in-chunk grouping
@@ -268,8 +291,9 @@ def hamming_group_max_keys(
     q = qbits.shape[0]
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
 
-    kernel = _make_hamming_kernel(group, scale)
-    bias = _hamming_key_bias(tie, scale=scale, num_perm=p)
+    off = p if offset is None else offset
+    kernel = _make_hamming_kernel(group, scale, offset, shift)
+    bias = _hamming_key_bias(tie, scale=scale, maxscaled=(2 * off) >> shift)
     grid = (c // chunk, q // q_tile)  # chunk-major: planes block stays in VMEM
     return pl.pallas_call(
         kernel,

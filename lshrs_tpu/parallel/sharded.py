@@ -494,6 +494,44 @@ class ShardedDeviceStore(DeviceStore):
             narrow_r=self._refine_narrow_r if ham_grouped else 0,
         )
 
+    def _query_asymmetric_dev(self, qc: jax.Array, k: int):
+        """Shard-local asymmetric ranking + exact (dots, id) ICI merge."""
+        from lshrs_tpu.ops.asymmetric import asymmetric_shift
+
+        self._ensure_ranks()
+        self._ensure_planes()
+        if self._planes is None:
+            raise RuntimeError(
+                'asymmetric ranking requires hamming_storage="planes": the '
+                "query's quantised coordinates rank against int8 bitplanes "
+                "on the MXU (the packed-words variant has no bitplane "
+                "operand)"
+            )
+        p = self.num_bands * self.rows_per_band
+        local = self._local_rows()
+        k_eff = max(1, min(k, local))
+        pallas_tile, use_pallas, group = self._hamming_geometry(local)
+        grouped = local % group == 0
+        chunk = pallas_tile if use_pallas else min(self.chunk, local)
+        q_tile = hamming_q_tile(qc.shape[0], chunk, packed=False)
+        return _sharded_asymmetric(
+            self.mesh,
+            self.axis,
+            self._planes,
+            self._ids,
+            self._ranks,
+            self._tie,
+            qc,
+            num_perm=p,
+            k=k_eff,
+            chunk=chunk,
+            grouped=grouped,
+            group=group,
+            shift=asymmetric_shift(p, local),
+            use_pallas=use_pallas,
+            q_tile=q_tile,
+        )
+
     def query_nnz(self, qwords) -> np.ndarray:
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
         with self._lock:
@@ -827,6 +865,67 @@ def _sharded_topk(
         out_specs=(P(), P()),
         check_vma=False,
     )(sig_t, rows, ids, ranks, tie, qwords)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
+        "shift", "use_pallas", "q_tile", "interpret",
+    ),
+)
+def _sharded_asymmetric(
+    mesh, axis, planes, ids, ranks, tie, qcoords,
+    *, num_perm, k, chunk, grouped, group, shift,
+    use_pallas=False, q_tile=128, interpret=False,
+):
+    """Shard-local asymmetric top-k + exact ICI merge.
+
+    The asymmetric dot is an absolute key (the same query scores every
+    shard), so merging per-shard (dots desc, id asc) prefixes over one
+    all_gather is exact — the same argument as the cosine gather-rerank
+    merge. Shard-local tie keys are exactly what the core expects.
+    """
+    from lshrs_tpu.ops.asymmetric import (
+        QMAX,
+        asymmetric_topk_chunked_core,
+        asymmetric_topk_core,
+    )
+
+    offset = num_perm * QMAX
+
+    def local(planes_l, ids_l, ranks_l, tie_l, qc):
+        if grouped:
+            dots, out_ids = asymmetric_topk_core(
+                planes_l, ids_l, tie_l, qc,
+                k=k, chunk=chunk, group=group, shift=shift,
+                use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
+            )
+        else:
+            dots, out_ids = asymmetric_topk_chunked_core(
+                planes_l, ids_l, ranks_l, qc, k=k, chunk=chunk
+            )
+        # merge by (dots desc, id asc): shift to the non-negative scaled
+        # domain merge_topk_pools expects (0 marks empty entries)
+        scaled = jnp.where(out_ids >= 0, dots + offset + 1, 0)
+        scaled_g = jax.lax.all_gather(scaled, axis)
+        ids_g = jax.lax.all_gather(out_ids, axis)
+        q = qc.shape[0]
+        pool_scaled = jnp.moveaxis(scaled_g, 0, 1).reshape(q, -1)
+        pool_ids = jnp.moveaxis(ids_g, 0, 1).reshape(q, -1)
+        m_scaled, m_ids = merge_topk_pools(pool_scaled, pool_ids, k=k)
+        return (
+            jnp.where(m_ids >= 0, m_scaled - offset - 1, -(offset + 1)),
+            m_ids,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(planes, ids, ranks, tie, qcoords)
 
 
 @partial(

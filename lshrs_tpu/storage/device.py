@@ -1426,6 +1426,87 @@ class DeviceStore(BaseStorage):
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return hamming, ids
 
+    def _query_asymmetric_dev(self, qc: jax.Array, k: int):
+        """Device-resident asymmetric top-k (quantised-coords query)."""
+        from lshrs_tpu.ops.asymmetric import (
+            asymmetric_shift,
+            asymmetric_topk,
+            asymmetric_topk_chunked,
+        )
+
+        self._ensure_ranks()
+        self._ensure_planes()  # lazily built on first Hamming/asymmetric use
+        if self._planes is None:
+            raise RuntimeError(
+                'asymmetric ranking requires hamming_storage="planes": the '
+                "query's quantised coordinates rank against int8 bitplanes "
+                "on the MXU (the packed-words variant has no bitplane "
+                "operand)"
+            )
+        p = self.num_bands * self.rows_per_band
+        k_eff = max(1, min(k, self._capacity))
+        group = min(self.group, self._capacity)
+        grouped = self._capacity % group == 0
+        pallas_tile = group * 128
+        use_pallas = self._use_pallas() and self._capacity % pallas_tile == 0
+        q_tile = hamming_q_tile(
+            qc.shape[0], pallas_tile if use_pallas else self.chunk, packed=False
+        )
+        if grouped:
+            return asymmetric_topk(
+                self._planes, self._ids, self._tie, qc,
+                k=k_eff,
+                chunk=pallas_tile if use_pallas else self.chunk,
+                group=group,
+                shift=asymmetric_shift(p, self._capacity),
+                use_pallas=use_pallas,
+                q_tile=q_tile,
+            )
+        return asymmetric_topk_chunked(
+            self._planes, self._ids, self._ranks, qc, k=k_eff, chunk=self.chunk
+        )
+
+    def query_asymmetric(self, qcoords, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k by asymmetric SimHash score (quantised query coords).
+
+        Args:
+            qcoords: ``(Q, num_perm)`` int8 quantised projection
+                coordinates (`lshrs_tpu.ops.asymmetric.quantize_coords_np`).
+            k: per-query result width.
+
+        Returns ``(dots (Q, k) int32, ids (Q, k))`` ordered by
+        (dots desc, id asc); empty tail entries carry id -1. The
+        self-normalising cosine estimate is ``dots / sum|qcoords_row|``.
+        Requires ``enable_hamming=True`` with ``hamming_storage="planes"``.
+        """
+        if not self.enable_hamming:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for asymmetric-mode queries"
+            )
+        qc = jnp.asarray(qcoords, dtype=jnp.int8)
+        p = self.num_bands * self.rows_per_band
+        from lshrs_tpu.ops.asymmetric import QMAX
+
+        empty_dots = -(p * QMAX + 1)
+        with self._lock:
+            if self._size == 0:
+                q = qc.shape[0]
+                return (
+                    np.full((q, k), empty_dots, np.int32),
+                    np.full((q, k), -1, np.int32),
+                )
+            dots, ids = self._query_asymmetric_dev(qc, k)
+        dots, ids = np.asarray(dots), np.asarray(ids)
+        k_eff = dots.shape[1]
+        if k_eff < k:
+            q = dots.shape[0]
+            dots = np.pad(
+                dots, ((0, 0), (0, k - k_eff)), constant_values=empty_dots
+            )
+            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
+        return dots, ids
+
     def query_hamming_ids(self, qwords, k: int) -> jax.Array:
         """Device-resident id-only Hamming top-k (serving fast path)."""
         if not self.enable_hamming:
