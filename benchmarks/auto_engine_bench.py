@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "collision", "hamming"])
+    ap.add_argument("--hash-family", default="gaussian",
+                    choices=["gaussian", "structured"],
+                    help="LSH projection family (structured = FWHT "
+                    "rotations; ~1.4x the host hash rate on 1 core)")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +64,7 @@ def main() -> None:
         rows_per_band=args.num_perm // 16,
         engine=args.engine,
         hash_mode="host",  # 32-byte wire; see module docstring
+        hash_family=args.hash_family,
         initial_capacity=args.n,
         dedupe=False,
         buffer_size=1 << 30,  # bulk build: flush per index() call only
