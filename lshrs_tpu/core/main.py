@@ -931,8 +931,11 @@ class LSHRS:
             top_k: result depth per query.
             mode: ``"collision"`` (band-collision top-k), ``"hamming"``
                 (full-signature SimHash ranking, requires
-                ``enable_hamming=True``) or ``"topp"`` (fused cosine
-                rerank against the resident payload, requires
+                ``enable_hamming=True``), ``"asymmetric"`` (quantised
+                query coordinates vs store bitplanes — the strongest
+                no-payload ranking; requires ``enable_hamming=True``
+                with ``hamming_storage="planes"``) or ``"topp"`` (fused
+                cosine rerank against the resident payload, requires
                 ``store_vectors=True``). ``None`` (default) follows the
                 instance's resolved ranking ``engine`` — collision below
                 `_AUTO_HAMMING_CAPACITY` slots, packed-Hamming past it.
@@ -941,7 +944,7 @@ class LSHRS:
                 rounding); ``"float32"`` is value-exact.
 
         Returns:
-            ``mode="collision"``/``"hamming"``: callable
+            ``mode="collision"``/``"hamming"``/``"asymmetric"``: callable
             ``(vectors (Q, dim)) -> (Q, top_k) int32 ndarray`` of ids
             (-1 padding). ``mode="topp"``: callable returning
             ``(ids (Q, top_k), cosines (Q, top_k), n_candidates (Q,))``.
@@ -950,8 +953,10 @@ class LSHRS:
             raise RuntimeError("serving_fn requires the device backend")
         if mode is None:
             mode = "hamming" if self._use_hamming_ranking() else "collision"
-        if mode not in ("collision", "hamming", "topp"):
-            raise ValueError("mode must be 'collision', 'hamming' or 'topp'")
+        if mode not in ("collision", "hamming", "asymmetric", "topp"):
+            raise ValueError(
+                "mode must be 'collision', 'hamming', 'asymmetric' or 'topp'"
+            )
         if top_k is None or top_k <= 0:
             raise ValueError("top_k must be greater than zero when provided")
         if wire_dtype not in ("float32", "bfloat16"):
@@ -987,6 +992,29 @@ class LSHRS:
                 return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
             return run_topp
+
+        if mode == "asymmetric":
+            from lshrs_tpu.ops.asymmetric import quantize_coords_np
+
+            serve_a = self._storage.snapshot_query_fn(  # type: ignore[attr-defined]
+                top_k, mode="asymmetric"
+            )
+
+            def run_asym(vectors):
+                arr = _validate(vectors)
+                # The asymmetric wire is the quantised projection coords
+                # (num_perm bytes/query) — computed on host for both hash
+                # modes, matching query_asymmetric_batch's estimator.
+                qi8, _ = quantize_coords_np(
+                    self._hasher.hash_batch_coords_host(arr)
+                )
+                out = np.asarray(serve_a(qi8))
+                # Count after the dispatch: stale-snapshot calls raise and
+                # must not inflate queries_served.
+                self._count("queries_served", arr.shape[0])
+                return out
+
+            return run_asym
 
         serve = self._storage.snapshot_query_fn(  # type: ignore[attr-defined]
             top_k, wire=wire, mode=mode

@@ -586,21 +586,36 @@ class ShardedDeviceStore(DeviceStore):
         """
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
-        if mode not in ("collision", "hamming"):
-            raise ValueError("mode must be 'collision' or 'hamming'")
+        if mode not in ("collision", "hamming", "asymmetric"):
+            raise ValueError(
+                "mode must be 'collision', 'hamming' or 'asymmetric'"
+            )
         if mode == "hamming" and not self.enable_hamming:
             raise RuntimeError(
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for Hamming-mode queries"
             )
+        if mode == "asymmetric" and not self.enable_hamming:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for asymmetric-mode queries"
+            )
+        from lshrs_tpu.ops.asymmetric import asymmetric_shift
         from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
 
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
             self._ensure_ranks()
-            if mode == "hamming":
-                self._ensure_planes()  # lazily built on first Hamming use
+            if mode in ("hamming", "asymmetric"):
+                self._ensure_planes()  # lazily built on first ranking use
+            if mode == "asymmetric" and self._planes is None:
+                raise RuntimeError(
+                    'asymmetric ranking requires hamming_storage="planes": '
+                    "the query's quantised coordinates rank against int8 "
+                    "bitplanes on the MXU (the packed-words variant has no "
+                    "bitplane operand)"
+                )
             snapshot_gen = self._generation
             num_bands, rows_per_band = self.num_bands, self.rows_per_band
             num_perm = num_bands * rows_per_band
@@ -617,13 +632,16 @@ class ShardedDeviceStore(DeviceStore):
             ham_tile, ham_pallas, _ = self._hamming_geometry(local)
             ham_chunk = ham_tile if ham_pallas else chunk
             # Grouped refine table in the geometry of the served mode
-            # (strided iff the Pallas kernel runs).
+            # (strided iff the Pallas kernel runs; asymmetric refines from
+            # freshly gathered bitplane rows — no signature table needed).
             if mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_chunk, ham_pallas)
                     if ham_grouped
                     else self._sig_rows
                 )
+            elif mode == "asymmetric":
+                rows = self._sig_rows
             else:
                 rows = (
                     self._refine_rows_for(
@@ -632,6 +650,8 @@ class ShardedDeviceStore(DeviceStore):
                     if grouped
                     else self._sig_rows
                 )
+            asym_grouped = local % group == 0
+            asym_shift = asymmetric_shift(num_perm, local)
             state = (
                 self._sig_t, rows, self._ids, self._ranks, self._tie, self._planes
             )
@@ -644,6 +664,14 @@ class ShardedDeviceStore(DeviceStore):
         def run_slice(qw, st):
             sig_t, rows_, ids, ranks, tie, planes = st
             q_tile = min(128, _next_pow2(max(8, qw.shape[0])))
+            if mode == "asymmetric":
+                aq_tile = hamming_q_tile(qw.shape[0], ham_chunk, packed=False)
+                return _sharded_asymmetric(
+                    mesh, axis, planes, ids, ranks, tie, qw,
+                    num_perm=num_perm, k=k_eff, chunk=ham_chunk,
+                    grouped=asym_grouped, group=group, shift=asym_shift,
+                    use_pallas=ham_pallas, q_tile=aq_tile,
+                )[1]
             if mode == "hamming":
                 ham_q_tile = hamming_q_tile(
                     qw.shape[0], ham_chunk, packed=packed
@@ -676,7 +704,9 @@ class ShardedDeviceStore(DeviceStore):
 
         @jax.jit
         def _serve(q, st):
-            if wire == "dense":
+            if mode == "asymmetric":
+                q = q.astype(jnp.int8)  # the wire IS the quantised coords
+            elif wire == "dense":
                 q = _d2w(q, num_bands=num_bands, rows_per_band=rows_per_band)
             else:
                 q = q.astype(jnp.uint32)

@@ -1038,28 +1038,52 @@ class DeviceStore(BaseStorage):
             dev_batch: optionally split the batch into this many-query
                 slices inside the program (bounds the scan working set for
                 very large batches).
-            mode: ``"collision"`` (band-collision counting) or
+            mode: ``"collision"`` (band-collision counting),
                 ``"hamming"`` (full-signature MXU ranking; requires
-                ``enable_hamming=True``).
+                ``enable_hamming=True``) or ``"asymmetric"`` (quantised
+                query coordinates vs store bitplanes — the closure's
+                input is ``(Q, num_perm)`` int8 coords from
+                `lshrs_tpu.ops.asymmetric.quantize_coords_np`, not a
+                wire signature; ``wire`` is ignored).
 
         Returns:
             callable ``(signatures) -> (Q, k) int32 device array of ids``.
         """
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
-        if mode not in ("collision", "hamming"):
-            raise ValueError("mode must be 'collision' or 'hamming'")
+        if mode not in ("collision", "hamming", "asymmetric"):
+            raise ValueError(
+                "mode must be 'collision', 'hamming' or 'asymmetric'"
+            )
         if mode == "hamming" and not self.enable_hamming:
             raise RuntimeError(
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for Hamming-mode queries"
             )
+        if mode == "asymmetric" and not self.enable_hamming:
+            raise RuntimeError(
+                "enable_hamming=False: construct the store with "
+                "enable_hamming=True for asymmetric-mode queries"
+            )
+        from lshrs_tpu.ops.asymmetric import (
+            asymmetric_shift,
+            asymmetric_topk_chunked_core,
+            asymmetric_topk_core,
+        )
+
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
             self._ensure_ranks()
-            if mode == "hamming":
-                self._ensure_planes()  # lazily built on first Hamming use
+            if mode in ("hamming", "asymmetric"):
+                self._ensure_planes()  # lazily built on first ranking use
+            if mode == "asymmetric" and self._planes is None:
+                raise RuntimeError(
+                    'asymmetric ranking requires hamming_storage="planes": '
+                    "the query's quantised coordinates rank against int8 "
+                    "bitplanes on the MXU (the packed-words variant has no "
+                    "bitplane operand)"
+                )
             sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
             planes = self._planes
             grouped, use_pallas = self._use_grouped(), self._use_pallas()
@@ -1076,19 +1100,25 @@ class DeviceStore(BaseStorage):
             )
             ham_tile = group * 128
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
-            # Grouped refine table in the geometry of the served mode.
+            # Grouped refine table in the geometry of the served mode
+            # (asymmetric refines from freshly gathered bitplane rows, so
+            # it needs no signature refine table at all).
             if mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_tile, ham_pallas)
                     if ham_grouped
                     else None
                 )
+            elif mode == "asymmetric":
+                rows = None
             else:
                 rows = (
                     self._refine_rows_for(group, pallas_chunk, use_pallas)
                     if grouped
                     else None
                 )
+            asym_grouped = self._capacity % group == 0
+            asym_shift = asymmetric_shift(num_perm, self._capacity)
             # Read under the SAME lock hold as the state capture: a
             # mutation racing with snapshot creation must leave a closure
             # that fails the staleness check, not one that dispatches on
@@ -1103,6 +1133,27 @@ class DeviceStore(BaseStorage):
 
         def run_slice(qw, st):
             sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
+            if mode == "asymmetric":
+                q_tile = hamming_q_tile(
+                    qw.shape[0],
+                    ham_tile if ham_pallas else chunk,
+                    packed=False,
+                )
+                if asym_grouped:
+                    _, out = asymmetric_topk_core(
+                        planes_, ids_, tie_, qw,
+                        k=k_eff,
+                        chunk=ham_tile if ham_pallas else chunk,
+                        group=group,
+                        shift=asym_shift,
+                        use_pallas=ham_pallas,
+                        q_tile=q_tile,
+                    )
+                else:
+                    _, out = asymmetric_topk_chunked_core(
+                        planes_, ids_, ranks_, qw, k=k_eff, chunk=chunk
+                    )
+                return out
             if mode == "hamming":
                 q_tile = hamming_q_tile(
                     qw.shape[0],
@@ -1165,7 +1216,9 @@ class DeviceStore(BaseStorage):
 
         @jax.jit
         def _serve(q, st):
-            if wire == "dense":
+            if mode == "asymmetric":
+                q = q.astype(jnp.int8)  # the wire IS the quantised coords
+            elif wire == "dense":
                 q = dense_to_words(
                     q, num_bands=num_bands, rows_per_band=rows_per_band
                 )

@@ -283,6 +283,107 @@ def test_sharded_asymmetric_matches_oracle(hasher, rng):
         assert got == expected, f"query {qi}"
 
 
+def test_snapshot_asymmetric_matches_query(hasher, rng):
+    """snapshot_query_fn(mode='asymmetric') == query_asymmetric ids."""
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    X = rng.standard_normal((300, D)).astype(np.float32)
+    ids = np.arange(300)
+    words = hasher.hash_batch_words_host(X)
+    store.add_signature_batch(ids, words)
+
+    queries = rng.standard_normal((7, D)).astype(np.float32)
+    qi8, _ = quantize_coords_np(hasher.hash_batch_coords_host(queries))
+    _, want = store.query_asymmetric(qi8, 6)
+
+    serve = store.snapshot_query_fn(6, mode="asymmetric")
+    np.testing.assert_array_equal(np.asarray(serve(qi8)), want)
+
+    # mutations invalidate the snapshot
+    store.remove_indices([3])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(qi8)
+
+    with pytest.raises(ValueError, match="asymmetric"):
+        store.snapshot_query_fn(6, mode="cosine")
+
+
+def test_snapshot_asymmetric_requires_planes(hasher, rng):
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, enable_hamming=True,
+        hamming_storage="packed",
+    )
+    words = hasher.hash_batch_words_host(
+        rng.standard_normal((20, D)).astype(np.float32)
+    )
+    store.add_signature_batch(np.arange(20), words)
+    with pytest.raises(RuntimeError, match="planes"):
+        store.snapshot_query_fn(5, mode="asymmetric")
+
+
+def test_serving_fn_asymmetric(rng):
+    """LSHRS.serving_fn(mode='asymmetric') == query_asymmetric_batch ids."""
+    lsh = LSHRS(
+        dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+        enable_hamming=True, initial_capacity=256,
+    )
+    X = rng.standard_normal((220, D)).astype(np.float32)
+    lsh.index(np.arange(220), X)
+
+    serve = lsh.serving_fn(top_k=5, mode="asymmetric")
+    got = serve(X[:16])
+    assert got.shape == (16, 5)
+    assert got[:, 0].tolist() == list(range(16))  # self-match first
+
+    want = lsh.query_asymmetric_batch(X[:16], top_k=5)
+    for qi in range(16):
+        assert got[qi].tolist() == [i for i, _ in want[qi]], f"query {qi}"
+
+    served_before = lsh.stats()["counters"]["queries_served"]
+    lsh.index([500], rng.standard_normal((1, D)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(X[:2])
+    assert lsh.stats()["counters"]["queries_served"] == served_before
+
+
+def test_sharded_snapshot_asymmetric_matches_single(hasher, rng):
+    """8-shard asymmetric serving closure == single-device ids."""
+    import jax
+
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    assert len(jax.devices()) >= 8
+    st = ShardedDeviceStore(
+        mesh=make_mesh(8), num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    single = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    n = 200
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(9999)[:n]
+    words = hasher.hash_batch_words_host(X)
+    st.add_signature_batch(ids, words)
+    single.add_signature_batch(ids, words)
+    # both stores sit in the exact (shift=0) selection regime
+    assert asymmetric_shift(P, single.stats()["capacity"]) == 0
+
+    queries = rng.standard_normal((5, D)).astype(np.float32)
+    qi8, _ = quantize_coords_np(hasher.hash_batch_coords_host(queries))
+    serve = st.snapshot_query_fn(7, mode="asymmetric")
+    got = np.asarray(serve(qi8))
+    want = np.asarray(single.snapshot_query_fn(7, mode="asymmetric")(qi8))
+    np.testing.assert_array_equal(got, want)
+
+    st.remove_indices([int(ids[0])])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(qi8)
+
+
 def test_asymmetric_recall_dominates_symmetric(rng):
     """Keeping query coordinates beats sign-sign Hamming on recall@10.
 
