@@ -140,6 +140,21 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         out[f"recall@{k}_reranked"] = round(
             recall([[i for i, _ in row] for row in scored], gt, k), 4
         )
+
+    if args.multiprobe > 1:
+        # Multi-probe collision (+ rerank): same index, zero extra memory —
+        # the T-probe query words reuse every fused query path.
+        t_probe = min(args.multiprobe, stats["rows_per_band"])
+        qw_mp = lsh._hasher.hash_batch_probe_words_host(queries, t_probe)
+        _, mp_ids = store.query_topk(qw_mp, k)
+        out[f"recall@{k}_collision_mp{t_probe}"] = round(
+            recall([row[row >= 0] for row in mp_ids], gt, k), 4
+        )
+        if args.rerank:
+            ids_r, _, n_r = store.query_topp_batch(qw_mp, queries, k)
+            out[f"recall@{k}_reranked_mp{t_probe}"] = round(
+                recall([row[row >= 0] for row in ids_r], gt, k), 4
+            )
     lsh._storage.close()
     return out
 
@@ -155,6 +170,10 @@ def main() -> None:
     ap.add_argument("--rerank", action="store_true",
                     help="also measure cosine-reranked recall (uploads the "
                     "full payload matrix to HBM)")
+    ap.add_argument("--multiprobe", type=int, default=1,
+                    help="also measure T-probe collision (and reranked, "
+                    "with --rerank) recall at this probe depth — candidate "
+                    "expansion at zero memory cost")
     ap.add_argument("--hash-family", choices=["gaussian", "structured"],
                     default="gaussian",
                     help="LSH projection family (structured = FWHT rotations)")

@@ -113,6 +113,15 @@ class LSHRS:
             ships 64-byte packed signatures; wins when the host->device
             link is the ingest bottleneck). One path per instance, so
             stored and query signatures always agree bit-for-bit.
+        multiprobe: query-directed multi-probe depth T (default 1 = off,
+            exact reference semantics). For T > 1 every band additionally
+            probes the T-1 buckets reached by flipping its lowest-margin
+            bits — the nearest single-bit hash misses — so candidate sets
+            grow at ZERO memory cost (classic multi-probe LSH, Lv et al.
+            2007). Applies to collision counting and top-p candidate
+            enumeration on every backend (device scans and bucket reads
+            alike); counts become "bands matching any probe" and collision
+            ordering is no longer reference-parity while T > 1.
     """
 
     def __init__(
@@ -151,6 +160,7 @@ class LSHRS:
         rerank_engine: str = "auto",
         rerank_candidates: int = 1024,
         engine: str = "auto",
+        multiprobe: int = 1,
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -164,6 +174,8 @@ class LSHRS:
             raise ValueError("hash_family must be 'gaussian' or 'structured'")
         if engine not in ("auto", "collision", "hamming"):
             raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
+        if not isinstance(multiprobe, int) or multiprobe < 1:
+            raise ValueError("multiprobe must be an integer >= 1")
         self._engine = engine
         if engine != "collision" and backend == "device" and not enable_hamming:
             # The auto/hamming engines rank with the int8 bitplane (MXU)
@@ -183,6 +195,12 @@ class LSHRS:
                 "num_bands * rows_per_band must equal num_perm "
                 f"(received {num_bands} * {rows_per_band} != {num_perm})"
             )
+        if multiprobe > rows_per_band:
+            raise ValueError(
+                "multiprobe must be <= rows_per_band "
+                f"(= {rows_per_band}); received {multiprobe}"
+            )
+        self._multiprobe = multiprobe
 
         self._dim = dim
         self._buffer_size = buffer_size
@@ -310,6 +328,7 @@ class LSHRS:
             "rerank_engine": rerank_engine,
             "rerank_candidates": rerank_candidates,
             "engine": engine,
+            "multiprobe": multiprobe,
         }
         self._redis_config: dict[str, Any] = {
             "host": redis_host,
@@ -658,10 +677,11 @@ class LSHRS:
             and top_k is not None
             and top_k > 0
         ):
-            qwords = self._hash_words(query_vector[None, :])
             if self._use_hamming_ranking():
+                qwords = self._hash_words(query_vector[None, :])
                 hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
                 return [int(i) for i in ids[0] if i >= 0]
+            qwords = self._hash_query_words(query_vector[None, :])
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
 
@@ -721,10 +741,11 @@ class LSHRS:
             )
         if self._device_mode:
             self._count("queries_served", arr.shape[0])
-            qwords = self._hash_words(arr)
             if self._use_hamming_ranking():
+                qwords = self._hash_words(arr)
                 _, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
                 return [[int(i) for i in row if i >= 0] for row in ids]
+            qwords = self._hash_query_words(arr)
             counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
             return [
                 [int(i) for i, c in zip(row_ids, row_counts) if c > 0]
@@ -881,7 +902,7 @@ class LSHRS:
         if not fused:
             return [self.query(v, top_k=top_k, top_p=p) for v in arr]  # type: ignore[misc]
         self._count("queries_served", arr.shape[0])
-        qwords = self._hash_words(arr)
+        qwords = self._hash_query_words(arr)
         # The per-query cutoff is min(ceil(p*n), top_k), so top_k bounds
         # how much of the ranking is ever consumed.
         max_out = min(max_candidates, top_k) if top_k is not None else max_candidates
@@ -1047,7 +1068,7 @@ class LSHRS:
         self, query_vector: np.ndarray, top_k: Optional[int], top_p: float
     ) -> Optional[CandidateScores]:
         """Fused top-p on the device store; None -> caller falls back."""
-        qwords = self._hash_words(query_vector[None, :])
+        qwords = self._hash_query_words(query_vector[None, :])
         ids, sims, n = self._storage.query_topp(  # type: ignore[attr-defined]
             qwords, query_vector, self._MAX_DEVICE_RERANK
         )
@@ -1081,7 +1102,7 @@ class LSHRS:
         — 4 MB of readback per query at 1M slots.
         """
         if self._device_mode:
-            qwords = self._hash_words(query_vector[None, :])
+            qwords = self._hash_query_words(query_vector[None, :])
             n = int(self._storage.query_nnz(qwords)[0])  # type: ignore[attr-defined]
             if n == 0:
                 return []
@@ -1094,9 +1115,33 @@ class LSHRS:
         return sorted(counts_map.items(), key=lambda item: (-item[1], item[0]))
 
     def _candidate_counts(self, query_vector: np.ndarray) -> dict[int, int]:
-        """Bucket-backend path: per-band bucket reads + dict counting."""
+        """Bucket-backend path: per-band bucket reads + dict counting.
+
+        With ``multiprobe=T > 1`` every band additionally reads its T-1
+        probe buckets (the reference's per-band SMEMBERS loop,
+        `/root/reference/lshrs/core/main.py:1105-1109`, extended with
+        query-directed probing); a candidate's band signature lives in
+        exactly one bucket, so the union over probes keeps counts
+        <= num_bands.
+        """
+        if self._multiprobe > 1:
+            probe_words = self._hasher.hash_batch_probe_words_host(
+                query_vector[None, :], self._multiprobe
+            )[0]
+            sigs = [
+                self._hasher.words_to_signature(probe_words[t])
+                for t in range(self._multiprobe)
+            ]
+            counts: dict[int, int] = {}
+            for band_id in range(self._config["num_bands"]):
+                candidates: set[int] = set()
+                for sig in sigs:
+                    candidates |= self._storage.get_bucket(band_id, sig[band_id])
+                for candidate in candidates:
+                    counts[candidate] = counts.get(candidate, 0) + 1
+            return counts
         signatures = self._hasher.hash_vector(query_vector)
-        counts: dict[int, int] = {}
+        counts = {}
         for band_id, hash_val in enumerate(signatures):
             for candidate in self._storage.get_bucket(band_id, hash_val):
                 counts[candidate] = counts.get(candidate, 0) + 1
@@ -1149,6 +1194,7 @@ class LSHRS:
             "redis_prefix": self._redis_config["prefix"],
             "backend": self._tpu_config["backend"],
             "engine": self._engine,
+            "multiprobe": self._multiprobe,
             "ranking": "hamming" if self._use_hamming_ranking() else "collision",
             "buffered_operations": buffered,
             "counters": dict(self._counters),
@@ -1305,6 +1351,7 @@ class LSHRS:
             # Saved instances predating the engine knob behaved as
             # "collision"; restore them unchanged.
             "engine": tpu_config.get("engine", "collision"),
+            "multiprobe": tpu_config.get("multiprobe", 1),
         }
 
     # ------------------------------------------------------------------
@@ -1371,6 +1418,23 @@ class LSHRS:
         if self._hash_on_device:
             return self._hasher.hash_batch_words(arr)
         return self._hasher.hash_batch_words_host(arr)
+
+    def _hash_query_words(self, arr: np.ndarray):
+        """Collision-path QUERY hashing, with multi-probe expansion.
+
+        With ``multiprobe=T > 1`` the result is ``(Q, T, BW)`` — probe 0
+        is the plain signature (bit-identical to the ingest hash), probes
+        ``t >= 1`` flip each band's ``t``-th lowest-margin bit. The store
+        counts bands matching ANY probe, expanding candidate sets at zero
+        memory cost (only collision counting and top-p candidate
+        enumeration consume probes; Hamming/asymmetric ranking scores all
+        slots already).
+        """
+        if self._multiprobe > 1:
+            if self._hash_on_device:
+                return self._hasher.hash_batch_probe_words(arr, self._multiprobe)
+            return self._hasher.hash_batch_probe_words_host(arr, self._multiprobe)
+        return self._hash_words(arr)
 
     def _hash_for_ingest(self, arr: np.ndarray):
         """Ingest-path hashing: host mode ships the dense wire encoding

@@ -64,6 +64,44 @@ def _hash_batch_words_jit(
     return pack_bits_to_words(proj > 0, num_bands=num_bands, rows_per_band=rows_per_band)
 
 
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band", "n_probes"))
+def _probe_words_from_coords_jit(
+    coords: jax.Array, *, num_bands: int, rows_per_band: int, n_probes: int
+) -> jax.Array:
+    """Coords ``(n, P)`` -> multi-probe words ``(n, n_probes, BW)``.
+
+    Probe 0 is the plain signature (``coords > 0``); probe ``t >= 1``
+    flips, in EVERY band, the band's ``t``-th smallest-|coordinate| bit —
+    the bit whose hyperplane the query sits closest to, i.e. the most
+    likely single-bit hash miss (query-directed probing, Lv et al. 2007,
+    restricted to the dominant single-bit perturbations, applied
+    band-uniformly so downstream shapes stay static).
+    """
+    n, p = coords.shape
+    r = rows_per_band
+    bits = coords > 0
+    outs = [
+        pack_bits_to_words(
+            bits, num_bands=num_bands, rows_per_band=rows_per_band
+        )
+    ]
+    if n_probes > 1:
+        margins = jnp.abs(coords).reshape(n, num_bands, r)
+        # indices of the (n_probes - 1) smallest margins per band, ascending
+        _, idx = jax.lax.top_k(-margins, n_probes - 1)
+        bits3 = bits.reshape(n, num_bands, r)
+        for t in range(1, n_probes):
+            onehot = jax.nn.one_hot(idx[..., t - 1], r, dtype=jnp.bool_)
+            outs.append(
+                pack_bits_to_words(
+                    (bits3 ^ onehot).reshape(n, num_bands * r),
+                    num_bands=num_bands,
+                    rows_per_band=rows_per_band,
+                )
+            )
+    return jnp.stack(outs, axis=1)
+
+
 @partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
 def _hash_batch_words_structured_jit(
     vectors: jax.Array, diags: jax.Array, *, num_bands: int, rows_per_band: int
@@ -307,6 +345,89 @@ class LSHHasher:
                 f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
             )
         return self._coords_host(arr)
+
+    def hash_batch_probe_words_host(
+        self, vectors: np.ndarray, n_probes: int
+    ) -> np.ndarray:
+        """Multi-probe signature words, ``(n, n_probes, num_bands*W)`` uint32.
+
+        Probe 0 is the plain signature; probe ``t >= 1`` flips, in every
+        band, the band's ``t``-th smallest-|coordinate| bit — the bit the
+        query is most likely to disagree with a near neighbor on
+        (query-directed probing). ``n_probes == 1`` is exactly
+        :meth:`hash_batch_words_host` with a probe axis.
+
+        Host/device note: for queries whose coordinates tie exactly in
+        magnitude the host argsort and the device top_k may pick different
+        flip bits — measure-zero for continuous data, and irrelevant to
+        correctness (any distinct-bit flip set is a valid probe set).
+        """
+        if n_probes < 1 or n_probes > self.rows_per_band:
+            raise ValueError(
+                "n_probes must be in [1, rows_per_band] "
+                f"(= {self.rows_per_band}); received {n_probes}"
+            )
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim != 2 or arr.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
+            )
+        coords = self._coords_host(arr)
+        n, num_perm = coords.shape
+        b, r = self.num_bands, self.rows_per_band
+        bits = coords > 0
+        out = np.empty((n, n_probes, b * self.words_per_band), np.uint32)
+        out[:, 0] = pack_bits_to_words_np(bits, num_bands=b, rows_per_band=r)
+        if n_probes > 1:
+            order = np.argsort(np.abs(coords).reshape(n, b, r), axis=2)
+            bits3 = bits.reshape(n, b, r)
+            rows = np.arange(n)[:, None]
+            cols = np.arange(b)[None, :]
+            for t in range(1, n_probes):
+                bt = bits3.copy()
+                bt[rows, cols, order[:, :, t - 1]] ^= True
+                out[:, t] = pack_bits_to_words_np(
+                    bt.reshape(n, num_perm), num_bands=b, rows_per_band=r
+                )
+        return out
+
+    def hash_batch_probe_words(self, vectors, n_probes: int) -> jax.Array:
+        """Device twin of :meth:`hash_batch_probe_words_host`.
+
+        The base probe comes from the same device matmul as
+        :meth:`hash_batch_words`, so probe 0 agrees bit-for-bit with
+        device-hashed store signatures (the per-store hash-path
+        invariant).
+        """
+        if n_probes < 1 or n_probes > self.rows_per_band:
+            raise ValueError(
+                "n_probes must be in [1, rows_per_band] "
+                f"(= {self.rows_per_band}); received {n_probes}"
+            )
+        arr = jnp.asarray(vectors, dtype=jnp.float32)
+        if arr.ndim != 2 or arr.shape[1] != self.dim:
+            raise ValueError(
+                f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
+            )
+        if self.hash_family == "structured":
+            coords = structured_coords_jax(
+                arr,
+                self._device_projection(),
+                self.num_bands * self.rows_per_band,
+            )
+        else:
+            coords = jnp.dot(
+                arr,
+                self._device_projection(),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return _probe_words_from_coords_jit(
+            coords,
+            num_bands=self.num_bands,
+            rows_per_band=self.rows_per_band,
+            n_probes=n_probes,
+        )
 
     def hash_batch_dense_host(self, vectors: np.ndarray) -> np.ndarray:
         """Host hash to the dense wire format, ``(n, B * ceil(r/8))`` uint8.

@@ -52,10 +52,14 @@ def supports_fast_path(num_bands: int, capacity: int) -> bool:
     return (num_bands + 1) * key_scale(capacity) < 2**31
 
 
-def _make_kernel(num_bands: int, words: int, group: int, scale: int):
+def _make_kernel(
+    num_bands: int, words: int, group: int, scale: int, probes: int = 1
+):
     """Build the kernel for one (q_tile, chunk) grid cell.
 
-    q_ref:    (QT, BW)  uint32 — query signature words
+    q_ref:    (QT, probes * BW) uint32 — query signature words, probe-major
+              (probe t's band-b word j at column ``t*BW + b*words + j``;
+              ``probes == 1`` is the standard single-signature layout)
     sig_ref:  (BW, CH)  uint32 — transposed store chunk
     bias_ref: (1, CH)   int32 — precomputed key bias
               (:func:`_collision_key_bias`): ``tie`` for alive slots,
@@ -68,19 +72,28 @@ def _make_kernel(num_bands: int, words: int, group: int, scale: int):
 
     Bands are unrolled (num_bands is small on the fast path by
     construction; larger band counts use the chunked fallback).
+    Multi-probe counting sums band matches over all probe variants —
+    equal to the per-band OR (hence still <= num_bands, so the key
+    packing and dead-slot bias are unchanged), because a band's probe
+    signatures are pairwise distinct and a slot's band words can equal
+    at most one of them.
     """
+    bw = num_bands * words
+
     def kernel(q_ref, sig_ref, bias_ref, out_ref):
         qt = q_ref.shape[0]
         ch = sig_ref.shape[1]
         counts = jnp.zeros((qt, ch), dtype=jnp.int32)
-        for b in range(num_bands):
-            eq = sig_ref[b * words, :][None, :] == q_ref[:, b * words][:, None]
-            for w in range(1, words):
-                eq &= (
-                    sig_ref[b * words + w, :][None, :]
-                    == q_ref[:, b * words + w][:, None]
-                )
-            counts += eq.astype(jnp.int32)
+        for t in range(probes):
+            for b in range(num_bands):
+                col = t * bw + b * words
+                eq = sig_ref[b * words, :][None, :] == q_ref[:, col][:, None]
+                for w in range(1, words):
+                    eq &= (
+                        sig_ref[b * words + w, :][None, :]
+                        == q_ref[:, col + w][:, None]
+                    )
+                counts += eq.astype(jnp.int32)
         key = counts * scale + bias_ref[0, :][None, :]
         # Strided group-max: group j of this chunk holds slots
         # {j, j + ngc, j + 2*ngc, ...} (ngc = chunk // group). Contiguous
@@ -318,7 +331,10 @@ def hamming_group_max_keys(
 
 @partial(
     jax.jit,
-    static_argnames=("num_bands", "words", "group", "chunk", "q_tile", "scale", "interpret"),
+    static_argnames=(
+        "num_bands", "words", "group", "chunk", "q_tile", "scale",
+        "interpret", "probes",
+    ),
 )
 def group_max_keys(
     sig_t: jax.Array,
@@ -332,6 +348,7 @@ def group_max_keys(
     q_tile: int,
     scale: int,
     interpret: bool = False,
+    probes: int = 1,
 ) -> jax.Array:
     """Per-group maxima of packed (count, tie) selection keys.
 
@@ -339,9 +356,13 @@ def group_max_keys(
         sig_t: ``(num_bands * words, C)`` uint32 transposed signatures.
         tie: ``(C,)`` int32 — ``S - 1 - rank`` for alive slots, ``-1`` for
             dead slots (the kernel masks their counts to zero).
-        qwords: ``(Q, num_bands * words)`` uint32; Q a multiple of q_tile.
+        qwords: ``(Q, probes * num_bands * words)`` uint32, probe-major;
+            Q a multiple of q_tile.
         group / chunk / q_tile: tiling (group | chunk | C, q_tile | Q).
         scale: ``key_scale(C)``.
+        probes: multi-probe variants per query (1 = standard). The count
+            is the number of bands matching ANY variant — still
+            ``<= num_bands`` (variants are pairwise distinct per band).
 
     Returns:
         ``(Q, C // group)`` int32 group-max keys.
@@ -349,8 +370,9 @@ def group_max_keys(
     bw, c = sig_t.shape
     q = qwords.shape[0]
     assert c % chunk == 0 and chunk % group == 0 and q % q_tile == 0
+    assert qwords.shape[1] == probes * bw
 
-    kernel = _make_kernel(num_bands, words, group, scale)
+    kernel = _make_kernel(num_bands, words, group, scale, probes)
     bias = _collision_key_bias(tie, scale=scale, num_bands=num_bands)
     # Chunk-major grid: the (large) store block's index map is constant
     # across the inner q-tile axis, so Mosaic keeps it in VMEM instead of
@@ -360,7 +382,11 @@ def group_max_keys(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, bw), lambda ci, qi: (qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (q_tile, probes * bw),
+                lambda ci, qi: (qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec((bw, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), lambda ci, qi: (0, ci), memory_space=pltpu.VMEM),
         ],
@@ -369,8 +395,9 @@ def group_max_keys(
         ),
         out_shape=jax.ShapeDtypeStruct((q, c // group), jnp.int32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * q * c * bw,
-            bytes_accessed=bw * c * 4 + q * bw * 4 + c * 4 + q * (c // group) * 4,
+            flops=2 * q * c * bw * probes,
+            bytes_accessed=bw * c * 4 + q * probes * bw * 4 + c * 4
+            + q * (c // group) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

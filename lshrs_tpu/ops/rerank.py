@@ -181,6 +181,7 @@ def rerank_topp_gather_core(
     interpret: bool = False,
     sig_rows: jax.Array | None = None,
     narrow_r: int = 0,
+    probes: int = 1,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Candidate-gather top-p rerank: cost scales with CANDIDATES, not capacity.
 
@@ -206,7 +207,10 @@ def rerank_topp_gather_core(
 
     Args:
         payload / pnorm / ids / tie / sig_t: store state (see `DeviceStore`).
-        qwords: ``(Q, BW)`` uint32 query signatures.
+        qwords: ``(Q, probes * BW)`` uint32 query signatures (probe-major
+            multi-probe layout when ``probes > 1`` — candidate sets then
+            include any-probe band matches; see
+            `lshrs_tpu.ops.scan.band_counts_t`).
         qvecs: ``(Q, dim)`` float32 (or bfloat16 wire) queries.
         max_out: ranked prefix length per query.
         max_candidates: M — groups refined and slots reranked per query.
@@ -245,10 +249,10 @@ def rerank_topp_gather_core(
         gmax = group_max_keys(
             sig_t, tie, qw,
             num_bands=num_bands, words=w, group=group, chunk=pallas_chunk,
-            q_tile=q_tile, scale=scale, interpret=interpret,
+            q_tile=q_tile, scale=scale, interpret=interpret, probes=probes,
         )[:q]
     else:
-        counts_full = band_counts_t(sig_t, qwords, num_bands)
+        counts_full = band_counts_t(sig_t, qwords, num_bands, probes)
         key_full = counts_full * (tie >= 0).astype(jnp.int32)[
             None, :
         ] * scale + jnp.maximum(tie, 0)[None, :]
@@ -287,18 +291,21 @@ def rerank_topp_gather_core(
             sig_rows, top_groups, bw=nw, group=group
         )
         counts = refine_counts_vs_query(
-            cwords, qwords, num_bands=num_bands, words=w, narrow_r=narrow_r
+            cwords, qwords, num_bands=num_bands, words=w, narrow_r=narrow_r,
+            probes=probes,
         ).reshape(q, mg)
         cand_tie = cand_tie.reshape(q, mg)
         cand_ids = cand_ids.reshape(q, mg)
     else:
         cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
         counts = None
-        for b in range(num_bands):
-            eq = cand_sig[b * w] == qwords[:, b * w][:, None]
-            for jj in range(1, w):
-                eq &= cand_sig[b * w + jj] == qwords[:, b * w + jj][:, None]
-            counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        for t in range(probes):
+            for b in range(num_bands):
+                col = t * bw + b * w
+                eq = cand_sig[b * w] == qwords[:, col][:, None]
+                for jj in range(1, w):
+                    eq &= cand_sig[b * w + jj] == qwords[:, col + jj][:, None]
+                counts = eq.astype(jnp.int32) if counts is None else counts + eq
         cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, mg)
         cand_ids = jnp.take(ids, slots.reshape(-1)).reshape(q, mg)
 
@@ -369,6 +376,6 @@ rerank_topp_gather = partial(
     jax.jit,
     static_argnames=(
         "num_bands", "max_out", "max_candidates", "group", "pallas_chunk",
-        "q_tile", "use_pallas", "interpret", "narrow_r",
+        "q_tile", "use_pallas", "interpret", "narrow_r", "probes",
     ),
 )(rerank_topp_gather_core)

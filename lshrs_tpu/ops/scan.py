@@ -62,29 +62,38 @@ _INT32_MAX = np.int32(2**31 - 1)
 
 
 def _band_counts_t(
-    sig_chunk_t: jax.Array, qwords: jax.Array, num_bands: int
+    sig_chunk_t: jax.Array, qwords: jax.Array, num_bands: int, probes: int = 1
 ) -> jax.Array:
     """Collision counts, transposed layout.
 
     Args:
         sig_chunk_t: ``(BW, chunk)`` uint32 packed signatures.
-        qwords: ``(Q, BW)`` uint32 query signatures.
+        qwords: ``(Q, probes * BW)`` uint32 query signatures, probe-major
+            (probe t's band-b word j at ``t*BW + b*w + j``).
     Returns:
-        ``(Q, chunk)`` int32 — number of fully-matching bands.
+        ``(Q, chunk)`` int32 — number of bands matching ANY probe variant.
+        Still ``<= num_bands``: a band's variants are pairwise distinct,
+        so a slot's band words equal at most one of them and the sum over
+        probes equals the per-band OR.
     """
     bw = sig_chunk_t.shape[0]
     w = bw // num_bands
     counts = None
-    for b in range(num_bands):
-        eq = sig_chunk_t[b * w, :][None, :] == qwords[:, b * w][:, None]
-        for j in range(1, w):
-            eq &= sig_chunk_t[b * w + j, :][None, :] == qwords[:, b * w + j][:, None]
-        counts = eq.astype(jnp.int32) if counts is None else counts + eq
+    for t in range(probes):
+        for b in range(num_bands):
+            col = t * bw + b * w
+            eq = sig_chunk_t[b * w, :][None, :] == qwords[:, col][:, None]
+            for j in range(1, w):
+                eq &= (
+                    sig_chunk_t[b * w + j, :][None, :]
+                    == qwords[:, col + j][:, None]
+                )
+            counts = eq.astype(jnp.int32) if counts is None else counts + eq
     return counts
 
 
 def _band_counts_t_scan(
-    sig_chunk_t: jax.Array, qwords: jax.Array, num_bands: int
+    sig_chunk_t: jax.Array, qwords: jax.Array, num_bands: int, probes: int = 1
 ) -> jax.Array:
     """Like :func:`_band_counts_t` but loops bands with `lax.fori_loop`
     (avoids unrolling very large band counts into huge programs)."""
@@ -93,22 +102,31 @@ def _band_counts_t_scan(
     w = bw // num_bands
 
     def body(b, counts):
-        eq = jax.lax.dynamic_slice_in_dim(sig_chunk_t, b * w, 1, 0)[0][None, :] == (
-            jax.lax.dynamic_slice_in_dim(qwords, b * w, 1, 1)[:, 0][:, None]
-        )
-        for j in range(1, w):
-            eq &= jax.lax.dynamic_slice_in_dim(sig_chunk_t, b * w + j, 1, 0)[0][
+        eq_sum = None
+        for t in range(probes):
+            col = t * bw + b * w
+            eq = jax.lax.dynamic_slice_in_dim(sig_chunk_t, b * w, 1, 0)[0][
                 None, :
-            ] == jax.lax.dynamic_slice_in_dim(qwords, b * w + j, 1, 1)[:, 0][:, None]
-        return counts + eq.astype(jnp.int32)
+            ] == (
+                jax.lax.dynamic_slice_in_dim(qwords, col, 1, 1)[:, 0][:, None]
+            )
+            for j in range(1, w):
+                eq &= jax.lax.dynamic_slice_in_dim(sig_chunk_t, b * w + j, 1, 0)[0][
+                    None, :
+                ] == jax.lax.dynamic_slice_in_dim(qwords, col + j, 1, 1)[:, 0][
+                    :, None
+                ]
+            eq_i = eq.astype(jnp.int32)
+            eq_sum = eq_i if eq_sum is None else eq_sum + eq_i
+        return counts + eq_sum
 
     return jax.lax.fori_loop(0, num_bands, body, jnp.zeros((q, chunk), jnp.int32))
 
 
-def band_counts_t(sig_chunk_t, qwords, num_bands):
+def band_counts_t(sig_chunk_t, qwords, num_bands, probes=1):
     if num_bands <= 64:
-        return _band_counts_t(sig_chunk_t, qwords, num_bands)
-    return _band_counts_t_scan(sig_chunk_t, qwords, num_bands)
+        return _band_counts_t(sig_chunk_t, qwords, num_bands, probes)
+    return _band_counts_t_scan(sig_chunk_t, qwords, num_bands, probes)
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +143,7 @@ def collision_topk_core(
     num_bands: int,
     k: int,
     chunk: int,
+    probes: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k by (count desc, id asc), chunked `lax.scan` selection.
 
@@ -133,7 +152,8 @@ def collision_topk_core(
         ids: ``(C,)`` int32 slot ids, -1 for dead/empty slots.
         ranks: ``(C,)`` int32 rank of each slot's id *within its chunk*
             (see :func:`compute_chunk_ranks`).
-        qwords: ``(Q, BW)`` uint32.
+        qwords: ``(Q, probes * BW)`` uint32, probe-major
+            (see :func:`band_counts_t`).
 
     Returns:
         ``(counts, out_ids)``, each ``(Q, k)``; zero-count tail padding
@@ -150,7 +170,7 @@ def collision_topk_core(
 
     def body(carry, xs):
         chunk_sig_t, chunk_ids, chunk_ranks = xs
-        counts = band_counts_t(chunk_sig_t, qwords, num_bands)
+        counts = band_counts_t(chunk_sig_t, qwords, num_bands, probes)
         counts = jnp.where(chunk_ids[None, :] >= 0, counts, 0)
         # Packed selection key: count-major, then id-rank ascending. Fits
         # int32: count <= num_bands <= 2^16, chunk <= 2^14.
@@ -192,9 +212,9 @@ def merge_topk_pools(
     return counts_out, ids_out
 
 
-collision_topk = partial(jax.jit, static_argnames=("num_bands", "k", "chunk"))(
-    collision_topk_core
-)
+collision_topk = partial(
+    jax.jit, static_argnames=("num_bands", "k", "chunk", "probes")
+)(collision_topk_core)
 
 
 # ---------------------------------------------------------------------------
@@ -282,6 +302,7 @@ def refine_counts_vs_query(
     num_bands: int,
     words: int,
     narrow_r: int,
+    probes: int = 1,
 ) -> jax.Array:
     """Per-candidate collision counts of gathered refine rows vs queries.
 
@@ -290,37 +311,48 @@ def refine_counts_vs_query(
             word-aligned (``nw = num_bands * words``) when ``narrow_r == 0``,
             else NARROW-packed (``32 // narrow_r`` bands per word, see
             `lshrs_tpu.ops.bitpack.pack_words_narrow`).
-        qwords: ``(Q, num_bands * words)`` uint32, always word-aligned
-            (packed narrow here when needed — a few shifts on ``(Q, BW)``).
+        qwords: ``(Q, probes * num_bands * words)`` uint32 probe-major,
+            always word-aligned (packed narrow here when needed — a few
+            shifts on ``(Q, BW)`` per probe).
 
     Returns:
-        ``(Q, m, group)`` int32 matching-band counts.
+        ``(Q, m, group)`` int32 matching-band counts (any-probe semantics
+        when ``probes > 1``; see :func:`band_counts_t`).
     """
+    bw = num_bands * words
     if narrow_r:
+        q = qwords.shape[0]
         qn = pack_words_narrow(
-            qwords, num_bands=num_bands, rows_per_band=narrow_r
-        )
+            qwords.reshape(q * probes, bw),
+            num_bands=num_bands,
+            rows_per_band=narrow_r,
+        ).reshape(q, probes, -1)
         bpw = 32 // narrow_r
         mask = jnp.uint32((1 << narrow_r) - 1)
         nw = cwords.shape[2]
         counts = None
-        for wi in range(nw):
-            cw = cwords[:, :, wi, :]
-            qv = qn[:, wi][:, None, None]
-            for j in range(min(bpw, num_bands - wi * bpw)):
-                sh = jnp.uint32(j * narrow_r)
-                eq = ((cw >> sh) & mask) == ((qv >> sh) & mask)
-                counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        for t in range(probes):
+            for wi in range(nw):
+                cw = cwords[:, :, wi, :]
+                qv = qn[:, t, wi][:, None, None]
+                for j in range(min(bpw, num_bands - wi * bpw)):
+                    sh = jnp.uint32(j * narrow_r)
+                    eq = ((cw >> sh) & mask) == ((qv >> sh) & mask)
+                    counts = (
+                        eq.astype(jnp.int32) if counts is None else counts + eq
+                    )
         return counts
     counts = None
-    for b in range(num_bands):
-        eq = cwords[:, :, b * words, :] == qwords[:, b * words][:, None, None]
-        for j in range(1, words):
-            eq &= (
-                cwords[:, :, b * words + j, :]
-                == qwords[:, b * words + j][:, None, None]
-            )
-        counts = eq.astype(jnp.int32) if counts is None else counts + eq
+    for t in range(probes):
+        for b in range(num_bands):
+            col = t * bw + b * words
+            eq = cwords[:, :, b * words, :] == qwords[:, col][:, None, None]
+            for j in range(1, words):
+                eq &= (
+                    cwords[:, :, b * words + j, :]
+                    == qwords[:, col + j][:, None, None]
+                )
+            counts = eq.astype(jnp.int32) if counts is None else counts + eq
     return counts
 
 
@@ -368,6 +400,7 @@ def collision_topk_grouped_core(
     interpret: bool = False,
     sig_rows: jax.Array | None = None,
     narrow_r: int = 0,
+    probes: int = 1,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k via group-max keys + candidate-group refinement.
 
@@ -391,6 +424,10 @@ def collision_topk_grouped_core(
             `lshrs_tpu.ops.bitpack.pack_words_narrow`; refine-gather
             traffic halves at r=16, measured -22 ms per 16k queries at
             131k slots on v5e).
+        probes: multi-probe variants per query; ``qwords`` is then
+            ``(Q, probes * BW)`` probe-major and the count is the number
+            of bands matching ANY variant (still ``<= num_bands``, so the
+            key packing is unchanged — see :func:`band_counts_t`).
     """
     bw, c = sig_t.shape
     q = qwords.shape[0]
@@ -414,9 +451,10 @@ def collision_topk_grouped_core(
             q_tile=q_tile,
             scale=scale,
             interpret=interpret,
+            probes=probes,
         )[:q]
     else:
-        counts = band_counts_t(sig_t, qwords, num_bands)
+        counts = band_counts_t(sig_t, qwords, num_bands, probes)
         key = counts * (tie >= 0).astype(jnp.int32)[None, :] * scale + jnp.maximum(
             tie, 0
         )[None, :]
@@ -436,7 +474,8 @@ def collision_topk_grouped_core(
         )
         slots = None
         counts = refine_counts_vs_query(
-            cwords, qwords, num_bands=num_bands, words=w, narrow_r=narrow_r
+            cwords, qwords, num_bands=num_bands, words=w, narrow_r=narrow_r,
+            probes=probes,
         ).reshape(q, mg)
         cand_tie = cand_tie.reshape(q, mg)
         cand_ids = cand_ids.reshape(q, mg)
@@ -458,11 +497,13 @@ def collision_topk_grouped_core(
             ).reshape(q, m * group)  # (Q, m*group)
         cand_sig = jnp.take(sig_t, slots.reshape(-1), axis=1).reshape(bw, q, mg)
         counts = None
-        for b in range(num_bands):
-            eq = cand_sig[b * w] == qwords[:, b * w][:, None]
-            for j in range(1, w):
-                eq &= cand_sig[b * w + j] == qwords[:, b * w + j][:, None]
-            counts = eq.astype(jnp.int32) if counts is None else counts + eq
+        for t in range(probes):
+            for b in range(num_bands):
+                col = t * bw + b * w
+                eq = cand_sig[b * w] == qwords[:, col][:, None]
+                for j in range(1, w):
+                    eq &= cand_sig[b * w + j] == qwords[:, col + j][:, None]
+                counts = eq.astype(jnp.int32) if counts is None else counts + eq
         cand_tie = jnp.take(tie, slots.reshape(-1)).reshape(q, mg)
         cand_ids = None
     key = counts * (cand_tie >= 0).astype(jnp.int32) * scale + jnp.maximum(cand_tie, 0)
@@ -486,7 +527,7 @@ collision_topk_grouped = partial(
     jax.jit,
     static_argnames=(
         "num_bands", "k", "group", "pallas_chunk", "q_tile", "use_pallas",
-        "interpret", "narrow_r",
+        "interpret", "narrow_r", "probes",
     ),
 )(collision_topk_grouped_core)
 
@@ -503,6 +544,7 @@ def collision_counts_core(
     *,
     num_bands: int,
     chunk: int,
+    probes: int = 1,
 ) -> jax.Array:
     """Full per-slot collision counts, ``(Q, C)`` int32 (0 at dead slots).
 
@@ -518,7 +560,7 @@ def collision_counts_core(
 
     def body(carry, xs):
         chunk_sig_t, chunk_ids = xs
-        counts = band_counts_t(chunk_sig_t, qwords, num_bands)
+        counts = band_counts_t(chunk_sig_t, qwords, num_bands, probes)
         counts = jnp.where(chunk_ids[None, :] >= 0, counts, 0)
         return carry, counts
 
@@ -526,9 +568,9 @@ def collision_counts_core(
     return jnp.moveaxis(all_counts, 0, 1).reshape(q, c_total)
 
 
-collision_counts = partial(jax.jit, static_argnames=("num_bands", "chunk"))(
-    collision_counts_core
-)
+collision_counts = partial(
+    jax.jit, static_argnames=("num_bands", "chunk", "probes")
+)(collision_counts_core)
 
 
 def collision_nnz_core(
@@ -538,6 +580,7 @@ def collision_nnz_core(
     *,
     num_bands: int,
     chunk: int,
+    probes: int = 1,
 ) -> jax.Array:
     """Per-query colliding-candidate count, ``(Q,)`` int32.
 
@@ -556,7 +599,7 @@ def collision_nnz_core(
 
     def body(acc, xs):
         chunk_sig_t, chunk_ids = xs
-        counts = band_counts_t(chunk_sig_t, qwords, num_bands)
+        counts = band_counts_t(chunk_sig_t, qwords, num_bands, probes)
         hit = (counts > 0) & (chunk_ids[None, :] >= 0)
         return acc + hit.sum(axis=1, dtype=jnp.int32), None
 
@@ -564,9 +607,9 @@ def collision_nnz_core(
     return acc
 
 
-collision_nnz = partial(jax.jit, static_argnames=("num_bands", "chunk"))(
-    collision_nnz_core
-)
+collision_nnz = partial(
+    jax.jit, static_argnames=("num_bands", "chunk", "probes")
+)(collision_nnz_core)
 
 
 # ---------------------------------------------------------------------------

@@ -263,7 +263,9 @@ class ShardedDeviceStore(DeviceStore):
     def _gather_usable(self) -> bool:
         return self.store_vectors and self._use_grouped()  # local geometry
 
-    def _topp_gather_dispatch(self, qw, qv_dev, max_out: int, mc: int):
+    def _topp_gather_dispatch(
+        self, qw, qv_dev, max_out: int, mc: int, probes: int = 1
+    ):
         """Shard_map gather rerank: each shard reranks its local
         candidates exactly (shard-local tie keys are exactly what the
         gather core expects per block), then the per-shard (cosine, id)
@@ -294,6 +296,7 @@ class ShardedDeviceStore(DeviceStore):
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=use_pallas,
             narrow_r=self._refine_narrow_r,
+            probes=probes,
         )
 
     def snapshot_topp_fn(
@@ -363,7 +366,7 @@ class ShardedDeviceStore(DeviceStore):
 
         return serve
 
-    def _query_topk_dev(self, qw: jax.Array, k: int):
+    def _query_topk_dev(self, qw: jax.Array, k: int, probes: int = 1):
         self._ensure_ranks()
         k_eff = max(1, min(k, self._local_rows()))
         return _sharded_topk(
@@ -390,15 +393,16 @@ class ShardedDeviceStore(DeviceStore):
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=self._use_pallas(),
             narrow_r=self._refine_narrow_r,
+            probes=probes,
         )
 
     def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 q = qw.shape[0]
                 return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-            counts, ids = self._query_topk_dev(qw, k)
+            counts, ids = self._query_topk_dev(qw, k, probes)
         counts, ids = np.asarray(counts), np.asarray(ids)
         k_eff = counts.shape[1]
         if k_eff < k:
@@ -533,7 +537,7 @@ class ShardedDeviceStore(DeviceStore):
         )
 
     def query_nnz(self, qwords) -> np.ndarray:
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return np.zeros((qw.shape[0],), np.int32)
@@ -545,11 +549,12 @@ class ShardedDeviceStore(DeviceStore):
                 qw,
                 num_bands=self.num_bands,
                 chunk=min(self.chunk, self._local_rows()),
+                probes=probes,
             )
         return np.asarray(n)
 
     def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return (
@@ -564,6 +569,7 @@ class ShardedDeviceStore(DeviceStore):
                 qw,
                 num_bands=self.num_bands,
                 chunk=min(self.chunk, self._local_rows()),
+                probes=probes,
             )
             ids = self._ids
         return np.asarray(counts), np.asarray(ids)
@@ -861,12 +867,13 @@ def _sharded_tie(mesh, axis, ids):
     static_argnames=(
         "mesh", "axis", "num_bands", "k", "chunk",
         "grouped", "group", "pallas_chunk", "q_tile", "use_pallas", "narrow_r",
+        "probes",
     ),
 )
 def _sharded_topk(
     mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_bands, k, chunk, grouped, group, pallas_chunk, q_tile, use_pallas,
-    narrow_r=0,
+    narrow_r=0, probes=1,
 ):
     def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
@@ -874,11 +881,12 @@ def _sharded_topk(
                 sig_l, ids_l, tie_l, qw,
                 num_bands=num_bands, k=k, group=group,
                 pallas_chunk=pallas_chunk, q_tile=q_tile, use_pallas=use_pallas,
-                sig_rows=rows_l, narrow_r=narrow_r,
+                sig_rows=rows_l, narrow_r=narrow_r, probes=probes,
             )
         else:
             counts, out_ids = collision_topk_core(
-                sig_l, ids_l, ranks_l, qw, num_bands=num_bands, k=k, chunk=chunk
+                sig_l, ids_l, ranks_l, qw,
+                num_bands=num_bands, k=k, chunk=chunk, probes=probes,
             )
         # (n_shards, Q, k) on every device after one ICI all-gather.
         counts_g = jax.lax.all_gather(counts, axis)
@@ -1053,13 +1061,13 @@ def _sharded_hamming_packed(
     static_argnames=(
         "mesh", "axis", "num_bands", "max_out", "max_candidates",
         "group", "pallas_chunk", "q_tile", "use_pallas", "interpret",
-        "narrow_r",
+        "narrow_r", "probes",
     ),
 )
 def _sharded_topp_gather(
     mesh, axis, payload, pnorm, ids, tie, sig_t, rows, qwords, qvecs,
     *, num_bands, max_out, max_candidates, group, pallas_chunk, q_tile,
-    use_pallas, interpret=False, narrow_r=0,
+    use_pallas, interpret=False, narrow_r=0, probes=1,
 ):
     """SPMD candidate-gather rerank: shard-local gather rerank + cosine merge.
 
@@ -1083,7 +1091,7 @@ def _sharded_topp_gather(
             max_candidates=max_candidates, group=group,
             pallas_chunk=pallas_chunk, q_tile=q_tile,
             use_pallas=use_pallas, interpret=interpret, sig_rows=rows_l,
-            narrow_r=narrow_r,
+            narrow_r=narrow_r, probes=probes,
         )
         ids_g = jax.lax.all_gather(out_ids, axis)  # (S, Q, max_out)
         sims_g = jax.lax.all_gather(sims, axis)
@@ -1135,12 +1143,16 @@ def _sharded_unpack_planes(mesh, axis, sig_rows, *, num_bands, rows_per_band):
     )(sig_rows)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))
-def _sharded_nnz(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk):
+@partial(
+    jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk", "probes")
+)
+def _sharded_nnz(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk, probes=1):
     from lshrs_tpu.ops.scan import collision_nnz_core
 
     def local(sig_l, ids_l, qw):
-        n_l = collision_nnz_core(sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk)
+        n_l = collision_nnz_core(
+            sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk, probes=probes
+        )
         return jax.lax.psum(n_l, axis)
 
     return jax.shard_map(
@@ -1152,10 +1164,14 @@ def _sharded_nnz(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk):
     )(sig_t, ids, qwords)
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk"))
-def _sharded_counts(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk):
+@partial(
+    jax.jit, static_argnames=("mesh", "axis", "num_bands", "chunk", "probes")
+)
+def _sharded_counts(mesh, axis, sig_t, ids, qwords, *, num_bands, chunk, probes=1):
     def local(sig_l, ids_l, qw):
-        return collision_counts_core(sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk)
+        return collision_counts_core(
+            sig_l, ids_l, qw, num_bands=num_bands, chunk=chunk, probes=probes
+        )
 
     # Counts come back sharded along the slot axis (global layout preserved).
     return jax.shard_map(

@@ -214,13 +214,15 @@ def _band_bucket_jit(band_words_t, ids, q_band, *, w):
     return match & (ids >= 0)
 
 
-@partial(jax.jit, static_argnames=("num_bands", "chunk", "max_out"))
+@partial(jax.jit, static_argnames=("num_bands", "chunk", "max_out", "probes"))
 def _topp_batch_jit(
-    sig_t, ids, payload, pnorm, qw, qv, *, num_bands, chunk, max_out
+    sig_t, ids, payload, pnorm, qw, qv, *, num_bands, chunk, max_out, probes=1
 ):
     from lshrs_tpu.ops.scan import collision_counts_core
 
-    counts = collision_counts_core(sig_t, ids, qw, num_bands=num_bands, chunk=chunk)
+    counts = collision_counts_core(
+        sig_t, ids, qw, num_bands=num_bands, chunk=chunk, probes=probes
+    )
     # bf16 wire queries are cast up inside the rerank core (which also
     # picks the matmul precision from the incoming dtype).
     return rerank_topp_batch_core(payload, pnorm, ids, counts, qv, max_out=max_out)
@@ -925,13 +927,30 @@ class DeviceStore(BaseStorage):
     # queries
     # ------------------------------------------------------------------
 
-    def _query_topk_dev(self, qw: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    @staticmethod
+    def _norm_qwords(qwords) -> tuple[jax.Array, int]:
+        """Normalize query words to ``((Q, probes*BW) uint32, probes)``.
+
+        Accepts the standard ``(Q, BW)`` layout and the multi-probe
+        ``(Q, T, BW)`` layout (`LSHHasher.hash_batch_probe_words_host`).
+        """
+        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        if qw.ndim == 3:
+            q, t, bw = qw.shape
+            return qw.reshape(q, t * bw), t
+        return qw, 1
+
+    def _query_topk_dev(
+        self, qw: jax.Array, k: int, probes: int = 1
+    ) -> tuple[jax.Array, jax.Array]:
         """Device-resident top-k (no host transfer of the results)."""
         self._ensure_ranks()
         k_eff = max(1, min(k, self._capacity))
         # The bucketed engine packs (count, tie) into int32; past the packing
         # limit it would silently corrupt keys, so fall through to the scan.
-        if self.query_mode == "bucket" and supports_fast_path(
+        # Multi-probe queries also fall through (the bucket index probes
+        # exact band keys only).
+        if self.query_mode == "bucket" and probes == 1 and supports_fast_path(
             self.num_bands, self._capacity
         ):
             if self._bucket_index is None:
@@ -965,6 +984,7 @@ class DeviceStore(BaseStorage):
                     self._use_pallas(),
                 ),
                 narrow_r=self._refine_narrow_r,
+                probes=probes,
             )
         return collision_topk(
             self._sig_t,
@@ -974,18 +994,21 @@ class DeviceStore(BaseStorage):
             num_bands=self.num_bands,
             k=k_eff,
             chunk=self.chunk,
+            probes=probes,
         )
 
     def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact (count desc, id asc) top-k for a query batch.
 
         Args:
-            qwords: ``(Q, num_bands * W)`` uint32 signature words.
+            qwords: ``(Q, num_bands * W)`` uint32 signature words, or the
+                multi-probe ``(Q, T, num_bands * W)`` layout — counts are
+                then bands matching ANY probe variant.
         Returns:
             ``(counts, ids)`` NumPy arrays of shape ``(Q, k)``; zero-count
             padding carries id -1.
         """
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         # Dispatch under the lock: appends donate (alias) the state arrays,
         # so a concurrently-dispatched query could read deleted buffers.
         # The device->host readback happens outside (latency not serialised).
@@ -993,7 +1016,7 @@ class DeviceStore(BaseStorage):
             if self._size == 0:
                 q = qw.shape[0]
                 return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-            counts, ids = self._query_topk_dev(qw, k)
+            counts, ids = self._query_topk_dev(qw, k, probes)
         counts, ids = np.asarray(counts), np.asarray(ids)
         k_eff = counts.shape[1]
         if k_eff < k:
@@ -1004,11 +1027,11 @@ class DeviceStore(BaseStorage):
 
     def query_topk_ids(self, qwords, k: int) -> jax.Array:
         """Device-resident id-only top-k (serving fast path, one readback)."""
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return jnp.full((qw.shape[0], k), -1, jnp.int32)
-            _, ids = self._query_topk_dev(qw, k)
+            _, ids = self._query_topk_dev(qw, k, probes)
         return ids
 
     def snapshot_query_fn(
@@ -1363,7 +1386,7 @@ class DeviceStore(BaseStorage):
         analogue of the reference's whole candidate dict, for the
         unbounded-candidate paths (``top_k=None``, top-p rerank).
         """
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return (
@@ -1371,7 +1394,8 @@ class DeviceStore(BaseStorage):
                     np.full((self._capacity,), -1, np.int32),
                 )
             counts = collision_counts(
-                self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+                self._sig_t, self._ids, qw,
+                num_bands=self.num_bands, chunk=self.chunk, probes=probes,
             )
             ids = self._ids
         return np.asarray(counts), np.asarray(ids)
@@ -1385,12 +1409,13 @@ class DeviceStore(BaseStorage):
         """
         from lshrs_tpu.ops.scan import collision_nnz
 
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return np.zeros((qw.shape[0],), np.int32)
             n = collision_nnz(
-                self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+                self._sig_t, self._ids, qw,
+                num_bands=self.num_bands, chunk=self.chunk, probes=probes,
             )
         return np.asarray(n)
 
@@ -1585,13 +1610,14 @@ class DeviceStore(BaseStorage):
         """
         if self._payload is None:
             raise RuntimeError("store_vectors=False: no resident payload to rerank")
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return (np.full(max_out, -1, np.int32), np.zeros(max_out, np.float32), 0)
             out = max(1, min(max_out, self._capacity))
             counts = collision_counts(
-                self._sig_t, self._ids, qw, num_bands=self.num_bands, chunk=self.chunk
+                self._sig_t, self._ids, qw,
+                num_bands=self.num_bands, chunk=self.chunk, probes=probes,
             )
             ids, sims, n = rerank_topp(
                 self._payload,
@@ -1638,7 +1664,7 @@ class DeviceStore(BaseStorage):
             raise RuntimeError("store_vectors=False: no resident payload to rerank")
         if wire_dtype not in ("float32", "bfloat16"):
             raise ValueError("wire_dtype must be 'float32' or 'bfloat16'")
-        qw = jnp.asarray(qwords, dtype=jnp.uint32)
+        qw, probes = self._norm_qwords(qwords)
         q = qw.shape[0]
         with self._lock:
             if self._size == 0:
@@ -1656,7 +1682,7 @@ class DeviceStore(BaseStorage):
                 qv = qv.astype(ml_dtypes.bfloat16)
             if eng == "gather":
                 ids, sims, n, exact = self._topp_gather_dispatch(
-                    qw, jnp.asarray(qv), out, mc
+                    qw, jnp.asarray(qv), out, mc, probes
                 )
             else:
                 exact = None
@@ -1670,6 +1696,7 @@ class DeviceStore(BaseStorage):
                     num_bands=self.num_bands,
                     chunk=self.chunk,
                     max_out=out,
+                    probes=probes,
                 )
         if exact is not None:
             truncated = int(q - np.asarray(exact).sum())
@@ -1678,7 +1705,9 @@ class DeviceStore(BaseStorage):
                     self._rerank_truncations += truncated
         return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
-    def _topp_gather_dispatch(self, qw, qv_dev, max_out: int, mc: int):
+    def _topp_gather_dispatch(
+        self, qw, qv_dev, max_out: int, mc: int, probes: int = 1
+    ):
         """Gather-engine rerank dispatch (call under the lock); returns
         device ``(ids, sims, n, exact)``. Sharded stores override with
         the shard_map formulation."""
@@ -1703,6 +1732,7 @@ class DeviceStore(BaseStorage):
             use_pallas=use_pallas,
             sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas),
             narrow_r=self._refine_narrow_r,
+            probes=probes,
         )
 
     def get_vectors(self, indices: Sequence[int]) -> np.ndarray:
