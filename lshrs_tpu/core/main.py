@@ -1037,13 +1037,23 @@ class LSHRS:
 
             return run_asym
 
+        # Collision-mode serving honors the instance's multi-probe depth;
+        # the probe wire grows a T axis (T * bytes/query).
+        probes = self._multiprobe if mode == "collision" else 1
         serve = self._storage.snapshot_query_fn(  # type: ignore[attr-defined]
-            top_k, wire=wire, mode=mode
+            top_k, wire=wire, mode=mode, probes=probes
         )
+
+        def _hash_serving(arr: np.ndarray):
+            if probes > 1:
+                if self._hash_on_device:
+                    return self._hasher.hash_batch_probe_words(arr, probes)
+                return self._hasher.hash_batch_probe_dense_host(arr, probes)
+            return self._hash_for_ingest(arr)
 
         def run(vectors):
             arr = _validate(vectors)
-            sig = self._hash_for_ingest(arr)
+            sig = _hash_serving(arr)
             out = np.asarray(serve(sig))
             # Count after the dispatch: stale-snapshot calls raise and must
             # not inflate queries_served.

@@ -362,6 +362,40 @@ class LSHHasher:
         flip bits — measure-zero for continuous data, and irrelevant to
         correctness (any distinct-bit flip set is a valid probe set).
         """
+        probe_bits = self._probe_bits_host(vectors, n_probes)
+        n = probe_bits.shape[0]
+        b, r = self.num_bands, self.rows_per_band
+        out = np.empty((n, n_probes, b * self.words_per_band), np.uint32)
+        for t in range(n_probes):
+            out[:, t] = pack_bits_to_words_np(
+                probe_bits[:, t], num_bands=b, rows_per_band=r
+            )
+        return out
+
+    def hash_batch_probe_dense_host(
+        self, vectors: np.ndarray, n_probes: int
+    ) -> np.ndarray:
+        """Multi-probe dense wire, ``(n, n_probes, B * ceil(r/8))`` uint8.
+
+        The minimal-byte probe encoding for shipping multi-probe query
+        batches to a remote store (`snapshot_query_fn(..., probes=T,
+        wire="dense")` decodes it on device); same probe construction as
+        :meth:`hash_batch_probe_words_host`.
+        """
+        probe_bits = self._probe_bits_host(vectors, n_probes)
+        n = probe_bits.shape[0]
+        b, r = self.num_bands, self.rows_per_band
+        first = pack_bits_dense_np(probe_bits[:, 0], num_bands=b, rows_per_band=r)
+        out = np.empty((n, n_probes, first.shape[1]), np.uint8)
+        out[:, 0] = first
+        for t in range(1, n_probes):
+            out[:, t] = pack_bits_dense_np(
+                probe_bits[:, t], num_bands=b, rows_per_band=r
+            )
+        return out
+
+    def _probe_bits_host(self, vectors: np.ndarray, n_probes: int) -> np.ndarray:
+        """Host probe construction: ``(n, n_probes, num_perm)`` bool bits."""
         if n_probes < 1 or n_probes > self.rows_per_band:
             raise ValueError(
                 "n_probes must be in [1, rows_per_band] "
@@ -376,8 +410,8 @@ class LSHHasher:
         n, num_perm = coords.shape
         b, r = self.num_bands, self.rows_per_band
         bits = coords > 0
-        out = np.empty((n, n_probes, b * self.words_per_band), np.uint32)
-        out[:, 0] = pack_bits_to_words_np(bits, num_bands=b, rows_per_band=r)
+        out = np.empty((n, n_probes, num_perm), bool)
+        out[:, 0] = bits
         if n_probes > 1:
             order = np.argsort(np.abs(coords).reshape(n, b, r), axis=2)
             bits3 = bits.reshape(n, b, r)
@@ -386,9 +420,7 @@ class LSHHasher:
             for t in range(1, n_probes):
                 bt = bits3.copy()
                 bt[rows, cols, order[:, :, t - 1]] ^= True
-                out[:, t] = pack_bits_to_words_np(
-                    bt.reshape(n, num_perm), num_bands=b, rows_per_band=r
-                )
+                out[:, t] = bt.reshape(n, num_perm)
         return out
 
     def hash_batch_probe_words(self, vectors, n_probes: int) -> jax.Array:

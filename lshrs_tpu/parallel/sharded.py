@@ -581,6 +581,7 @@ class ShardedDeviceStore(DeviceStore):
         wire: str = "words",
         dev_batch: int | None = None,
         mode: str = "collision",
+        probes: int = 1,
     ):
         """Compiled single-dispatch serving closure over the sharded store.
 
@@ -595,6 +596,13 @@ class ShardedDeviceStore(DeviceStore):
         if mode not in ("collision", "hamming", "asymmetric"):
             raise ValueError(
                 "mode must be 'collision', 'hamming' or 'asymmetric'"
+            )
+        if probes < 1:
+            raise ValueError("probes must be >= 1")
+        if probes > 1 and mode != "collision":
+            raise ValueError(
+                "multi-probe applies to collision counting only (the "
+                "hamming/asymmetric estimators rank every slot already)"
             )
         if mode == "hamming" and not self.enable_hamming:
             raise RuntimeError(
@@ -705,7 +713,7 @@ class ShardedDeviceStore(DeviceStore):
                 num_bands=num_bands, k=k_eff, chunk=chunk,
                 grouped=grouped, group=group, pallas_chunk=pallas_chunk,
                 q_tile=q_tile, use_pallas=use_pallas,
-                narrow_r=narrow_r,
+                narrow_r=narrow_r, probes=probes,
             )[1]
 
         @jax.jit
@@ -713,9 +721,21 @@ class ShardedDeviceStore(DeviceStore):
             if mode == "asymmetric":
                 q = q.astype(jnp.int8)  # the wire IS the quantised coords
             elif wire == "dense":
-                q = _d2w(q, num_bands=num_bands, rows_per_band=rows_per_band)
+                if probes > 1:  # (Q, T, DB) -> decode per probe -> (Q, T*BW)
+                    nq = q.shape[0]
+                    q = _d2w(
+                        q.reshape(nq * probes, -1),
+                        num_bands=num_bands,
+                        rows_per_band=rows_per_band,
+                    ).reshape(nq, -1)
+                else:
+                    q = _d2w(
+                        q, num_bands=num_bands, rows_per_band=rows_per_band
+                    )
             else:
                 q = q.astype(jnp.uint32)
+                if probes > 1:  # accept (Q, T, BW) or flat probe-major
+                    q = q.reshape(q.shape[0], -1)
             n = q.shape[0]
             if dev_batch is None or n <= dev_batch:
                 return run_slice(q, st)

@@ -1041,6 +1041,7 @@ class DeviceStore(BaseStorage):
         wire: str = "words",
         dev_batch: int | None = None,
         mode: str = "collision",
+        probes: int = 1,
     ):
         """Compiled single-dispatch serving closure over the CURRENT contents.
 
@@ -1068,6 +1069,13 @@ class DeviceStore(BaseStorage):
                 input is ``(Q, num_perm)`` int8 coords from
                 `lshrs_tpu.ops.asymmetric.quantize_coords_np`, not a
                 wire signature; ``wire`` is ignored).
+            probes: multi-probe depth T (collision mode only). The
+                closure's input grows a probe axis —
+                ``(Q, T, num_bands * W)`` words from
+                `LSHHasher.hash_batch_probe_words[_host]` (a flat
+                ``(Q, T * num_bands * W)`` probe-major layout is also
+                accepted), or ``(Q, T, dense_bytes)`` with
+                ``wire="dense"``.
 
         Returns:
             callable ``(signatures) -> (Q, k) int32 device array of ids``.
@@ -1077,6 +1085,13 @@ class DeviceStore(BaseStorage):
         if mode not in ("collision", "hamming", "asymmetric"):
             raise ValueError(
                 "mode must be 'collision', 'hamming' or 'asymmetric'"
+            )
+        if probes < 1:
+            raise ValueError("probes must be >= 1")
+        if probes > 1 and mode != "collision":
+            raise ValueError(
+                "multi-probe applies to collision counting only (the "
+                "hamming/asymmetric estimators rank every slot already)"
             )
         if mode == "hamming" and not self.enable_hamming:
             raise RuntimeError(
@@ -1228,12 +1243,13 @@ class DeviceStore(BaseStorage):
                     pallas_chunk=pallas_chunk,
                     q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
                     use_pallas=use_pallas, sig_rows=rows_,
-                    narrow_r=narrow_r,
+                    narrow_r=narrow_r, probes=probes,
                 )
             else:
                 _, out = collision_topk_core(
                     sig_t_, ids_, ranks_, qw,
                     num_bands=num_bands, k=k_eff, chunk=chunk,
+                    probes=probes,
                 )
             return out
 
@@ -1242,9 +1258,19 @@ class DeviceStore(BaseStorage):
             if mode == "asymmetric":
                 q = q.astype(jnp.int8)  # the wire IS the quantised coords
             elif wire == "dense":
-                q = dense_to_words(
-                    q, num_bands=num_bands, rows_per_band=rows_per_band
-                )
+                if probes > 1:  # (Q, T, DB) -> decode per probe -> (Q, T*BW)
+                    nq = q.shape[0]
+                    q = dense_to_words(
+                        q.reshape(nq * probes, -1),
+                        num_bands=num_bands,
+                        rows_per_band=rows_per_band,
+                    ).reshape(nq, -1)
+                else:
+                    q = dense_to_words(
+                        q, num_bands=num_bands, rows_per_band=rows_per_band
+                    )
+            elif probes > 1:  # accept (Q, T, BW) or flat probe-major
+                q = q.astype(jnp.uint32).reshape(q.shape[0], -1)
             n = q.shape[0]
             if dev_batch is None or n <= dev_batch:
                 return run_slice(q, st)

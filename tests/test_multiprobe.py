@@ -363,3 +363,103 @@ def test_sharded_multiprobe_matches_single(hasher, rng):
     np.testing.assert_array_equal(c_s, c_1)
     np.testing.assert_array_equal(i_s, i_1)
     np.testing.assert_array_equal(st.query_nnz(qw3), single.query_nnz(qw3))
+
+
+# ---------------------------------------------------------------------------
+# compiled serving closures
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_multiprobe_matches_query(hasher, rng):
+    """snapshot_query_fn(probes=T) == query_topk ids, both wires."""
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64
+    )
+    n = 260
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    store.add_signature_batch(np.arange(n), words)
+
+    queries = X[:6] + 0.2 * rng.standard_normal((6, D)).astype(np.float32)
+    qw3 = hasher.hash_batch_probe_words_host(queries, 3)
+    _, want = store.query_topk(qw3, 7)
+
+    serve_w = store.snapshot_query_fn(7, wire="words", probes=3)
+    np.testing.assert_array_equal(np.asarray(serve_w(qw3)), want)
+
+    dense3 = hasher.hash_batch_probe_dense_host(queries, 3)
+    serve_d = store.snapshot_query_fn(7, wire="dense", probes=3)
+    np.testing.assert_array_equal(np.asarray(serve_d(dense3)), want)
+
+    with pytest.raises(ValueError, match="probes"):
+        store.snapshot_query_fn(7, probes=0)
+    with pytest.raises(ValueError, match="collision"):
+        store.snapshot_query_fn(7, probes=2, mode="hamming")
+
+    store.remove_indices([0])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve_w(qw3)
+
+
+def test_probe_dense_wire_matches_words(hasher, rng):
+    """Dense probe wire decodes to the same bits as the probe words."""
+    from lshrs_tpu.ops.bitpack import dense_to_words
+
+    X = rng.standard_normal((20, D)).astype(np.float32)
+    pw = hasher.hash_batch_probe_words_host(X, 4)
+    pd = hasher.hash_batch_probe_dense_host(X, 4)
+    decoded = np.asarray(
+        dense_to_words(
+            pd.reshape(20 * 4, -1), num_bands=B, rows_per_band=R
+        )
+    ).reshape(20, 4, -1)
+    np.testing.assert_array_equal(decoded, pw)
+
+
+def test_serving_fn_honors_multiprobe(rng):
+    """serving_fn ids == query_batch ids on a multiprobe instance."""
+    for hash_mode in ("host", "device"):
+        lsh = LSHRS(
+            dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+            engine="collision", multiprobe=3, initial_capacity=256,
+            hash_mode=hash_mode, seed=11,
+        )
+        X = rng.standard_normal((250, D)).astype(np.float32)
+        lsh.index(list(range(250)), X)
+        serve = lsh.serving_fn(top_k=6)
+        queries = X[:12] + 0.2 * rng.standard_normal((12, D)).astype(
+            np.float32
+        )
+        got = serve(queries)
+        want = lsh.query_batch(queries, top_k=6)
+        for qi in range(12):
+            assert [i for i in got[qi] if i >= 0] == want[qi], (
+                hash_mode, qi,
+            )
+
+
+def test_sharded_snapshot_multiprobe_matches_single(hasher, rng):
+    import jax
+
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    assert len(jax.devices()) >= 8
+    st = ShardedDeviceStore(
+        mesh=make_mesh(8), num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64,
+    )
+    single = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64
+    )
+    n = 200
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(7000)[:n]
+    words = hasher.hash_batch_words_host(X)
+    st.add_signature_batch(ids, words)
+    single.add_signature_batch(ids, words)
+
+    queries = X[:5] + 0.2 * rng.standard_normal((5, D)).astype(np.float32)
+    qw3 = hasher.hash_batch_probe_words_host(queries, 3)
+    got = np.asarray(st.snapshot_query_fn(8, probes=3)(qw3))
+    want = np.asarray(single.snapshot_query_fn(8, probes=3)(qw3))
+    np.testing.assert_array_equal(got, want)
