@@ -994,13 +994,25 @@ class LSHRS:
             return arr
 
         if mode == "topp":
+            topp_probes = self._multiprobe
             serve = self._storage.snapshot_topp_fn(  # type: ignore[attr-defined]
-                top_k, wire=wire
+                top_k, wire=wire, probes=topp_probes
             )
+
+            def _hash_topp(arr: np.ndarray):
+                if topp_probes > 1:
+                    if self._hash_on_device:
+                        return self._hasher.hash_batch_probe_words(
+                            arr, topp_probes
+                        )
+                    return self._hasher.hash_batch_probe_dense_host(
+                        arr, topp_probes
+                    )
+                return self._hash_for_ingest(arr)
 
             def run_topp(vectors):
                 arr = _validate(vectors)
-                sig = self._hash_for_ingest(arr)
+                sig = _hash_topp(arr)
                 qv: np.ndarray = arr
                 if wire_dtype == "bfloat16":
                     import ml_dtypes

@@ -306,6 +306,7 @@ class ShardedDeviceStore(DeviceStore):
         wire: str = "words",
         engine: str | None = None,
         max_candidates: int | None = None,
+        probes: int = 1,
     ):
         """Sharded rerank serving closure. The full engine inherits the
         GSPMD program; the gather engine compiles the shard_map gather
@@ -313,10 +314,13 @@ class ShardedDeviceStore(DeviceStore):
         eng, mc = self._resolve_rerank_engine(engine, max_candidates)
         if eng != "gather":
             return super().snapshot_topp_fn(
-                max_out, wire=wire, engine="full", max_candidates=mc
+                max_out, wire=wire, engine="full", max_candidates=mc,
+                probes=probes,
             )
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
+        if probes < 1:
+            raise ValueError("probes must be >= 1")
         from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
 
         with self._lock:
@@ -341,16 +345,28 @@ class ShardedDeviceStore(DeviceStore):
         @jax.jit
         def _serve(q, qv, st):
             if wire == "dense":
-                q = _d2w(q, num_bands=num_bands, rows_per_band=rows_per_band)
+                if probes > 1:  # (Q, T, DB) -> decode per probe
+                    nq = q.shape[0]
+                    q = _d2w(
+                        q.reshape(nq * probes, -1),
+                        num_bands=num_bands,
+                        rows_per_band=rows_per_band,
+                    ).reshape(nq, -1)
+                else:
+                    q = _d2w(
+                        q, num_bands=num_bands, rows_per_band=rows_per_band
+                    )
             else:
                 q = q.astype(jnp.uint32)
+                if probes > 1:  # accept (Q, T, BW) or flat probe-major
+                    q = q.reshape(q.shape[0], -1)
             ids_o, sims, n, _exact = _sharded_topp_gather(
                 mesh, axis, *st, q, qv,
                 num_bands=num_bands, max_out=out, max_candidates=mc,
                 group=group, pallas_chunk=pallas_chunk,
                 q_tile=min(128, _next_pow2(max(8, q.shape[0]))),
                 use_pallas=use_pallas,
-                narrow_r=narrow_r,
+                narrow_r=narrow_r, probes=probes,
             )
             return ids_o, sims, n
 

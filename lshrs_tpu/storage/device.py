@@ -1302,6 +1302,7 @@ class DeviceStore(BaseStorage):
         wire: str = "words",
         engine: str | None = None,
         max_candidates: int | None = None,
+        probes: int = 1,
     ):
         """Compiled single-dispatch top-p rerank closure (serving path).
 
@@ -1322,6 +1323,10 @@ class DeviceStore(BaseStorage):
                 gather engine a returned ``n[i] >= max_candidates`` marks
                 a possibly-truncated ranking (the serving hot loop does
                 not read back the per-query exactness flags).
+            probes: multi-probe depth T — the signature input grows a
+                probe axis (``(Q, T, ...)`` words or dense, as
+                :meth:`snapshot_query_fn`); candidate sets then include
+                any-probe band matches before the cosine rerank.
 
         Returns:
             callable ``(signatures, qvecs) -> (ids (Q, max_out) int32,
@@ -1333,6 +1338,8 @@ class DeviceStore(BaseStorage):
         """
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
+        if probes < 1:
+            raise ValueError("probes must be >= 1")
         if self._payload is None:
             raise RuntimeError("store_vectors=False: no resident payload to rerank")
         from lshrs_tpu.ops.scan import collision_counts_core
@@ -1367,11 +1374,21 @@ class DeviceStore(BaseStorage):
         def _serve(q, qv, st):
             sig_t_, ids_, tie_, payload_, pnorm_, rows_ = st
             if wire == "dense":
-                q = dense_to_words(
-                    q, num_bands=num_bands, rows_per_band=rows_per_band
-                )
+                if probes > 1:  # (Q, T, DB) -> decode per probe
+                    nq = q.shape[0]
+                    q = dense_to_words(
+                        q.reshape(nq * probes, -1),
+                        num_bands=num_bands,
+                        rows_per_band=rows_per_band,
+                    ).reshape(nq, -1)
+                else:
+                    q = dense_to_words(
+                        q, num_bands=num_bands, rows_per_band=rows_per_band
+                    )
             else:
                 q = q.astype(jnp.uint32)
+                if probes > 1:  # accept (Q, T, BW) or flat probe-major
+                    q = q.reshape(q.shape[0], -1)
             if eng == "gather":
                 out_ids, sims, n, _exact = rerank_topp_gather_core(
                     payload_, pnorm_, ids_, tie_, sig_t_, q, qv,
@@ -1384,10 +1401,12 @@ class DeviceStore(BaseStorage):
                     use_pallas=use_pallas,
                     sig_rows=rows_,
                     narrow_r=narrow_r,
+                    probes=probes,
                 )
                 return out_ids, sims, n
             counts = collision_counts_core(
-                sig_t_, ids_, q, num_bands=num_bands, chunk=chunk
+                sig_t_, ids_, q, num_bands=num_bands, chunk=chunk,
+                probes=probes,
             )
             return rerank_topp_batch_core(
                 payload_, pnorm_, ids_, counts, qv, max_out=out

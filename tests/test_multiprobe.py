@@ -463,3 +463,50 @@ def test_sharded_snapshot_multiprobe_matches_single(hasher, rng):
     got = np.asarray(st.snapshot_query_fn(8, probes=3)(qw3))
     want = np.asarray(single.snapshot_query_fn(8, probes=3)(qw3))
     np.testing.assert_array_equal(got, want)
+
+
+def test_snapshot_topp_multiprobe_matches_batch(hasher, rng):
+    """snapshot_topp_fn(probes=T) == query_topp_batch on probe words,
+    for both rerank engines."""
+    for eng in ("full", "gather"):
+        store = DeviceStore(
+            num_bands=B, rows_per_band=R, dim=D, store_vectors=True,
+            chunk_size=64, initial_capacity=64, rerank_engine=eng,
+        )
+        n = 240
+        X = rng.standard_normal((n, D)).astype(np.float32)
+        words = hasher.hash_batch_words_host(X)
+        store.add_signature_batch(np.arange(n), words, vectors=X)
+
+        queries = X[:5] + 0.2 * rng.standard_normal((5, D)).astype(
+            np.float32
+        )
+        qw3 = hasher.hash_batch_probe_words_host(queries, 3)
+        w_ids, w_sims, w_n = store.query_topp_batch(qw3, queries, 8)
+
+        serve = store.snapshot_topp_fn(8, probes=3, engine=eng)
+        ids, sims, nn = serve(qw3, queries)
+        np.testing.assert_array_equal(np.asarray(ids), w_ids), eng
+        np.testing.assert_allclose(np.asarray(sims), w_sims, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(nn), w_n)
+
+
+def test_serving_fn_topp_honors_multiprobe(rng):
+    """serving_fn(mode='topp') on a multiprobe instance reranks the
+    expanded candidate sets (matches get_above_p_batch)."""
+    lsh = LSHRS(
+        dim=D, num_perm=P, num_bands=B, rows_per_band=R, multiprobe=3,
+        engine="collision", store_vectors=True, initial_capacity=256,
+    )
+    X = rng.standard_normal((260, D)).astype(np.float32)
+    lsh.index(list(range(260)), X)
+    queries = X[:6] + 0.2 * rng.standard_normal((6, D)).astype(np.float32)
+
+    topp = lsh.serving_fn(top_k=8, mode="topp")
+    ids, sims, n = topp(queries)
+    want = lsh.get_above_p_batch(queries, p=1.0, top_k=8)
+    for qi in range(6):
+        got = [
+            (int(i), float(s)) for i, s in zip(ids[qi], sims[qi]) if i >= 0
+        ][: len(want[qi])]
+        assert [i for i, _ in got] == [i for i, _ in want[qi]], qi
