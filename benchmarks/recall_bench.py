@@ -97,6 +97,11 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         hash_mode="host",
         hash_family=args.hash_family,
         dedupe=False,
+        # Pin the collision engine: this bench labels its columns by
+        # ESTIMATOR, and engine="auto" silently re-ranks query_batch by
+        # Hamming past 512k slots (the column would then duplicate the
+        # Hamming row, as a 1M run demonstrated).
+        engine="collision",
     )
     t0 = time.perf_counter()
     lsh.index(np.arange(args.n), base)
