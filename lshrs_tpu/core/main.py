@@ -934,6 +934,7 @@ class LSHRS:
         *,
         mode: Optional[str] = None,
         wire_dtype: str = "float32",
+        coords_wire: str = "int8",
     ):
         """Compiled high-QPS serving closure over the *current* index.
 
@@ -963,6 +964,11 @@ class LSHRS:
             wire_dtype: ``"topp"`` only — ``"bfloat16"`` ships the raw
                 query vectors at half the bytes (~1e-2 relative cosine
                 rounding); ``"float32"`` is value-exact.
+            coords_wire: ``"asymmetric"`` only — ``"int8"`` (default,
+                ``num_perm`` bytes/query) or ``"int4"`` (two coords per
+                byte: half the transport, with the query quantised to
+                ``[-7, 7]`` — retains most of the asymmetric recall
+                gain; measured tables in ``PERFORMANCE.md``).
 
         Returns:
             ``mode="collision"``/``"hamming"``/``"asymmetric"``: callable
@@ -1027,21 +1033,35 @@ class LSHRS:
             return run_topp
 
         if mode == "asymmetric":
-            from lshrs_tpu.ops.asymmetric import quantize_coords_np
+            from lshrs_tpu.ops.asymmetric import (
+                QMAX4,
+                pack_coords_int4_np,
+                quantize_coords_np,
+            )
 
+            if coords_wire not in ("int8", "int4"):
+                raise ValueError("coords_wire must be 'int8' or 'int4'")
+            int4 = coords_wire == "int4"
             serve_a = self._storage.snapshot_query_fn(  # type: ignore[attr-defined]
-                top_k, mode="asymmetric"
+                top_k,
+                mode="asymmetric",
+                wire="coords4" if int4 else "words",
             )
 
             def run_asym(vectors):
                 arr = _validate(vectors)
                 # The asymmetric wire is the quantised projection coords
-                # (num_perm bytes/query) — computed on host for both hash
-                # modes, matching query_asymmetric_batch's estimator.
-                qi8, _ = quantize_coords_np(
-                    self._hasher.hash_batch_coords_host(arr)
-                )
-                out = np.asarray(serve_a(qi8))
+                # (num_perm bytes/query; "int4" packs two per byte for
+                # half the transport at a small recall cost) — computed
+                # on host for both hash modes, matching
+                # query_asymmetric_batch's estimator.
+                coords = self._hasher.hash_batch_coords_host(arr)
+                if int4:
+                    qi8, _ = quantize_coords_np(coords, qmax=QMAX4)
+                    sig = pack_coords_int4_np(qi8)
+                else:
+                    sig, _ = quantize_coords_np(coords)
+                out = np.asarray(serve_a(sig))
                 # Count after the dispatch: stale-snapshot calls raise and
                 # must not inflate queries_served.
                 self._count("queries_served", arr.shape[0])

@@ -55,16 +55,21 @@ from lshrs_tpu.ops.scan import _hierarchical_top_groups, merge_topk_pools
 
 __all__ = [
     "QMAX",
+    "QMAX4",
     "asymmetric_shift",
     "quantize_coords_np",
     "quantize_coords_jax",
+    "pack_coords_int4_np",
+    "unpack_coords_int4",
     "asymmetric_topk",
     "asymmetric_topk_core",
     "asymmetric_topk_chunked",
     "asymmetric_topk_chunked_core",
+    "refine_dots_from_words",
 ]
 
 QMAX = 127  # int8 full range for the quantised query coordinates
+QMAX4 = 7  # int4 range for the packed half-byte wire (`pack_coords_int4_np`)
 
 
 def asymmetric_shift(num_perm: int, capacity: int, qmax: int = QMAX) -> int:
@@ -102,6 +107,41 @@ def quantize_coords_np(
     return qi8, sumabs
 
 
+def pack_coords_int4_np(qi8: np.ndarray) -> np.ndarray:
+    """Pack int4-range coords two-per-byte: ``(n, P)`` int8 -> ``(n, P/2)``
+    uint8 (low nibble = even column, high nibble = odd column).
+
+    The half-size asymmetric query wire: quantise with ``qmax=QMAX4``,
+    pack, ship, and `unpack_coords_int4` restores the coords on device.
+    Measured recall cost of 4-bit vs 8-bit query quantisation: ~0.38 vs
+    ~0.39 recall@10 at 60k clustered where symmetric Hamming sits at
+    ~0.35 — most of the asymmetric gain at half the transport.
+    """
+    q = np.asarray(qi8, dtype=np.int8)
+    if q.ndim != 2 or q.shape[1] % 2:
+        raise ValueError("coords must be (n, P) with even P")
+    if np.abs(q.astype(np.int32)).max(initial=0) > QMAX4:
+        raise ValueError(
+            f"int4 packing requires coords in [-{QMAX4}, {QMAX4}]; "
+            f"quantise with qmax={QMAX4}"
+        )
+    u = q.view(np.uint8) & 0xF
+    return (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_coords_int4(wire: jax.Array) -> jax.Array:
+    """Device twin of :func:`pack_coords_int4_np`: ``(n, P/2)`` uint8 ->
+    ``(n, P)`` int8 coords in ``[-QMAX4, QMAX4]`` (sign-extended)."""
+    u = wire.astype(jnp.uint8)
+    lo = (u & 0xF).astype(jnp.int8)
+    hi = (u >> 4).astype(jnp.int8)
+    # sign-extend the 4-bit two's-complement nibbles
+    lo = ((lo ^ 8) - 8).astype(jnp.int8)
+    hi = ((hi ^ 8) - 8).astype(jnp.int8)
+    n = u.shape[0]
+    return jnp.stack([lo, hi], axis=-1).reshape(n, -1)
+
+
 def quantize_coords_jax(coords, qmax: int = QMAX):
     """JAX twin of :func:`quantize_coords_np` (same rounding: rint)."""
     c = jnp.asarray(coords, dtype=jnp.float32)
@@ -136,6 +176,59 @@ def _exact_pool_order(dots, cand_ids, alive, k: int, offset: int):
     return out_dots, out_ids
 
 
+def refine_dots_from_words(
+    cwords: jax.Array,
+    qcoords: jax.Array,
+    *,
+    num_bands: int,
+    rows_per_band: int,
+    narrow_r: int = 0,
+) -> jax.Array:
+    """Exact asymmetric dots of gathered candidate WORD rows vs query coords.
+
+    ``dots = sum_j c_j * (2 b_j - 1) = 2 * sum_j c_j b_j - sum_j c_j``, so
+    the exact int dot reconstructs from the packed signature bits with one
+    select-accumulate per coordinate — all fused VPU work on the already-
+    gathered ``(Q, m, nw, group)`` block. This keeps the refine stage on
+    the 4-byte-per-word grouped refine table instead of gathering full
+    ``num_perm``-byte bitplane rows (measured 386 -> ~? ms per 16k queries
+    at 1M slots; the bitplane gather moved 3.5x the bytes in 64x the rows).
+
+    Args:
+        cwords: ``(Q, m, nw, group)`` uint32 gathered signature words —
+            word-aligned when ``narrow_r == 0``, else narrow-packed
+            (``32 // narrow_r`` bands per word).
+        qcoords: ``(Q, P)`` int8 quantised query coordinates.
+
+    Returns:
+        ``(Q, m, group)`` int32 exact dots (as if against ±1 bitplanes).
+    """
+    q = cwords.shape[0]
+    c32 = qcoords.astype(jnp.int32)
+    csum = c32.sum(axis=1)  # (Q,)
+    r = rows_per_band
+    nw = cwords.shape[2]
+    acc = None
+    for b in range(num_bands):
+        if narrow_r:
+            bpw = 32 // narrow_r
+            wi_base, sh_base = b // bpw, (b % bpw) * narrow_r
+        else:
+            wpb = nw // num_bands
+            wi_base, sh_base = b * wpb, 0
+        for ri in range(r):
+            if narrow_r:
+                wi, sh = wi_base, sh_base + ri
+            else:
+                wi, sh = wi_base + ri // 32, ri % 32
+            bit = (
+                (cwords[:, :, wi, :] >> jnp.uint32(sh)) & jnp.uint32(1)
+            ).astype(jnp.int32)
+            term = bit * c32[:, b * r + ri][:, None, None]
+            acc = term if acc is None else acc + term
+    return 2 * acc - csum[:, None, None]
+
+
 def asymmetric_topk_core(
     planes: jax.Array,
     ids: jax.Array,
@@ -150,6 +243,9 @@ def asymmetric_topk_core(
     use_pallas: bool = False,
     q_tile: int = 128,
     interpret: bool = False,
+    sig_rows: jax.Array | None = None,
+    narrow_r: int = 0,
+    num_bands: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k by (asymmetric dot desc, id asc), grouped MXU path.
 
@@ -159,6 +255,17 @@ def asymmetric_topk_core(
         qcoords: ``(Q, P)`` int8 quantised query coordinates
             (:func:`quantize_coords_np` / `_jax`).
         shift: key right-shift from :func:`asymmetric_shift`.
+        sig_rows: optional grouped word-major refine table
+            (`lshrs_tpu.ops.scan.build_grouped_refine_rows`, strided iff
+            ``use_pallas``); the refine stage then gathers one wide row
+            per candidate GROUP and reconstructs exact dots from the
+            packed bits (:func:`refine_dots_from_words`) instead of
+            gathering full bitplane rows — the bitplane gather dominated
+            the whole query at 1M slots (measured 386 ms vs 72 ms for
+            the equivalent Hamming dispatch per 16k queries). Requires
+            ``num_bands`` (and ``narrow_r`` if the table is
+            narrow-packed).
+        num_bands: banding of ``sig_rows``'s word layout.
 
     Returns:
         ``(dots (Q, k) int32, out_ids (Q, k))``; empty tail entries carry
@@ -203,6 +310,30 @@ def asymmetric_topk_core(
     top_groups = _hierarchical_top_groups(
         gmax, m=m, ngc=chunk // group if use_pallas else None
     )
+    mg = m * group
+    if sig_rows is not None:
+        from lshrs_tpu.ops.bitpack import narrow_words_count
+        from lshrs_tpu.ops.scan import gather_refine_group_rows
+
+        assert num_bands is not None, "sig_rows refine requires num_bands"
+        rows_per_band = p // num_bands
+        nw = (
+            narrow_words_count(num_bands, narrow_r)
+            if narrow_r
+            else num_bands * ((rows_per_band + 31) // 32)
+        )
+        cwords, cand_tie, cand_ids = gather_refine_group_rows(
+            sig_rows, top_groups, bw=nw, group=group
+        )
+        dots = refine_dots_from_words(
+            cwords, qcoords,
+            num_bands=num_bands, rows_per_band=rows_per_band,
+            narrow_r=narrow_r,
+        ).reshape(q, mg)
+        cand_tie = cand_tie.reshape(q, mg)
+        cand_ids = cand_ids.reshape(q, mg)
+        return _exact_pool_order(dots, cand_ids, cand_tie >= 0, k, offset)
+
     if use_pallas:
         # Pallas grouping is strided within each chunk (see pallas_scan).
         ngc = chunk // group
@@ -292,7 +423,8 @@ def asymmetric_topk_chunked_core(
 asymmetric_topk = partial(
     jax.jit,
     static_argnames=(
-        "k", "chunk", "group", "shift", "qmax", "use_pallas", "q_tile", "interpret",
+        "k", "chunk", "group", "shift", "qmax", "use_pallas", "q_tile",
+        "interpret", "narrow_r", "num_bands",
     ),
 )(asymmetric_topk_core)
 asymmetric_topk_chunked = partial(

@@ -538,11 +538,15 @@ class ShardedDeviceStore(DeviceStore):
             self.mesh,
             self.axis,
             self._planes,
+            self._refine_rows_for(group, chunk, use_pallas)
+            if grouped
+            else self._sig_rows,
             self._ids,
             self._ranks,
             self._tie,
             qc,
             num_perm=p,
+            num_bands=self.num_bands,
             k=k_eff,
             chunk=chunk,
             grouped=grouped,
@@ -550,6 +554,7 @@ class ShardedDeviceStore(DeviceStore):
             shift=asymmetric_shift(p, local),
             use_pallas=use_pallas,
             q_tile=q_tile,
+            narrow_r=self._refine_narrow_r if grouped else 0,
         )
 
     def query_nnz(self, qwords) -> np.ndarray:
@@ -607,8 +612,10 @@ class ShardedDeviceStore(DeviceStore):
         results across shards (shard-local tie keys are only distinct
         within a shard).
         """
-        if wire not in ("words", "dense"):
-            raise ValueError("wire must be 'words' or 'dense'")
+        if wire not in ("words", "dense", "coords4"):
+            raise ValueError("wire must be 'words', 'dense' or 'coords4'")
+        if wire == "coords4" and mode != "asymmetric":
+            raise ValueError("wire='coords4' applies to mode='asymmetric' only")
         if mode not in ("collision", "hamming", "asymmetric"):
             raise ValueError(
                 "mode must be 'collision', 'hamming' or 'asymmetric'"
@@ -630,8 +637,15 @@ class ShardedDeviceStore(DeviceStore):
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for asymmetric-mode queries"
             )
-        from lshrs_tpu.ops.asymmetric import asymmetric_shift
+        from lshrs_tpu.ops.asymmetric import (
+            QMAX,
+            QMAX4,
+            asymmetric_shift,
+            unpack_coords_int4,
+        )
         from lshrs_tpu.ops.bitpack import dense_to_words as _d2w
+
+        asym_qmax = QMAX4 if wire == "coords4" else QMAX
 
         with self._lock:
             if self._size == 0:
@@ -662,8 +676,9 @@ class ShardedDeviceStore(DeviceStore):
             ham_tile, ham_pallas, _ = self._hamming_geometry(local)
             ham_chunk = ham_tile if ham_pallas else chunk
             # Grouped refine table in the geometry of the served mode
-            # (strided iff the Pallas kernel runs; asymmetric refines from
-            # freshly gathered bitplane rows — no signature table needed).
+            # (strided iff the Pallas kernel runs; asymmetric reconstructs
+            # exact dots from the same word-row table — word-row refine).
+            asym_grouped = local % group == 0
             if mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_chunk, ham_pallas)
@@ -671,7 +686,11 @@ class ShardedDeviceStore(DeviceStore):
                     else self._sig_rows
                 )
             elif mode == "asymmetric":
-                rows = self._sig_rows
+                rows = (
+                    self._refine_rows_for(group, ham_chunk, ham_pallas)
+                    if asym_grouped
+                    else self._sig_rows
+                )
             else:
                 rows = (
                     self._refine_rows_for(
@@ -680,16 +699,16 @@ class ShardedDeviceStore(DeviceStore):
                     if grouped
                     else self._sig_rows
                 )
-            asym_grouped = local % group == 0
-            asym_shift = asymmetric_shift(num_perm, local)
+            asym_shift = asymmetric_shift(num_perm, local, qmax=asym_qmax)
             state = (
                 self._sig_t, rows, self._ids, self._ranks, self._tie, self._planes
             )
             pallas_chunk = self._pallas_chunk()
             use_pallas = self._use_pallas()
-            narrow_r = self._refine_narrow_r if (
-                ham_grouped if mode == "hamming" else grouped
-            ) else 0
+            mode_grouped = {
+                "hamming": ham_grouped, "asymmetric": asym_grouped,
+            }.get(mode, grouped)
+            narrow_r = self._refine_narrow_r if mode_grouped else 0
 
         def run_slice(qw, st):
             sig_t, rows_, ids, ranks, tie, planes = st
@@ -697,10 +716,11 @@ class ShardedDeviceStore(DeviceStore):
             if mode == "asymmetric":
                 aq_tile = hamming_q_tile(qw.shape[0], ham_chunk, packed=False)
                 return _sharded_asymmetric(
-                    mesh, axis, planes, ids, ranks, tie, qw,
-                    num_perm=num_perm, k=k_eff, chunk=ham_chunk,
-                    grouped=asym_grouped, group=group, shift=asym_shift,
-                    use_pallas=ham_pallas, q_tile=aq_tile,
+                    mesh, axis, planes, rows_, ids, ranks, tie, qw,
+                    num_perm=num_perm, num_bands=num_bands, k=k_eff,
+                    chunk=ham_chunk, grouped=asym_grouped, group=group,
+                    shift=asym_shift, use_pallas=ham_pallas,
+                    q_tile=aq_tile, qmax=asym_qmax, narrow_r=narrow_r,
                 )[1]
             if mode == "hamming":
                 ham_q_tile = hamming_q_tile(
@@ -735,7 +755,10 @@ class ShardedDeviceStore(DeviceStore):
         @jax.jit
         def _serve(q, st):
             if mode == "asymmetric":
-                q = q.astype(jnp.int8)  # the wire IS the quantised coords
+                if wire == "coords4":  # packed nibbles -> int8 coords
+                    q = unpack_coords_int4(q)
+                else:
+                    q = q.astype(jnp.int8)  # the wire IS the quantised coords
             elif wire == "dense":
                 if probes > 1:  # (Q, T, DB) -> decode per probe -> (Q, T*BW)
                     nq = q.shape[0]
@@ -944,14 +967,15 @@ def _sharded_topk(
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
-        "shift", "use_pallas", "q_tile", "interpret",
+        "mesh", "axis", "num_perm", "num_bands", "k", "chunk", "grouped",
+        "group", "shift", "use_pallas", "q_tile", "interpret", "qmax",
+        "narrow_r",
     ),
 )
 def _sharded_asymmetric(
-    mesh, axis, planes, ids, ranks, tie, qcoords,
-    *, num_perm, k, chunk, grouped, group, shift,
-    use_pallas=False, q_tile=128, interpret=False,
+    mesh, axis, planes, rows, ids, ranks, tie, qcoords,
+    *, num_perm, num_bands, k, chunk, grouped, group, shift,
+    use_pallas=False, q_tile=128, interpret=False, qmax=None, narrow_r=0,
 ):
     """Shard-local asymmetric top-k + exact ICI merge.
 
@@ -959,6 +983,11 @@ def _sharded_asymmetric(
     shard), so merging per-shard (dots desc, id asc) prefixes over one
     all_gather is exact — the same argument as the cosine gather-rerank
     merge. Shard-local tie keys are exactly what the core expects.
+    ``qmax`` must match the wire's quantisation range (`shift` is sized
+    from it); None = the full int8 range. ``rows`` is each shard's
+    grouped word-major refine table (word-row refine, see
+    `lshrs_tpu.ops.asymmetric.refine_dots_from_words`); pass the
+    per-slot ``sig_rows`` when ``grouped`` is False (unused there).
     """
     from lshrs_tpu.ops.asymmetric import (
         QMAX,
@@ -966,18 +995,21 @@ def _sharded_asymmetric(
         asymmetric_topk_core,
     )
 
-    offset = num_perm * QMAX
+    if qmax is None:
+        qmax = QMAX
+    offset = num_perm * qmax
 
-    def local(planes_l, ids_l, ranks_l, tie_l, qc):
+    def local(planes_l, rows_l, ids_l, ranks_l, tie_l, qc):
         if grouped:
             dots, out_ids = asymmetric_topk_core(
                 planes_l, ids_l, tie_l, qc,
-                k=k, chunk=chunk, group=group, shift=shift,
+                k=k, chunk=chunk, group=group, shift=shift, qmax=qmax,
                 use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
+                sig_rows=rows_l, narrow_r=narrow_r, num_bands=num_bands,
             )
         else:
             dots, out_ids = asymmetric_topk_chunked_core(
-                planes_l, ids_l, ranks_l, qc, k=k, chunk=chunk
+                planes_l, ids_l, ranks_l, qc, k=k, chunk=chunk, qmax=qmax
             )
         # merge by (dots desc, id asc): shift to the non-negative scaled
         # domain merge_topk_pools expects (0 marks empty entries)
@@ -996,10 +1028,12 @@ def _sharded_asymmetric(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(axis), P()),
+        in_specs=(
+            P(axis, None), P(axis, None), P(axis), P(axis), P(axis), P(),
+        ),
         out_specs=(P(), P()),
         check_vma=False,
-    )(planes, ids, ranks, tie, qcoords)
+    )(planes, rows, ids, ranks, tie, qcoords)
 
 
 @partial(

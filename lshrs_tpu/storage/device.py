@@ -1067,8 +1067,13 @@ class DeviceStore(BaseStorage):
                 ``enable_hamming=True``) or ``"asymmetric"`` (quantised
                 query coordinates vs store bitplanes — the closure's
                 input is ``(Q, num_perm)`` int8 coords from
-                `lshrs_tpu.ops.asymmetric.quantize_coords_np`, not a
-                wire signature; ``wire`` is ignored).
+                `lshrs_tpu.ops.asymmetric.quantize_coords_np`; with
+                ``wire="coords4"`` it is instead the HALF-size packed
+                nibble wire from
+                `lshrs_tpu.ops.asymmetric.pack_coords_int4_np` of
+                coords quantised with ``qmax=QMAX4`` — most of the
+                asymmetric recall gain at half the transport. Other
+                ``wire`` values are ignored for this mode).
             probes: multi-probe depth T (collision mode only). The
                 closure's input grows a probe axis —
                 ``(Q, T, num_bands * W)`` words from
@@ -1080,8 +1085,10 @@ class DeviceStore(BaseStorage):
         Returns:
             callable ``(signatures) -> (Q, k) int32 device array of ids``.
         """
-        if wire not in ("words", "dense"):
-            raise ValueError("wire must be 'words' or 'dense'")
+        if wire not in ("words", "dense", "coords4"):
+            raise ValueError("wire must be 'words', 'dense' or 'coords4'")
+        if wire == "coords4" and mode != "asymmetric":
+            raise ValueError("wire='coords4' applies to mode='asymmetric' only")
         if mode not in ("collision", "hamming", "asymmetric"):
             raise ValueError(
                 "mode must be 'collision', 'hamming' or 'asymmetric'"
@@ -1104,11 +1111,15 @@ class DeviceStore(BaseStorage):
                 "enable_hamming=True for asymmetric-mode queries"
             )
         from lshrs_tpu.ops.asymmetric import (
+            QMAX,
+            QMAX4,
             asymmetric_shift,
             asymmetric_topk_chunked_core,
             asymmetric_topk_core,
+            unpack_coords_int4,
         )
 
+        asym_qmax = QMAX4 if wire == "coords4" else QMAX
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_query_fn requires a non-empty store")
@@ -1138,9 +1149,8 @@ class DeviceStore(BaseStorage):
             )
             ham_tile = group * 128
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
-            # Grouped refine table in the geometry of the served mode
-            # (asymmetric refines from freshly gathered bitplane rows, so
-            # it needs no signature refine table at all).
+            # Grouped refine table in the geometry of the served mode.
+            asym_grouped = self._capacity % group == 0
             if mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_tile, ham_pallas)
@@ -1148,15 +1158,21 @@ class DeviceStore(BaseStorage):
                     else None
                 )
             elif mode == "asymmetric":
-                rows = None
+                # Word-row refine: exact dots reconstruct from the packed
+                # bits, so the 4-byte-word table replaces the num_perm-byte
+                # bitplane gather (5x whole-query win measured at 1M).
+                rows = (
+                    self._refine_rows_for(group, ham_tile, ham_pallas)
+                    if asym_grouped
+                    else None
+                )
             else:
                 rows = (
                     self._refine_rows_for(group, pallas_chunk, use_pallas)
                     if grouped
                     else None
                 )
-            asym_grouped = self._capacity % group == 0
-            asym_shift = asymmetric_shift(num_perm, self._capacity)
+            asym_shift = asymmetric_shift(num_perm, self._capacity, qmax=asym_qmax)
             # Read under the SAME lock hold as the state capture: a
             # mutation racing with snapshot creation must leave a closure
             # that fails the staleness check, not one that dispatches on
@@ -1184,12 +1200,17 @@ class DeviceStore(BaseStorage):
                         chunk=ham_tile if ham_pallas else chunk,
                         group=group,
                         shift=asym_shift,
+                        qmax=asym_qmax,
                         use_pallas=ham_pallas,
                         q_tile=q_tile,
+                        sig_rows=rows_,
+                        narrow_r=narrow_r,
+                        num_bands=num_bands,
                     )
                 else:
                     _, out = asymmetric_topk_chunked_core(
-                        planes_, ids_, ranks_, qw, k=k_eff, chunk=chunk
+                        planes_, ids_, ranks_, qw,
+                        k=k_eff, chunk=chunk, qmax=asym_qmax,
                     )
                 return out
             if mode == "hamming":
@@ -1256,7 +1277,10 @@ class DeviceStore(BaseStorage):
         @jax.jit
         def _serve(q, st):
             if mode == "asymmetric":
-                q = q.astype(jnp.int8)  # the wire IS the quantised coords
+                if wire == "coords4":  # packed nibbles -> int8 coords
+                    q = unpack_coords_int4(q)
+                else:
+                    q = q.astype(jnp.int8)  # the wire IS the quantised coords
             elif wire == "dense":
                 if probes > 1:  # (Q, T, DB) -> decode per probe -> (Q, T*BW)
                     nq = q.shape[0]
@@ -1584,6 +1608,14 @@ class DeviceStore(BaseStorage):
                 shift=asymmetric_shift(p, self._capacity),
                 use_pallas=use_pallas,
                 q_tile=q_tile,
+                # Word-row refine: reconstruct exact dots from the grouped
+                # 4-byte-word refine table instead of gathering full
+                # num_perm-byte bitplane rows (5x whole-query win at 1M).
+                sig_rows=self._refine_rows_for(
+                    group, pallas_tile if use_pallas else self.chunk, use_pallas
+                ),
+                narrow_r=self._refine_narrow_r,
+                num_bands=self.num_bands,
             )
         return asymmetric_topk_chunked(
             self._planes, self._ids, self._ranks, qc, k=k_eff, chunk=self.chunk

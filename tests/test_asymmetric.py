@@ -424,3 +424,102 @@ def test_asymmetric_recall_dominates_symmetric(rng):
 
     r_ham, r_asym = recall(ham), recall(asym)
     assert r_asym > r_ham, (r_asym, r_ham)
+
+
+# ---------------------------------------------------------------------------
+# int4-packed coordinate wire
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_coords_int4_roundtrip(rng):
+    from lshrs_tpu.ops.asymmetric import (
+        QMAX4,
+        pack_coords_int4_np,
+        unpack_coords_int4,
+    )
+
+    qi8 = rng.integers(-QMAX4, QMAX4 + 1, size=(17, P)).astype(np.int8)
+    packed = pack_coords_int4_np(qi8)
+    assert packed.shape == (17, P // 2) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(unpack_coords_int4(packed)), qi8)
+
+    with pytest.raises(ValueError, match="int4"):
+        pack_coords_int4_np(np.full((2, P), 100, np.int8))
+    with pytest.raises(ValueError, match="even"):
+        pack_coords_int4_np(np.zeros((2, P - 1), np.int8))
+
+
+def test_snapshot_coords4_matches_int4_quantised_query(hasher, rng):
+    """coords4 closure == query path fed the same int4-quantised coords."""
+    from lshrs_tpu.ops.asymmetric import QMAX4, pack_coords_int4_np
+
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    X = rng.standard_normal((280, D)).astype(np.float32)
+    store.add_signature_batch(
+        np.arange(280), hasher.hash_batch_words_host(X)
+    )
+    queries = rng.standard_normal((6, D)).astype(np.float32)
+    qi4, _ = quantize_coords_np(
+        hasher.hash_batch_coords_host(queries), qmax=QMAX4
+    )
+    _, want = store.query_asymmetric(qi4, 7)
+
+    serve = store.snapshot_query_fn(7, mode="asymmetric", wire="coords4")
+    got = np.asarray(serve(pack_coords_int4_np(qi4)))
+    np.testing.assert_array_equal(got, want)
+
+    with pytest.raises(ValueError, match="coords4"):
+        store.snapshot_query_fn(7, mode="collision", wire="coords4")
+
+
+def test_sharded_snapshot_coords4_matches_single(hasher, rng):
+    import jax
+
+    from lshrs_tpu.ops.asymmetric import QMAX4, pack_coords_int4_np
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    assert len(jax.devices()) >= 8
+    st = ShardedDeviceStore(
+        mesh=make_mesh(8), num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    single = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    n = 180
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(4000)[:n]
+    words = hasher.hash_batch_words_host(X)
+    st.add_signature_batch(ids, words)
+    single.add_signature_batch(ids, words)
+
+    queries = rng.standard_normal((4, D)).astype(np.float32)
+    qi4, _ = quantize_coords_np(
+        hasher.hash_batch_coords_host(queries), qmax=QMAX4
+    )
+    wire = pack_coords_int4_np(qi4)
+    got = np.asarray(st.snapshot_query_fn(6, mode="asymmetric", wire="coords4")(wire))
+    want = np.asarray(
+        single.snapshot_query_fn(6, mode="asymmetric", wire="coords4")(wire)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_serving_fn_asymmetric_int4_wire(rng):
+    """coords_wire='int4' serves sane results (self-match + recall order)."""
+    lsh = LSHRS(
+        dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+        enable_hamming=True, initial_capacity=256,
+    )
+    X = rng.standard_normal((240, D)).astype(np.float32)
+    lsh.index(np.arange(240), X)
+    serve = lsh.serving_fn(top_k=5, mode="asymmetric", coords_wire="int4")
+    got = serve(X[:16])
+    assert got.shape == (16, 5)
+    assert got[:, 0].tolist() == list(range(16))  # self-match first
+    with pytest.raises(ValueError, match="coords_wire"):
+        lsh.serving_fn(top_k=5, mode="asymmetric", coords_wire="int2")
