@@ -52,6 +52,21 @@ def supports_fast_path(num_bands: int, capacity: int) -> bool:
     return (num_bands + 1) * key_scale(capacity) < 2**31
 
 
+def multiprobe_q_tile(q_tile: int, probes: int) -> int:
+    """Query tile for the multi-probe collision kernel.
+
+    The probed kernel's live set grows ~linearly with the probe count
+    (observed on v5e: 19.74 MB of scoped stack at q_tile=128, chunk=8192,
+    32 bands x 4 probes vs Mosaic's 16 MB limit), so the query tile
+    shrinks by the next power of two of ``probes``; (q_tile, chunk)
+    intermediates dominate the stack, so this scales it back ~1/probes.
+    """
+    if probes <= 1:
+        return q_tile
+    shrink = 1 << (probes - 1).bit_length()
+    return max(8, q_tile // shrink)
+
+
 def _make_kernel(
     num_bands: int, words: int, group: int, scale: int, probes: int = 1
 ):

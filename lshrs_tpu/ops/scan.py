@@ -37,7 +37,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from lshrs_tpu.ops.bitpack import narrow_words_count, pack_words_narrow
-from lshrs_tpu.ops.pallas_scan import group_max_keys, key_scale, supports_fast_path
+from lshrs_tpu.ops.pallas_scan import (
+    group_max_keys,
+    key_scale,
+    multiprobe_q_tile,
+    supports_fast_path,
+)
 
 __all__ = [
     "collision_topk",
@@ -436,6 +441,7 @@ def collision_topk_grouped_core(
     ng = c // group
 
     if use_pallas:
+        q_tile = multiprobe_q_tile(q_tile, probes)
         q_pad = -(-q // q_tile) * q_tile
         qw = (
             jnp.pad(qwords, ((0, q_pad - q), (0, 0))) if q_pad != q else qwords
