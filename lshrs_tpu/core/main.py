@@ -122,6 +122,20 @@ class LSHRS:
             enumeration on every backend (device scans and bucket reads
             alike); counts become "bands matching any probe" and collision
             ordering is no longer reference-parity while T > 1.
+        similarity: ``"cosine"`` (reference parity, default) or ``"dot"``
+            — maximum-inner-product search (MIPS) via the simple-LSH
+            augmentation (Neyshabur & Srebro 2015): every stored vector
+            gains one coordinate ``sqrt(max_norm^2 - |x|^2)`` and every
+            query a 0, reducing inner-product ranking to the cosine
+            machinery end-to-end (hashing, collision counting, Hamming /
+            asymmetric estimators, device rerank). Returned scores are
+            inner products (rescaled exactly); candidate ids follow
+            inner-product order. Known caveat of the augmentation: recall
+            degrades when stored norms vary by orders of magnitude (the
+            augmented coordinate dominates small-norm vectors' hashes).
+        max_norm: required with ``similarity="dot"`` — the declared upper
+            bound on stored vector norms; ingesting a vector above it
+            raises ``ValueError``.
     """
 
     def __init__(
@@ -161,6 +175,8 @@ class LSHRS:
         rerank_candidates: int = 1024,
         engine: str = "auto",
         multiprobe: int = 1,
+        similarity: str = "cosine",
+        max_norm: Optional[float] = None,
     ) -> None:
         if dim <= 0:
             raise ValueError("Vector dimensionality must be greater than zero")
@@ -176,6 +192,18 @@ class LSHRS:
             raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
         if not isinstance(multiprobe, int) or multiprobe < 1:
             raise ValueError("multiprobe must be an integer >= 1")
+        if similarity not in ("cosine", "dot"):
+            raise ValueError("similarity must be 'cosine' or 'dot'")
+        if similarity == "dot":
+            if max_norm is None or not max_norm > 0:
+                raise ValueError(
+                    'similarity="dot" requires max_norm > 0: the MIPS '
+                    "augmentation needs an upper bound on stored vector "
+                    "norms (vectors above it are rejected at ingest)"
+                )
+            max_norm = float(max_norm)
+        self._similarity = similarity
+        self._max_norm = max_norm
         self._engine = engine
         if engine != "collision" and backend == "device" and not enable_hamming:
             # The auto/hamming engines rank with the int8 bitplane (MXU)
@@ -203,6 +231,11 @@ class LSHRS:
         self._multiprobe = multiprobe
 
         self._dim = dim
+        # MIPS ("dot") augments every vector with one extra coordinate
+        # (sqrt(max_norm^2 - |x|^2) stored-side, 0 query-side), reducing
+        # inner-product ranking to the cosine machinery (simple-LSH /
+        # Neyshabur & Srebro); the hasher and store operate on dim + 1.
+        self._hash_dim = dim + 1 if similarity == "dot" else dim
         self._buffer_size = buffer_size
         self._vector_fetch_fn = vector_fetch_fn
         # One hash path per instance: stored and query signatures always
@@ -215,7 +248,7 @@ class LSHRS:
         self._hasher = LSHHasher(
             num_bands=num_bands,
             rows_per_band=rows_per_band,
-            dim=dim,
+            dim=self._hash_dim,
             seed=seed,
             hash_family=hash_family,
         )
@@ -231,7 +264,7 @@ class LSHRS:
                     mesh=make_mesh(shards),
                     num_bands=num_bands,
                     rows_per_band=rows_per_band,
-                    dim=dim,
+                    dim=self._hash_dim,
                     store_vectors=store_vectors,
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
@@ -249,7 +282,7 @@ class LSHRS:
                 self._storage = DeviceStore(
                     num_bands=num_bands,
                     rows_per_band=rows_per_band,
-                    dim=dim,
+                    dim=self._hash_dim,
                     store_vectors=store_vectors,
                     initial_capacity=initial_capacity,
                     chunk_size=chunk_size,
@@ -309,6 +342,8 @@ class LSHRS:
             "similarity_threshold": similarity_threshold,
             "buffer_size": buffer_size,
             "seed": seed,
+            "similarity": similarity,
+            "max_norm": max_norm,
         }
         self._tpu_config: dict[str, Any] = {
             "backend": backend,
@@ -443,7 +478,7 @@ class LSHRS:
         """
         if index < 0:
             raise ValueError("index must be non-negative")
-        vec = self._prepare_vector(vector)
+        vec = self._augment_data(self._prepare_vector(vector)[None, :])[0]
         if self._device_mode:
             words = self._hash_for_ingest(vec[None, :])  # stays on device
             record = (
@@ -507,7 +542,7 @@ class LSHRS:
             raise ValueError(
                 "Cannot index zero vector - norm undefined. Check embeddings for corruption."
             )
-        return idx_arr, arr
+        return idx_arr, self._augment_data(arr)
 
     def _fused_ingest(self) -> bool:
         """True when `index()` batches take the one-dispatch fused
@@ -666,7 +701,9 @@ class LSHRS:
         ``max(1, ceil(n_candidates * top_p))`` as ``(id, score)`` tuples,
         additionally capped by ``top_k`` when given.
         """
-        query_vector = self._prepare_vector(vector)
+        query_vector = self._augment_query(
+            self._prepare_vector(vector)[None, :]
+        )[0]
         self._count("queries_served")
 
         # Fast path: bounded top-k against the device store never
@@ -715,7 +752,11 @@ class LSHRS:
         candidate_indices = [idx for idx, _ in ordered]
         arr = self._fetch_candidates(candidate_indices)
         similarities = top_k_cosine(query_vector, arr, k=len(candidate_indices))
-        ordered_scores = [(candidate_indices[pos], score) for pos, score in similarities]
+        scale = float(self._score_scale(query_vector[None, :])[0])
+        ordered_scores = [
+            (candidate_indices[pos], score * scale)
+            for pos, score in similarities
+        ]
 
         limit = max(1, math.ceil(len(ordered_scores) * top_p))
         if top_k is not None:
@@ -741,6 +782,7 @@ class LSHRS:
             )
         if self._device_mode:
             self._count("queries_served", arr.shape[0])
+            arr = self._augment_query(arr)
             if self._use_hamming_ranking():
                 qwords = self._hash_words(arr)
                 _, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
@@ -769,13 +811,16 @@ class LSHRS:
             raise RuntimeError("query_hamming requires the device backend")
         if top_k is None or top_k <= 0:
             raise ValueError("top_k must be greater than zero when provided")
-        query_vector = self._prepare_vector(vector)
+        query_vector = self._augment_query(
+            self._prepare_vector(vector)[None, :]
+        )
         self._count("queries_served")
-        qwords = self._hash_words(query_vector[None, :])
+        qwords = self._hash_words(query_vector)
         hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
         num_perm = self._config["num_perm"]
+        scale = float(self._score_scale(query_vector)[0])
         return [
-            (int(i), float(math.cos(math.pi * int(h) / num_perm)))
+            (int(i), float(math.cos(math.pi * int(h) / num_perm)) * scale)
             for i, h in zip(ids[0], hamming[0])
             if i >= 0
         ]
@@ -798,16 +843,18 @@ class LSHRS:
                 f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
             )
         self._count("queries_served", arr.shape[0])
+        arr = self._augment_query(arr)
         qwords = self._hash_words(arr)
         hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
         num_perm = self._config["num_perm"]
+        scales = self._score_scale(arr)
         return [
             [
-                (int(i), float(math.cos(math.pi * int(h) / num_perm)))
-                for i, h in zip(row_ids, row_h)
+                (int(i), float(math.cos(math.pi * int(h) / num_perm)) * scales[r])
+                for i, h in zip(ids[r], hamming[r])
                 if i >= 0
             ]
-            for row_ids, row_h in zip(ids, hamming)
+            for r in range(arr.shape[0])
         ]
 
     def query_asymmetric(
@@ -847,10 +894,11 @@ class LSHRS:
                 f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
             )
         self._count("queries_served", arr.shape[0])
+        arr = self._augment_query(arr)
         coords = self._hasher.hash_batch_coords_host(arr)
         qi8, sumabs = quantize_coords_np(coords)
         dots, ids = self._storage.query_asymmetric(qi8, top_k)  # type: ignore[attr-defined]
-        denom = np.maximum(sumabs, 1).astype(np.float64)
+        denom = np.maximum(sumabs, 1).astype(np.float64) / self._score_scale(arr)
         return [
             [
                 (int(i), float(d / denom[r]))
@@ -902,6 +950,7 @@ class LSHRS:
         if not fused:
             return [self.query(v, top_k=top_k, top_p=p) for v in arr]  # type: ignore[misc]
         self._count("queries_served", arr.shape[0])
+        arr = self._augment_query(arr)
         qwords = self._hash_query_words(arr)
         # The per-query cutoff is min(ceil(p*n), top_k), so top_k bounds
         # how much of the ranking is ever consumed.
@@ -909,6 +958,7 @@ class LSHRS:
         ids, sims, n = self._storage.query_topp_batch(  # type: ignore[attr-defined]
             qwords, arr, max_out, wire_dtype=wire_dtype
         )
+        sims = sims * self._score_scale(arr)[:, None]
         results: list[CandidateScores] = []
         for qi in range(arr.shape[0]):
             n_q = int(n[qi])
@@ -1017,7 +1067,7 @@ class LSHRS:
                 return self._hash_for_ingest(arr)
 
             def run_topp(vectors):
-                arr = _validate(vectors)
+                arr = self._augment_query(_validate(vectors))
                 sig = _hash_topp(arr)
                 qv: np.ndarray = arr
                 if wire_dtype == "bfloat16":
@@ -1028,7 +1078,8 @@ class LSHRS:
                 # Count after the dispatch: stale-snapshot calls raise and
                 # must not inflate queries_served.
                 self._count("queries_served", arr.shape[0])
-                return np.asarray(ids), np.asarray(sims), np.asarray(n)
+                sims = np.asarray(sims) * self._score_scale(arr)[:, None]
+                return np.asarray(ids), sims, np.asarray(n)
 
             return run_topp
 
@@ -1049,7 +1100,7 @@ class LSHRS:
             )
 
             def run_asym(vectors):
-                arr = _validate(vectors)
+                arr = self._augment_query(_validate(vectors))
                 # The asymmetric wire is the quantised projection coords
                 # (num_perm bytes/query; "int4" packs two per byte for
                 # half the transport at a small recall cost) — computed
@@ -1084,7 +1135,7 @@ class LSHRS:
             return self._hash_for_ingest(arr)
 
         def run(vectors):
-            arr = _validate(vectors)
+            arr = self._augment_query(_validate(vectors))
             sig = _hash_serving(arr)
             out = np.asarray(serve(sig))
             # Count after the dispatch: stale-snapshot calls raise and must
@@ -1114,6 +1165,7 @@ class LSHRS:
         ids, sims, n = self._storage.query_topp(  # type: ignore[attr-defined]
             qwords, query_vector, self._MAX_DEVICE_RERANK
         )
+        sims = sims * float(self._score_scale(query_vector[None, :])[0])
         if n == 0:
             return []
         if not 0 < top_p <= 1:
@@ -1205,7 +1257,7 @@ class LSHRS:
                 "vector_fetch_fn returned mismatched batch size "
                 f"(expected {len(candidate_indices)}, received {arr.shape[0]})"
             )
-        return arr
+        return self._augment_data(arr)
 
     # ------------------------------------------------------------------
     # maintenance
@@ -1236,6 +1288,7 @@ class LSHRS:
             "redis_prefix": self._redis_config["prefix"],
             "backend": self._tpu_config["backend"],
             "engine": self._engine,
+            "similarity": self._similarity,
             "multiprobe": self._multiprobe,
             "ranking": "hamming" if self._use_hamming_ranking() else "collision",
             "buffered_operations": buffered,
@@ -1332,6 +1385,8 @@ class LSHRS:
             decode_responses=stored_redis["decode_responses"],
             redis_max_connections=stored_redis.get("max_connections", 50),
             seed=config["seed"],
+            similarity=config.get("similarity", "cosine"),
+            max_norm=config.get("max_norm"),
             **cls._restore_tpu_kwargs(tpu_config),
         )
 
@@ -1439,6 +1494,8 @@ class LSHRS:
             decode_responses=redis_config["decode_responses"],
             redis_max_connections=redis_config.get("max_connections", 50),
             seed=config["seed"],
+            similarity=config.get("similarity", "cosine"),
+            max_norm=config.get("max_norm"),
             **self._restore_tpu_kwargs(tpu_config),
         )
         self.__dict__ = restored.__dict__
@@ -1496,6 +1553,47 @@ class LSHRS:
                 "Cannot index zero vector - norm undefined. Check embeddings for corruption."
             )
         return arr
+
+    # -- MIPS (similarity="dot") augmentation --------------------------------
+    # Stored vectors gain one coordinate sqrt(max_norm^2 - |x|^2) (constant
+    # augmented norm = max_norm); queries gain a literal 0, so the cosine of
+    # augmented vectors is (q . x) / (|q| * max_norm) — inner-product order
+    # under every cosine-based stage (hashing, collision, Hamming,
+    # asymmetric, rerank). Scores rescale back via `_score_scale`.
+
+    def _augment_data(self, arr: np.ndarray) -> np.ndarray:
+        if self._similarity != "dot":
+            return arr
+        m2 = self._max_norm * self._max_norm
+        n2 = np.einsum("ij,ij->i", arr.astype(np.float64), arr.astype(np.float64))
+        if np.any(n2 > m2 * (1.0 + 1e-5)):
+            raise ValueError(
+                f"vector norm exceeds max_norm={self._max_norm}: the MIPS "
+                "augmentation requires every stored vector inside the "
+                "declared norm bound (re-create the index with a larger "
+                "max_norm)"
+            )
+        aug = np.sqrt(np.maximum(m2 - n2, 0.0)).astype(np.float32)
+        return np.concatenate([arr, aug[:, None]], axis=1)
+
+    def _augment_query(self, arr: np.ndarray) -> np.ndarray:
+        if self._similarity != "dot":
+            return arr
+        return np.concatenate(
+            [arr, np.zeros((arr.shape[0], 1), np.float32)], axis=1
+        )
+
+    def _score_scale(self, q_aug: np.ndarray) -> np.ndarray:
+        """Per-query factor mapping augmented-cosine scores to the public
+        similarity: 1 for cosine, ``|q| * max_norm`` for dot (the
+        augmented query norm equals the original — its extra coordinate
+        is 0)."""
+        if self._similarity != "dot":
+            return np.ones(q_aug.shape[0] if q_aug.ndim == 2 else 1, np.float64)
+        return (
+            np.linalg.norm(np.atleast_2d(q_aug), axis=1).astype(np.float64)
+            * self._max_norm
+        )
 
     def _require_vector_fetch_fn(self) -> VectorFetchFn:
         if self._vector_fetch_fn is None:
