@@ -56,8 +56,10 @@ def make_heavy_tailed(n: int, dim: int, n_clusters: int, rng) -> np.ndarray:
     return x.astype(np.float32)
 
 
-def exact_topk_device(base: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
-    """Brute-force cosine top-k on device (base uploaded once)."""
+def exact_topk_device(
+    base: np.ndarray, queries: np.ndarray, k: int, metric: str = "cosine"
+) -> np.ndarray:
+    """Brute-force top-k on device (base uploaded once)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,8 +69,11 @@ def exact_topk_device(base: np.ndarray, queries: np.ndarray, k: int) -> np.ndarr
         _, idx = jax.lax.top_k(sims, k)
         return idx
 
-    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
-    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    if metric == "dot":
+        bn, qn = base, queries
+    else:
+        bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
     bn_dev = jax.device_put(jnp.asarray(bn))
     return np.asarray(block(bn_dev, jnp.asarray(qn)))
 
@@ -97,6 +102,8 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         hash_mode="host",
         hash_family=args.hash_family,
         dedupe=False,
+        similarity=args.similarity,
+        max_norm=getattr(args, "_max_norm", None),
         # Pin the collision engine: this bench labels its columns by
         # ESTIMATOR, and engine="auto" silently re-ranks query_batch by
         # Hamming past 512k slots (the column would then duplicate the
@@ -116,7 +123,10 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
     r_coll = recall(got, gt, k)
 
     # hamming (full-signature) recall — same hash path as indexing
-    qwords = lsh._hasher.hash_batch_words_host(queries)
+    # (store-level calls bypass the orchestrator, so apply the MIPS
+    # query augmentation explicitly; identity for cosine)
+    q_aug = lsh._augment_query(queries)
+    qwords = lsh._hasher.hash_batch_words_host(q_aug)
     _, ham_ids = store.query_hamming(qwords, k)
     r_ham = recall([row[row >= 0] for row in ham_ids], gt, k)
 
@@ -150,13 +160,13 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         # Multi-probe collision (+ rerank): same index, zero extra memory —
         # the T-probe query words reuse every fused query path.
         t_probe = min(args.multiprobe, stats["rows_per_band"])
-        qw_mp = lsh._hasher.hash_batch_probe_words_host(queries, t_probe)
+        qw_mp = lsh._hasher.hash_batch_probe_words_host(q_aug, t_probe)
         _, mp_ids = store.query_topk(qw_mp, k)
         out[f"recall@{k}_collision_mp{t_probe}"] = round(
             recall([row[row >= 0] for row in mp_ids], gt, k), 4
         )
         if args.rerank:
-            ids_r, _, n_r = store.query_topp_batch(qw_mp, queries, k)
+            ids_r, _, n_r = store.query_topp_batch(qw_mp, q_aug, k)
             out[f"recall@{k}_reranked_mp{t_probe}"] = round(
                 recall([row[row >= 0] for row in ids_r], gt, k), 4
             )
@@ -179,6 +189,12 @@ def main() -> None:
                     help="also measure T-probe collision (and reranked, "
                     "with --rerank) recall at this probe depth — candidate "
                     "expansion at zero memory cost")
+    ap.add_argument("--similarity", choices=["cosine", "dot"],
+                    default="cosine",
+                    help="'dot' switches the index to MIPS mode (simple-LSH "
+                    "augmentation) and ranks ground truth by inner product; "
+                    "base vectors get a 3x norm spread so the augmentation's "
+                    "hard case is what gets measured")
     ap.add_argument("--hash-family", choices=["gaussian", "structured"],
                     default="gaussian",
                     help="LSH projection family (structured = FWHT rotations)")
@@ -223,19 +239,24 @@ def main() -> None:
     else:
         gen = make_clustered if args.dist == "clustered" else make_heavy_tailed
         base = gen(args.n, args.dim, n_clusters=max(1000, args.n // 1000), rng=rng)
+        if args.similarity == "dot":
+            # the augmentation's hard case: a 3x stored-norm spread
+            base *= rng.uniform(0.5, 1.5, (args.n, 1)).astype(np.float32)
         q_idx = rng.permutation(args.n)[: args.queries]
         queries = base[q_idx] + 0.05 * rng.standard_normal(
             (args.queries, args.dim)
         ).astype(np.float32)
         dist_label = args.dist
 
-    gt = exact_topk_device(base, queries, args.k)
+    if args.similarity == "dot":
+        args._max_norm = float(np.linalg.norm(base, axis=1).max()) * 1.001
+    gt = exact_topk_device(base, queries, args.k, metric=args.similarity)
 
     for t in args.thresholds:
         row = run_threshold(base, queries, gt, t, args)
         row.update({
             "n": args.n, "dim": args.dim, "num_perm": args.num_perm,
-            "dist": dist_label,
+            "dist": dist_label, "similarity": args.similarity,
         })
         print(json.dumps(row))
 

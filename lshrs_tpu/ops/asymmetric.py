@@ -311,7 +311,10 @@ def asymmetric_topk_core(
         gmax, m=m, ngc=chunk // group if use_pallas else None
     )
     mg = m * group
-    if sig_rows is not None:
+    # The word-row refine unrolls one select-accumulate per coordinate;
+    # past a few thousand bits the unroll dominates compile time, so very
+    # wide signatures keep the plane-gather formulation.
+    if sig_rows is not None and p <= 2048:
         from lshrs_tpu.ops.bitpack import narrow_words_count
         from lshrs_tpu.ops.scan import gather_refine_group_rows
 
