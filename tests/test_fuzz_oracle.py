@@ -184,3 +184,120 @@ def test_fuzz_rerank_engines_agree(seed, rng):
         np.testing.assert_allclose(
             g_sims[valid], f_sims[valid], rtol=1e-5, atol=1e-6
         )
+
+
+def oracle_topk_mp(model: dict[int, np.ndarray], qw3: np.ndarray, k: int):
+    """Expected (counts, ids) under ANY-PROBE counting (qw3: (T, BW))."""
+    if not model:
+        return [], []
+    ids = np.fromiter(model.keys(), dtype=np.int64)
+    sigs = np.stack([model[int(i)] for i in ids])  # (n, BW)
+    match = np.zeros((len(ids), B), bool)
+    for t in range(qw3.shape[0]):
+        match |= (sigs == qw3[t][None, :]).reshape(len(ids), B, -1).all(-1)
+    counts = match.sum(-1)
+    order = np.lexsort((ids, -counts))[:k]
+    return counts[order].tolist(), ids[order].tolist()
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_fuzz_multiprobe_sequences(seed, rng):
+    """Mutation sequences + multi-probe queries stay oracle-exact."""
+    op_rng = np.random.default_rng(seed)
+    h = LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=99)
+    store = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64, initial_capacity=64,
+    )
+    model: dict[int, np.ndarray] = {}
+    next_id = 0
+
+    for step in range(18):
+        op = op_rng.integers(0, 10)
+        if op < 6:
+            n = int(op_rng.integers(1, 16))
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            X = op_rng.standard_normal((n, D)).astype(np.float32)
+            words = h.hash_batch_words_host(X)
+            store.add_signature_batch(ids, words)
+            for i, w in zip(ids, words):
+                model[i] = w
+        elif op < 8 and model:
+            dels = op_rng.choice(
+                list(model.keys()),
+                size=min(len(model), int(op_rng.integers(1, 5))),
+                replace=False,
+            )
+            store.remove_indices([int(i) for i in dels])
+            for i in dels:
+                model.pop(int(i), None)
+        else:
+            store.compact()
+
+        if not model:
+            continue
+        T = int(op_rng.integers(2, 5))
+        q = op_rng.standard_normal((2, D)).astype(np.float32)
+        qw3 = h.hash_batch_probe_words_host(q, T)
+        counts, ids_out = store.query_topk(qw3, 6)
+        nnz = store.query_nnz(qw3)
+        for r_ in range(2):
+            exp_c, exp_i = oracle_topk_mp(model, qw3[r_], 6)
+            got = [
+                (int(c), int(i))
+                for c, i in zip(counts[r_], ids_out[r_])
+                if c > 0 and i >= 0
+            ]
+            exp = [(int(c), int(i)) for c, i in zip(exp_c, exp_i) if c > 0]
+            assert got == exp, f"step {step} row {r_} T={T}"
+            assert int(nnz[r_]) == sum(1 for c, _ in exp for _ in [0]) or True
+            # exact nnz check
+            all_exp_c, _ = oracle_topk_mp(model, qw3[r_], len(model))
+            assert int(nnz[r_]) == sum(1 for c in all_exp_c if c > 0)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_fuzz_mips_scores_stay_exact(seed, rng):
+    """Random mutations in dot mode: top-p scores remain exact inner
+    products and follow inner-product order."""
+    from lshrs_tpu import LSHRS
+
+    op_rng = np.random.default_rng(seed)
+    M = 1.0
+    lsh = LSHRS(
+        dim=D, num_perm=B * R, num_bands=B, rows_per_band=R,
+        similarity="dot", max_norm=M, store_vectors=True,
+        engine="collision", initial_capacity=256,
+    )
+    model: dict[int, np.ndarray] = {}
+    next_id = 0
+    for step in range(10):
+        op = op_rng.integers(0, 10)
+        if op < 7:
+            n = int(op_rng.integers(1, 12))
+            X = op_rng.standard_normal((n, D)).astype(np.float32)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            X *= op_rng.uniform(0.2, 0.9, (n, 1)).astype(np.float32)
+            ids = list(range(next_id, next_id + n))
+            next_id += n
+            lsh.index(ids, X)
+            for i, v in zip(ids, X):
+                model[i] = v
+        elif model:
+            dels = op_rng.choice(
+                list(model.keys()),
+                size=min(len(model), int(op_rng.integers(1, 4))),
+                replace=False,
+            )
+            lsh.delete([int(i) for i in dels])
+            for i in dels:
+                model.pop(int(i), None)
+        if not model:
+            continue
+        q = op_rng.standard_normal(D).astype(np.float32)
+        res = lsh.get_above_p(q, p=1.0)
+        dots = {i: float(model[i] @ q) for i in model}
+        got_ids = [i for i, _ in res]
+        assert got_ids == sorted(got_ids, key=lambda i: (-dots[i], i)), step
+        for i, s in res:
+            assert abs(s - dots[i]) < 1e-4 * max(1.0, abs(dots[i])), step

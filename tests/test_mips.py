@@ -199,3 +199,24 @@ def test_bucket_backend_matches_device(data, rng):
     bucket.index(np.arange(len(X)), X)
     for q in rng.standard_normal((5, DIM)).astype(np.float32):
         assert bucket.query(q, top_k=None) == device.query(q, top_k=None)
+
+
+def test_sharded_mips_matches_single(data, rng):
+    """8-shard MIPS == single-device MIPS (ids and exact dot scores)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    X, M = data
+    single = make_mips(data, store_vectors=True)
+    sharded = LSHRS(
+        dim=DIM, similarity="dot", max_norm=M, num_perm=64, num_bands=8,
+        rows_per_band=8, engine="collision", initial_capacity=1024,
+        store_vectors=True, shards=8,
+    )
+    sharded.index(np.arange(len(X)), X)
+    for q in rng.standard_normal((4, DIM)).astype(np.float32):
+        r1 = single.get_above_p(q, p=1.0)
+        r2 = sharded.get_above_p(q, p=1.0)
+        assert [i for i, _ in r1] == [i for i, _ in r2]
+        for (_, s1), (_, s2) in zip(r1, r2):
+            assert s1 == pytest.approx(s2, rel=1e-5, abs=1e-6)

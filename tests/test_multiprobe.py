@@ -510,3 +510,36 @@ def test_serving_fn_topp_honors_multiprobe(rng):
             (int(i), float(s)) for i, s in zip(ids[qi], sims[qi]) if i >= 0
         ][: len(want[qi])]
         assert [i for i, _ in got] == [i for i, _ in want[qi]], qi
+
+
+def test_sharded_multiprobe_gather_rerank_matches_single(hasher, rng):
+    """8-shard gather rerank on probe words == single-device full engine."""
+    import jax
+
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    assert len(jax.devices()) >= 8
+    st = ShardedDeviceStore(
+        mesh=make_mesh(8), num_bands=B, rows_per_band=R, dim=D,
+        chunk_size=64, initial_capacity=256, store_vectors=True,
+        group_size=16, rerank_engine="gather", rerank_candidates=64,
+    )
+    single = DeviceStore(
+        num_bands=B, rows_per_band=R, dim=D, chunk_size=64,
+        initial_capacity=256, store_vectors=True, rerank_engine="full",
+    )
+    n = 220
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = np.arange(n)
+    words = hasher.hash_batch_words_host(X)
+    st.add_signature_batch(ids, words, X)
+    single.add_signature_batch(ids, words, X)
+
+    queries = X[:5] + 0.2 * rng.standard_normal((5, D)).astype(np.float32)
+    qw3 = hasher.hash_batch_probe_words_host(queries, 3)
+    s_ids, s_sims, s_n = st.query_topp_batch(qw3, queries, 8)
+    f_ids, f_sims, f_n = single.query_topp_batch(qw3, queries, 8)
+    np.testing.assert_array_equal(s_n, f_n)
+    np.testing.assert_array_equal(s_ids, f_ids)
+    valid = f_ids >= 0
+    np.testing.assert_allclose(s_sims[valid], f_sims[valid], rtol=1e-5)
