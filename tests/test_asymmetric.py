@@ -523,3 +523,37 @@ def test_serving_fn_asymmetric_int4_wire(rng):
     assert got[:, 0].tolist() == list(range(16))  # self-match first
     with pytest.raises(ValueError, match="coords_wire"):
         lsh.serving_fn(top_k=5, mode="asymmetric", coords_wire="int2")
+
+
+def test_word_row_refine_multiword_bands(rng):
+    """Word-row refine reconstructs exact dots with r=40 (2 words/band)."""
+    B2, R2, D2 = 2, 40, 48
+    P2 = B2 * R2
+    h = LSHHasher(num_bands=B2, rows_per_band=R2, dim=D2, seed=5)
+    store = DeviceStore(
+        num_bands=B2, rows_per_band=R2, chunk_size=64,
+        initial_capacity=64, enable_hamming=True,
+    )
+    n = 200
+    X = rng.standard_normal((n, D2)).astype(np.float32)
+    words = h.hash_batch_words_host(X)
+    store.add_signature_batch(np.arange(n), words)
+
+    queries = rng.standard_normal((4, D2)).astype(np.float32)
+    qi8, _ = quantize_coords_np(h.hash_batch_coords_host(queries))
+    dots, ids = store.query_asymmetric(qi8, 6)
+
+    # brute-force oracle over +-1 bitplanes unpacked from the words
+    planes = np.zeros((n, P2), np.int8)
+    for j in range(P2):
+        band, row = j // R2, j % R2
+        wi, bit = band * h.words_per_band + row // 32, row % 32
+        planes[:, j] = ((words[:, wi] >> bit) & 1).astype(np.int8) * 2 - 1
+    for qi in range(4):
+        d = planes.astype(np.int32) @ qi8[qi].astype(np.int32)
+        order = sorted(zip((-d).tolist(), range(n)))[:6]
+        exp = [(-dd, i) for dd, i in order]
+        got = [
+            (int(dv), int(i)) for dv, i in zip(dots[qi], ids[qi]) if i >= 0
+        ]
+        assert got == exp, f"query {qi}"

@@ -543,3 +543,49 @@ def test_sharded_multiprobe_gather_rerank_matches_single(hasher, rng):
     np.testing.assert_array_equal(s_ids, f_ids)
     valid = f_ids >= 0
     np.testing.assert_allclose(s_sims[valid], f_sims[valid], rtol=1e-5)
+
+
+def test_multiword_band_multiprobe_matches_oracle(rng):
+    """Multi-probe with r=40 (two uint32 words per band) stays exact."""
+    B2, R2, D2 = 2, 40, 48
+    h = LSHHasher(num_bands=B2, rows_per_band=R2, dim=D2, seed=5)
+    store = DeviceStore(
+        num_bands=B2, rows_per_band=R2, chunk_size=64, initial_capacity=64
+    )
+    n = 250
+    X = rng.standard_normal((n, D2)).astype(np.float32)
+    words = h.hash_batch_words_host(X)  # (n, 4): 2 words x 2 bands
+    assert words.shape[1] == B2 * h.words_per_band == 4
+    store.add_signature_batch(np.arange(n), words)
+
+    queries = X[:5] + 0.1 * rng.standard_normal((5, D2)).astype(np.float32)
+    qw3 = h.hash_batch_probe_words_host(queries, 3)
+    # probe structure: one flipped bit per band, anywhere in the 40 bits
+    w = h.words_per_band
+    for t in (1, 2):
+        for qi in range(5):
+            for b in range(B2):
+                diff = 0
+                for j in range(w):
+                    diff += bin(
+                        int(qw3[qi, 0, b * w + j]) ^ int(qw3[qi, t, b * w + j])
+                    ).count("1")
+                assert diff == 1, (qi, t, b)
+
+    counts, ids = store.query_topk(qw3, 8)
+    for qi in range(5):
+        c = np.zeros(n, np.int64)
+        for b in range(B2):
+            match = np.zeros(n, bool)
+            for t in range(3):
+                m = np.ones(n, bool)
+                for j in range(w):
+                    m &= words[:, b * w + j] == qw3[qi, t, b * w + j]
+                match |= m
+            c += match
+        order = np.lexsort((np.arange(n), -c))
+        exp = [(int(c[i]), int(i)) for i in order if c[i] > 0][:8]
+        got = [
+            (int(cc), int(i)) for cc, i in zip(counts[qi], ids[qi]) if cc > 0
+        ]
+        assert got == exp, f"query {qi}"
