@@ -752,7 +752,11 @@ class LSHRS:
         candidate_indices = [idx for idx, _ in ordered]
         arr = self._fetch_candidates(candidate_indices)
         similarities = top_k_cosine(query_vector, arr, k=len(candidate_indices))
-        scale = float(self._score_scale(query_vector[None, :])[0])
+        scale = (
+            float(self._score_scale(query_vector[None, :])[0])
+            if self._similarity == "dot"
+            else 1.0
+        )
         ordered_scores = [
             (candidate_indices[pos], score * scale)
             for pos, score in similarities
@@ -958,7 +962,8 @@ class LSHRS:
         ids, sims, n = self._storage.query_topp_batch(  # type: ignore[attr-defined]
             qwords, arr, max_out, wire_dtype=wire_dtype
         )
-        sims = sims * self._score_scale(arr)[:, None]
+        if self._similarity == "dot":
+            sims = sims * self._score_scale(arr)[:, None]
         results: list[CandidateScores] = []
         for qi in range(arr.shape[0]):
             n_q = int(n[qi])
@@ -1078,7 +1083,9 @@ class LSHRS:
                 # Count after the dispatch: stale-snapshot calls raise and
                 # must not inflate queries_served.
                 self._count("queries_served", arr.shape[0])
-                sims = np.asarray(sims) * self._score_scale(arr)[:, None]
+                sims = np.asarray(sims)
+                if self._similarity == "dot":
+                    sims = sims * self._score_scale(arr)[:, None]
                 return np.asarray(ids), sims, np.asarray(n)
 
             return run_topp
@@ -1165,7 +1172,8 @@ class LSHRS:
         ids, sims, n = self._storage.query_topp(  # type: ignore[attr-defined]
             qwords, query_vector, self._MAX_DEVICE_RERANK
         )
-        sims = sims * float(self._score_scale(query_vector[None, :])[0])
+        if self._similarity == "dot":
+            sims = sims * float(self._score_scale(query_vector[None, :])[0])
         if n == 0:
             return []
         if not 0 < top_p <= 1:

