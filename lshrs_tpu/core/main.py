@@ -169,7 +169,7 @@ class LSHRS:
         bucket_cap: int = 128,
         hash_mode: str = "device",
         hash_family: str = "gaussian",
-        hamming_storage: str = "planes",
+        hamming_storage: Optional[str] = None,
         payload_dtype: str = "float32",
         rerank_engine: str = "auto",
         rerank_candidates: int = 1024,
@@ -204,6 +204,14 @@ class LSHRS:
             max_norm = float(max_norm)
         self._similarity = similarity
         self._max_norm = max_norm
+        # None = "not pinned by the caller": defaults to "planes", and the
+        # engine override below may only touch the unpinned value (an
+        # explicit "packed" is the caller trading QPS for zero extra HBM).
+        hamming_pinned = hamming_storage is not None
+        if hamming_storage is None:
+            hamming_storage = "planes"
+        if hamming_storage not in ("planes", "packed"):
+            raise ValueError("hamming_storage must be 'planes' or 'packed'")
         self._engine = engine
         if engine != "collision" and backend == "device" and not enable_hamming:
             # The auto/hamming engines rank with the int8 bitplane (MXU)
@@ -214,7 +222,8 @@ class LSHRS:
             # construct with enable_hamming=True, hamming_storage="packed"
             # to trade that memory back at ~3x lower Hamming QPS.
             enable_hamming = True
-            hamming_storage = "planes"
+            if not hamming_pinned:
+                hamming_storage = "planes"
 
         if num_bands is None or rows_per_band is None:
             num_bands, rows_per_band = get_optimal_config(num_perm, similarity_threshold)
@@ -1054,26 +1063,25 @@ class LSHRS:
                 )
             return arr
 
+        def _hash_wire(arr: np.ndarray, n_probes: int):
+            """Serving wire for a query batch: probe words (device hash)
+            or the dense probe wire (host hash) when probing, the
+            instance's ingest wire otherwise."""
+            if n_probes > 1:
+                if self._hash_on_device:
+                    return self._hasher.hash_batch_probe_words(arr, n_probes)
+                return self._hasher.hash_batch_probe_dense_host(arr, n_probes)
+            return self._hash_for_ingest(arr)
+
         if mode == "topp":
             topp_probes = self._multiprobe
             serve = self._storage.snapshot_topp_fn(  # type: ignore[attr-defined]
                 top_k, wire=wire, probes=topp_probes
             )
 
-            def _hash_topp(arr: np.ndarray):
-                if topp_probes > 1:
-                    if self._hash_on_device:
-                        return self._hasher.hash_batch_probe_words(
-                            arr, topp_probes
-                        )
-                    return self._hasher.hash_batch_probe_dense_host(
-                        arr, topp_probes
-                    )
-                return self._hash_for_ingest(arr)
-
             def run_topp(vectors):
                 arr = self._augment_query(_validate(vectors))
-                sig = _hash_topp(arr)
+                sig = _hash_wire(arr, topp_probes)
                 qv: np.ndarray = arr
                 if wire_dtype == "bfloat16":
                     import ml_dtypes
@@ -1134,16 +1142,9 @@ class LSHRS:
             top_k, wire=wire, mode=mode, probes=probes
         )
 
-        def _hash_serving(arr: np.ndarray):
-            if probes > 1:
-                if self._hash_on_device:
-                    return self._hasher.hash_batch_probe_words(arr, probes)
-                return self._hasher.hash_batch_probe_dense_host(arr, probes)
-            return self._hash_for_ingest(arr)
-
         def run(vectors):
             arr = self._augment_query(_validate(vectors))
-            sig = _hash_serving(arr)
+            sig = _hash_wire(arr, probes)
             out = np.asarray(serve(sig))
             # Count after the dispatch: stale-snapshot calls raise and must
             # not inflate queries_served.

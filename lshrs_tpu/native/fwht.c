@@ -223,7 +223,11 @@ int fwht_structured(const float *x, long n, long dim, const float *diags,
     if ((dpad & (dpad - 1)) != 0) return 2;
     if (num_perm > nblocks * dpad) return 3;
 
-    static float buf[FWHT_MAX_DPAD * VB]; /* single-threaded by contract */
+    /* Thread-local scratch: ctypes releases the GIL for this call, and
+     * concurrent host hashing (serving closures on worker threads) is an
+     * expected workload — a shared static buffer would interleave the
+     * in-place butterflies of two threads and silently corrupt hashes. */
+    static _Thread_local float buf[FWHT_MAX_DPAD * VB];
     for (long v0 = 0; v0 < n; v0 += VB) {
         long vb = n - v0 < VB ? n - v0 : VB;
         run_block(x + v0 * dim, dim, diags, nblocks, dpad, num_perm,

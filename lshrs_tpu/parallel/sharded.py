@@ -307,15 +307,18 @@ class ShardedDeviceStore(DeviceStore):
         engine: str | None = None,
         max_candidates: int | None = None,
         probes: int = 1,
+        batch_hint: int = 1024,
     ):
         """Sharded rerank serving closure. The full engine inherits the
         GSPMD program; the gather engine compiles the shard_map gather
         (`_topp_gather_dispatch`) behind the same staleness contract."""
-        eng, mc = self._resolve_rerank_engine(engine, max_candidates)
+        eng, mc = self._resolve_rerank_engine(
+            engine, max_candidates, q=batch_hint
+        )
         if eng != "gather":
             return super().snapshot_topp_fn(
                 max_out, wire=wire, engine="full", max_candidates=mc,
-                probes=probes,
+                probes=probes, batch_hint=batch_hint,
             )
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
@@ -539,7 +542,7 @@ class ShardedDeviceStore(DeviceStore):
             self.axis,
             self._planes,
             self._refine_rows_for(group, chunk, use_pallas)
-            if grouped
+            if grouped and p <= 2048
             else self._sig_rows,
             self._ids,
             self._ranks,
@@ -688,7 +691,7 @@ class ShardedDeviceStore(DeviceStore):
             elif mode == "asymmetric":
                 rows = (
                     self._refine_rows_for(group, ham_chunk, ham_pallas)
-                    if asym_grouped
+                    if asym_grouped and num_perm <= 2048
                     else self._sig_rows
                 )
             else:

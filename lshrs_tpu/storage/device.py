@@ -933,6 +933,15 @@ class DeviceStore(BaseStorage):
 
         Accepts the standard ``(Q, BW)`` layout and the multi-probe
         ``(Q, T, BW)`` layout (`LSHHasher.hash_batch_probe_words_host`).
+
+        Multi-probe CONTRACT: within each band, a query's T probe
+        signatures must be pairwise DISTINCT (the hashers' probe
+        generators guarantee this — each variant flips a distinct bit).
+        Any-match counting relies on it: a duplicated variant counts its
+        band twice, inflating counts past ``num_bands`` and, at the
+        packing limit, corrupting the (count, tie) selection keys. Pad a
+        ragged probe axis by flipping further distinct bits, never by
+        repeating a signature.
         """
         qw = jnp.asarray(qwords, dtype=jnp.uint32)
         if qw.ndim == 3:
@@ -1160,10 +1169,11 @@ class DeviceStore(BaseStorage):
             elif mode == "asymmetric":
                 # Word-row refine: exact dots reconstruct from the packed
                 # bits, so the 4-byte-word table replaces the num_perm-byte
-                # bitplane gather (5x whole-query win measured at 1M).
+                # bitplane gather (5x whole-query win measured at 1M). The
+                # core ignores the table past 2048 bits — don't build it.
                 rows = (
                     self._refine_rows_for(group, ham_tile, ham_pallas)
-                    if asym_grouped
+                    if asym_grouped and num_perm <= 2048
                     else None
                 )
             else:
@@ -1327,6 +1337,7 @@ class DeviceStore(BaseStorage):
         engine: str | None = None,
         max_candidates: int | None = None,
         probes: int = 1,
+        batch_hint: int = 1024,
     ):
         """Compiled single-dispatch top-p rerank closure (serving path).
 
@@ -1351,6 +1362,12 @@ class DeviceStore(BaseStorage):
                 probe axis (``(Q, T, ...)`` words or dense, as
                 :meth:`snapshot_query_fn`); candidate sets then include
                 any-probe band matches before the cosine rerank.
+            batch_hint: the query-batch size the closure will be served
+                with. The auto engine's HBM-feasibility check sizes the
+                full formulation's ``(Q, C)`` temporaries from it — a
+                closure resolved at the 1024 default but dispatched with
+                16k-query batches can OOM at large capacity; pass your
+                real batch size.
 
         Returns:
             callable ``(signatures, qvecs) -> (ids (Q, max_out) int32,
@@ -1371,7 +1388,9 @@ class DeviceStore(BaseStorage):
         with self._lock:
             if self._size == 0:
                 raise RuntimeError("snapshot_topp_fn requires a non-empty store")
-            eng, mc = self._resolve_rerank_engine(engine, max_candidates)
+            eng, mc = self._resolve_rerank_engine(
+                engine, max_candidates, q=batch_hint
+            )
             num_bands, rows_per_band, chunk = (
                 self.num_bands, self.rows_per_band, self.chunk,
             )
@@ -1600,6 +1619,12 @@ class DeviceStore(BaseStorage):
             qc.shape[0], pallas_tile if use_pallas else self.chunk, packed=False
         )
         if grouped:
+            # Word-row refine: reconstruct exact dots from the grouped
+            # 4-byte-word refine table instead of gathering full
+            # num_perm-byte bitplane rows (5x whole-query win at 1M). The
+            # core ignores the table past 2048 bits (unroll cost), so the
+            # table is not built — or LRU-evicting others — there either.
+            use_rows = p <= 2048
             return asymmetric_topk(
                 self._planes, self._ids, self._tie, qc,
                 k=k_eff,
@@ -1608,13 +1633,12 @@ class DeviceStore(BaseStorage):
                 shift=asymmetric_shift(p, self._capacity),
                 use_pallas=use_pallas,
                 q_tile=q_tile,
-                # Word-row refine: reconstruct exact dots from the grouped
-                # 4-byte-word refine table instead of gathering full
-                # num_perm-byte bitplane rows (5x whole-query win at 1M).
                 sig_rows=self._refine_rows_for(
                     group, pallas_tile if use_pallas else self.chunk, use_pallas
-                ),
-                narrow_r=self._refine_narrow_r,
+                )
+                if use_rows
+                else None,
+                narrow_r=self._refine_narrow_r if use_rows else 0,
                 num_bands=self.num_bands,
             )
         return asymmetric_topk_chunked(
@@ -1984,8 +2008,15 @@ class DeviceStore(BaseStorage):
                 else 0
             ),
             "bucket_overflows": self._bucket_overflows,
+            # Introspection must never raise: a pinned engine="gather" on a
+            # geometry without the grouped fast path only errors when a
+            # rerank is actually issued — stats() reports it unresolved.
             "rerank_engine": (
-                self._resolve_rerank_engine(None, None)[0]
+                (
+                    self._resolve_rerank_engine(None, None)[0]
+                    if self.rerank_engine != "gather" or self._gather_usable()
+                    else "gather (unusable: needs the grouped fast path)"
+                )
                 if self.store_vectors
                 else None
             ),

@@ -124,3 +124,63 @@ def test_auto_switch_logged_once(rng, monkeypatch, caplog):
         lsh.get_top_k(X[1], topk=2)
     msgs = [r for r in caplog.records if "switched" in r.message]
     assert len(msgs) == 1  # one-time notice
+
+
+def test_pinned_hamming_storage_survives_engine_override(rng):
+    """engine='auto' force-enables Hamming but must not overwrite an
+    explicitly pinned hamming_storage='packed' (the caller traded QPS
+    for zero extra HBM)."""
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=16, num_perm=32, num_bands=4, rows_per_band=8,
+        engine="auto", hamming_storage="packed",
+    )
+    assert lsh._storage.hamming_storage == "packed"
+    assert lsh._tpu_config["hamming_storage"] == "packed"
+    # unpinned still defaults to planes under the override
+    lsh2 = LSHRS(
+        dim=16, num_perm=32, num_bands=4, rows_per_band=8, engine="auto"
+    )
+    assert lsh2._storage.hamming_storage == "planes"
+    with pytest.raises(ValueError, match="hamming_storage"):
+        LSHRS(
+            dim=16, num_perm=32, num_bands=4, rows_per_band=8,
+            hamming_storage="bits",
+        )
+
+
+def test_stats_never_raises_for_unusable_pinned_gather(rng):
+    """Introspection must not crash when rerank_engine='gather' is pinned
+    on a geometry without the grouped fast path (num_bands > 64)."""
+    from lshrs_tpu.storage.device import DeviceStore
+
+    store = DeviceStore(
+        num_bands=128, rows_per_band=2, dim=8, store_vectors=True,
+        rerank_engine="gather", chunk_size=64, initial_capacity=128,
+    )
+    store.add_signature_batch(
+        np.arange(4), np.zeros((4, 128), np.uint32),
+        rng.standard_normal((4, 8)).astype(np.float32),
+    )
+    out = store.stats()
+    assert "unusable" in out["rerank_engine"]
+
+
+def test_snapshot_topp_batch_hint_accepted(rng):
+    """batch_hint feeds the auto engine's feasibility check and the
+    closure still serves correctly."""
+    from lshrs_tpu.hash.hasher import LSHHasher
+    from lshrs_tpu.storage.device import DeviceStore
+
+    h = LSHHasher(num_bands=4, rows_per_band=8, dim=16, seed=3)
+    store = DeviceStore(
+        num_bands=4, rows_per_band=8, dim=16, store_vectors=True,
+        chunk_size=64, initial_capacity=64,
+    )
+    X = rng.standard_normal((100, 16)).astype(np.float32)
+    store.add_signature_batch(np.arange(100), h.hash_batch_words_host(X), X)
+    serve = store.snapshot_topp_fn(5, batch_hint=4096)
+    qw = h.hash_batch_words_host(X[:4])
+    ids, sims, n = serve(qw, X[:4])
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()

@@ -166,3 +166,25 @@ def test_lshrs_structured_end_to_end_and_persistence(tmp_path):
     rt = pickle.loads(pickle.dumps(lsh))
     assert rt._hasher.hash_family == "structured"
     assert rt.get_top_k(x[7], topk=5) == ref
+
+
+def test_native_hashing_thread_safe():
+    """Concurrent host hashing is bit-stable (regression: the native
+    kernel used one shared static scratch buffer with the GIL released
+    during the ctypes call, so parallel butterflies interleaved)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from lshrs_tpu.hash import fwht
+
+    rng = np.random.default_rng(0)
+    d = fwht.structured_diags(1, dim=768, num_perm=256)
+    X = rng.standard_normal((2048, 768)).astype(np.float32)
+    want = fwht.structured_coords_np(X, d, 256)
+    with ThreadPoolExecutor(8) as ex:
+        outs = list(
+            ex.map(lambda _: fwht.structured_coords_np(X, d, 256), range(16))
+        )
+    for o in outs:
+        np.testing.assert_array_equal(o, want)
