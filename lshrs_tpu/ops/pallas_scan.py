@@ -52,19 +52,23 @@ def supports_fast_path(num_bands: int, capacity: int) -> bool:
     return (num_bands + 1) * key_scale(capacity) < 2**31
 
 
-def multiprobe_q_tile(q_tile: int, probes: int) -> int:
+def multiprobe_q_tile(q_tile: int, probes: int, bw: int = 32) -> int:
     """Query tile for the multi-probe collision kernel.
 
-    The probed kernel's live set grows ~linearly with the probe count
-    (observed on v5e: 19.74 MB of scoped stack at q_tile=128, chunk=8192,
-    32 bands x 4 probes vs Mosaic's 16 MB limit), so the query tile
-    shrinks by the next power of two of ``probes``; (q_tile, chunk)
-    intermediates dominate the stack, so this scales it back ~1/probes.
+    The probed kernel's live set grows with ``probes * bw * q_tile``
+    (measured on v5e at chunk=8192: 32 bands x 4 probes overflows
+    Mosaic's 16 MB scoped stack at q_tile=128 — 19.74 MB — but compiles
+    at 64, and 16 bands x 4 probes compiles at the full 128), so the
+    tile is capped at the largest power of two keeping
+    ``probes * bw * q_tile <= 8192``.
     """
     if probes <= 1:
         return q_tile
-    shrink = 1 << (probes - 1).bit_length()
-    return max(8, q_tile // shrink)
+    cap = 8192 // (probes * bw)
+    if cap < 8:
+        cap = 8
+    cap = 1 << (cap.bit_length() - 1)  # round DOWN to a power of two
+    return max(8, min(q_tile, cap))
 
 
 def _make_kernel(

@@ -246,7 +246,7 @@ def rerank_topp_gather_core(
     if use_pallas:
         from lshrs_tpu.ops.pallas_scan import multiprobe_q_tile
 
-        q_tile = multiprobe_q_tile(q_tile, probes)
+        q_tile = multiprobe_q_tile(q_tile, probes, bw)
         q_pad = -(-q // q_tile) * q_tile
         qw = jnp.pad(qwords, ((0, q_pad - q), (0, 0))) if q_pad != q else qwords
         gmax = group_max_keys(

@@ -441,7 +441,7 @@ def collision_topk_grouped_core(
     ng = c // group
 
     if use_pallas:
-        q_tile = multiprobe_q_tile(q_tile, probes)
+        q_tile = multiprobe_q_tile(q_tile, probes, bw)
         q_pad = -(-q // q_tile) * q_tile
         qw = (
             jnp.pad(qwords, ((0, q_pad - q), (0, 0))) if q_pad != q else qwords
