@@ -999,6 +999,7 @@ class LSHRS:
         mode: Optional[str] = None,
         wire_dtype: str = "float32",
         coords_wire: str = "int8",
+        auto_refresh: bool = False,
     ):
         """Compiled high-QPS serving closure over the *current* index.
 
@@ -1033,6 +1034,13 @@ class LSHRS:
                 byte: half the transport, with the query quantised to
                 ``[-7, 7]`` — retains most of the asymmetric recall
                 gain; measured tables in ``PERFORMANCE.md``).
+            auto_refresh: serve through mutations — on a stale snapshot
+                the closure transparently re-snapshots the CURRENT index
+                contents and retries (thread-safe; re-snapshotting is
+                cheap because store state rides as jit arguments, so the
+                already-compiled program is reused). The default
+                ``False`` keeps the strict contract: mutations raise
+                ``RuntimeError`` until the caller re-creates the closure.
 
         Returns:
             ``mode="collision"``/``"hamming"``/``"asymmetric"``: callable
@@ -1042,6 +1050,35 @@ class LSHRS:
         """
         if not self._device_mode:
             raise RuntimeError("serving_fn requires the device backend")
+        if auto_refresh:
+            refresh_lock = Lock()
+            inner: list = [None]
+
+            def _current():
+                with refresh_lock:
+                    if inner[0] is None:
+                        inner[0] = self.serving_fn(
+                            top_k,
+                            mode=mode,
+                            wire_dtype=wire_dtype,
+                            coords_wire=coords_wire,
+                        )
+                    return inner[0]
+
+            def refreshing(vectors):
+                fn = _current()
+                try:
+                    return fn(vectors)
+                except RuntimeError as e:
+                    if "stale" not in str(e):
+                        raise
+                    with refresh_lock:
+                        # another thread may already have refreshed
+                        if inner[0] is fn:
+                            inner[0] = None
+                    return _current()(vectors)
+
+            return refreshing
         if mode is None:
             mode = "hamming" if self._use_hamming_ranking() else "collision"
         if mode not in ("collision", "hamming", "asymmetric", "topp"):

@@ -490,3 +490,30 @@ def test_serving_fn_validation(make_device_lsh, make_lsh, rng):
     bucket = make_lsh()
     with pytest.raises(RuntimeError, match="device backend"):
         bucket.serving_fn(3)
+
+
+def test_serving_fn_auto_refresh(rng):
+    """auto_refresh=True serves through mutations: the closure
+    re-snapshots the current contents instead of raising stale."""
+    from lshrs_tpu import LSHRS
+
+    lsh = LSHRS(
+        dim=16, num_perm=32, num_bands=4, rows_per_band=8,
+        engine="collision", initial_capacity=256,
+    )
+    X = rng.standard_normal((120, 16)).astype(np.float32)
+    lsh.index(np.arange(120), X)
+    serve = lsh.serving_fn(top_k=3, auto_refresh=True)
+    assert serve(X[:4])[:, 0].tolist() == [0, 1, 2, 3]
+
+    # mutate: default closures would now raise RuntimeError("stale")
+    Y = rng.standard_normal((4, 16)).astype(np.float32)
+    lsh.index([500, 501, 502, 503], Y)
+    got = serve(Y)  # transparently re-snapshots, new ids are visible
+    assert got[:, 0].tolist() == [500, 501, 502, 503]
+
+    strict = lsh.serving_fn(top_k=3)
+    lsh.delete([500])
+    with pytest.raises(RuntimeError, match="stale"):
+        strict(Y)
+    assert serve(X[:2])[:, 0].tolist() == [0, 1]  # refreshed again
