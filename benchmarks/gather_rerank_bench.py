@@ -35,7 +35,7 @@ def main() -> None:
     ap.add_argument("--query-batch", type=int, default=1024)
     ap.add_argument("--max-candidates", type=int, default=1024)
     ap.add_argument("--dispatches", type=int, default=8)
-    ap.add_argument("--payload-dtype", choices=["float32", "bfloat16"],
+    ap.add_argument("--payload-dtype", choices=["float32", "bfloat16", "int8"],
                     default="float32")
     ap.add_argument("--engines", default="full,gather",
                     help="comma list; past ~2M slots the full engine cannot "

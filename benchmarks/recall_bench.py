@@ -104,6 +104,7 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         dedupe=False,
         similarity=args.similarity,
         max_norm=getattr(args, "_max_norm", None),
+        payload_dtype=args.payload_dtype,
         # Pin the collision engine: this bench labels its columns by
         # ESTIMATOR, and engine="auto" silently re-ranks query_batch by
         # Hamming past 512k slots (the column would then duplicate the
@@ -182,6 +183,9 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-perm", type=int, default=256)
     ap.add_argument("--thresholds", type=float, nargs="+", default=[0.8])
+    ap.add_argument("--payload-dtype", choices=["float32", "bfloat16", "int8"],
+                    default="float32",
+                    help="resident payload precision for the rerank rows")
     ap.add_argument("--rerank", action="store_true",
                     help="also measure cosine-reranked recall (uploads the "
                     "full payload matrix to HBM)")

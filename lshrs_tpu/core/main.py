@@ -86,8 +86,11 @@ class LSHRS:
         group_size / dedupe / query_mode / bucket_cap: device store
             engine knobs, see `lshrs_tpu.storage.device.DeviceStore`.
         payload_dtype: resident payload precision — ``"float32"``
-            (value-exact cosines) or ``"bfloat16"`` (half the payload
-            HBM; ~1e-3 relative cosine rounding). Device backend only.
+            (value-exact cosines), ``"bfloat16"`` (half the payload
+            HBM; ~1e-3 relative cosine rounding) or ``"int8"``
+            (quarter HBM, per-row-scale quantized; ~4e-3 rounding —
+            what fits 768-dim payloads at 100M-scale sharding). Device
+            backend only.
         rerank_engine: top-p rerank formulation — ``"full"`` (whole-store
             cosine matmul), ``"gather"`` (candidate-gather: rerank only
             the top ``rerank_candidates`` most-colliding slots; cost
@@ -1319,6 +1322,122 @@ class LSHRS:
         """Flush, then drop every indexed entry (projections are kept)."""
         self.flush()
         self._storage.clear()
+
+    def rehash(
+        self,
+        *,
+        num_perm: Optional[int] = None,
+        num_bands: Optional[int] = None,
+        rows_per_band: Optional[int] = None,
+        similarity_threshold: Optional[float] = None,
+        seed: Optional[int] = None,
+        hash_family: Optional[str] = None,
+    ) -> None:
+        """Retune the index IN PLACE: rebuild every stored signature from
+        the resident payload under a new banding / threshold / seed / hash
+        family — no re-ingestion from the primary datastore.
+
+        The reference cannot do this at all: its Redis buckets hold only
+        memberships, so changing the operating point means re-streaming
+        the full dataset through `create_signatures`
+        (`/root/reference/lshrs/core/main.py:315`). With the payload
+        resident in HBM the rebuild is a handful of hash-matmul
+        dispatches (`DeviceStore.rehash`; measured 33 ms per 1M x 256d
+        rows on v5e, `benchmarks/rehash_bench.py` — about four orders of
+        magnitude cheaper than a re-ingest from PostgreSQL).
+
+        Args:
+            num_perm / similarity_threshold: auto-tune the new banding via
+                `get_optimal_config` (defaults: current values). Or pass
+                ``num_bands`` AND ``rows_per_band`` explicitly.
+            seed / hash_family: optionally re-draw the projections.
+
+        Requires the device backend with ``store_vectors=True``. Deleted
+        (tombstoned) entries stay deleted. Signatures derive from the
+        payload at its stored precision — exact for the default
+        ``payload_dtype="float32"`` (bit-identical to a fresh build); see
+        `DeviceStore.rehash` for the bf16/int8 caveat. Serving closures
+        from before the rehash raise the usual staleness error.
+        """
+        if not isinstance(self._storage, DeviceStore):
+            raise RuntimeError(
+                "rehash requires the device backend: bucket stores hold "
+                "no payload to rebuild signatures from"
+            )
+        if not self._store_vectors:
+            raise RuntimeError(
+                "rehash requires store_vectors=True: signatures are "
+                "rebuilt from the resident payload"
+            )
+        if (num_bands is None) != (rows_per_band is None):
+            raise ValueError(
+                "provide both num_bands and rows_per_band, or neither"
+            )
+        self.flush()
+        cfg = self._config
+        threshold = (
+            cfg["similarity_threshold"]
+            if similarity_threshold is None
+            else similarity_threshold
+        )
+        if num_bands is None:
+            new_perm = cfg["num_perm"] if num_perm is None else num_perm
+            num_bands, rows_per_band = get_optimal_config(new_perm, threshold)
+        new_perm = num_bands * rows_per_band
+        if num_perm is not None and num_perm != new_perm:
+            raise ValueError(
+                "num_bands * rows_per_band must equal num_perm "
+                f"(received {num_bands} * {rows_per_band} != {num_perm})"
+            )
+        if self._multiprobe > rows_per_band:
+            raise ValueError(
+                "multiprobe must be <= rows_per_band "
+                f"(= {rows_per_band}); received {self._multiprobe}"
+            )
+        seed = cfg["seed"] if seed is None else seed
+        if hash_family is None:
+            hash_family = self._tpu_config["hash_family"]
+        if hash_family not in ("gaussian", "structured"):
+            raise ValueError("hash_family must be 'gaussian' or 'structured'")
+
+        hasher = LSHHasher(
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            dim=self._hash_dim,
+            seed=seed,
+            hash_family=hash_family,
+        )
+        store = self._storage
+        if self._hash_on_device or hash_family == "structured":
+            store.rehash(
+                hasher.device_projection(),
+                num_bands=num_bands,
+                rows_per_band=rows_per_band,
+                hash_family=hash_family,
+            )
+        else:
+            # hash_mode="host" + gaussian: host BLAS and the MXU round
+            # differently, and stored/query signatures must come from ONE
+            # path per store — rebuild through a host round trip of the
+            # payload (slower, still no primary-datastore re-ingest).
+            snap = store.state_arrays()
+            ids = np.asarray(snap["ids"], dtype=np.int64)
+            alive = ids >= 0
+            vec = np.asarray(snap["payload"], dtype=np.float32)[alive]
+            store._reset_banding(num_bands, rows_per_band)
+            if len(vec):
+                store.add_signature_batch(
+                    ids[alive], hasher.hash_batch_words_host(vec), vec
+                )
+        self._hasher = hasher
+        cfg.update(
+            num_perm=new_perm,
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            similarity_threshold=threshold,
+            seed=seed,
+        )
+        self._tpu_config["hash_family"] = hash_family
 
     def stats(self) -> dict[str, Any]:
         """Configuration snapshot plus backend counters."""

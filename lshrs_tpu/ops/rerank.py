@@ -60,7 +60,12 @@ def rerank_topp_core(
     # HIGHEST precision: TPU matmuls default to bf16 passes (~1e-3
     # relative error) — the reference computes cosines in host float32,
     # and ~1e-3 noise visibly reorders near-ties. A bfloat16 payload is
-    # already rounded, so it keeps the fast native path.
+    # already rounded, so it keeps the fast native path. An int8 payload
+    # (per-row-scale quantized, see DeviceStore) upcasts to bf16 for the
+    # MXU; its ``pnorm`` is the norm of the stored integer rows, so the
+    # per-row scale cancels out of the cosine.
+    if payload.dtype == jnp.int8:
+        payload = payload.astype(jnp.bfloat16)
     bf16_payload = payload.dtype == jnp.bfloat16
     dots = jnp.dot(
         payload,
@@ -112,6 +117,11 @@ def rerank_topp_batch_core(
     bfloat16 query wire or a bfloat16 resident payload — keep the fast
     native-precision path.
     """
+    if payload.dtype == jnp.int8:
+        # Quantized payload (see DeviceStore): bf16 MXU path; the per-row
+        # quantization scale cancels out of the cosine because pnorm is
+        # the stored integer rows' norm.
+        payload = payload.astype(jnp.bfloat16)
     exact = qvecs.dtype == jnp.float32 and payload.dtype == jnp.float32
     bf16_payload = payload.dtype == jnp.bfloat16
     qd = qvecs.astype(payload.dtype) if bf16_payload else qvecs.astype(jnp.float32)
@@ -330,6 +340,9 @@ def rerank_topp_gather_core(
     exact = covered & (n <= m_slots)
 
     dim = payload.shape[1]
+    # The gather stays in the payload's storage dtype (an int8 payload
+    # moves 4x fewer gather bytes than f32); quantized rows upcast to
+    # bf16 only for the small (Q, M, dim) matmul block.
     rows = jnp.take(payload, sel_slots.reshape(-1), axis=0).reshape(
         q, m_slots, dim
     )
@@ -337,10 +350,13 @@ def rerank_topp_gather_core(
 
     # Precision contract mirrors rerank_topp_batch_core: f32 x f32 runs
     # HIGHEST (value-exact vs the reference's host-f32 cosines); inputs
-    # that arrive rounded (bf16 wire / bf16 payload) keep the native path.
+    # that arrive rounded (bf16 wire / bf16 or int8 payload) keep the
+    # native path.
     value_exact = qvecs.dtype == jnp.float32 and payload.dtype == jnp.float32
-    bf16_payload = payload.dtype == jnp.bfloat16
-    qd = qvecs.astype(payload.dtype) if bf16_payload else qvecs.astype(jnp.float32)
+    if payload.dtype == jnp.int8:
+        rows = rows.astype(jnp.bfloat16)
+    bf16_payload = rows.dtype == jnp.bfloat16
+    qd = qvecs.astype(rows.dtype) if bf16_payload else qvecs.astype(jnp.float32)
     qvecs_f32 = qvecs.astype(jnp.float32)
     dots = jnp.einsum(
         "qmd,qd->qm",

@@ -99,6 +99,8 @@ class ShardedDeviceStore(DeviceStore):
                 self._payload, NamedSharding(self.mesh, P(self.axis, None))
             )
             self._pnorm = jax.device_put(self._pnorm, row)
+            if self._pscale is not None:
+                self._pscale = jax.device_put(self._pscale, row)
         if self._planes is not None:
             self._planes = jax.device_put(
                 self._planes, NamedSharding(self.mesh, P(self.axis, None))
@@ -149,6 +151,10 @@ class ShardedDeviceStore(DeviceStore):
         )
         if ok and self._payload is not None:
             ok = self._payload.sharding.is_equivalent_to(rows_want, 2)
+            if ok and self._pscale is not None:
+                ok = self._pscale.sharding.is_equivalent_to(
+                    self._row_sharding, 1
+                )
         if ok and self._planes is not None:
             ok = self._planes.sharding.is_equivalent_to(rows_want, 2)
         if not ok:
@@ -171,7 +177,9 @@ class ShardedDeviceStore(DeviceStore):
         """SPMD tail-append: every shard scatters the (replicated) batch
         into its local slots and drops the rest — O(batch) work and zero
         cross-shard data movement, regardless of capacity."""
-        n, ids_p, words_dev, rows = self._append_prep(ids32, words, vectors)
+        n, ids_p, words_dev, rows, pscale = self._append_prep(
+            ids32, words, vectors
+        )
         offset = jnp.int32(self._size)
         self._sig_t, self._sig_rows, self._ids = _sharded_append(
             self.mesh, self.axis,
@@ -182,6 +190,10 @@ class ShardedDeviceStore(DeviceStore):
             self._payload, self._pnorm = _sharded_append_payload(
                 self.mesh, self.axis, self._payload, self._pnorm, rows, offset
             )
+            if pscale is not None:
+                self._pscale = _sharded_append_vec(
+                    self.mesh, self.axis, self._pscale, pscale, offset
+                )
         if self._planes is not None:
             planes_rows = unpack_bitplanes(
                 words_dev, num_bands=self.num_bands, rows_per_band=self.rows_per_band
@@ -195,6 +207,49 @@ class ShardedDeviceStore(DeviceStore):
     def _overwrite(self, slots, words_np, vectors) -> None:
         super()._overwrite(slots, words_np, vectors)
         self._check_placement()
+
+    def rehash(
+        self,
+        proj_t,
+        *,
+        num_bands: int,
+        rows_per_band: int,
+        hash_family: str = "gaussian",
+        block_slots: int = 1 << 17,
+    ) -> None:
+        """Sharded `DeviceStore.rehash`: every shard re-hashes its LOCAL
+        payload block under `shard_map` — zero cross-shard data movement
+        (the base class's capacity-wide dynamic slices would straddle
+        shard boundaries and tempt GSPMD into gathers)."""
+        with self._lock:
+            if self._payload is None:
+                raise RuntimeError(
+                    "rehash requires store_vectors=True: signatures are "
+                    "rebuilt from the resident payload"
+                )
+            self._set_banding(num_bands, rows_per_band)
+            local_cap = self._capacity // self.n_shards
+            step = min(_next_pow2(block_slots), local_cap)
+            while local_cap % step:
+                step //= 2
+            proj_dev = (
+                proj_t
+                if hash_family == "structured"
+                else jnp.asarray(proj_t, dtype=jnp.float32)
+            )
+            sig_rows = jax.device_put(
+                jnp.zeros((self._capacity, self.words), dtype=jnp.uint32),
+                NamedSharding(self.mesh, P(self.axis, None)),
+            )
+            for off in range(0, local_cap, step):
+                sig_rows = _sharded_rehash_block(
+                    self.mesh, self.axis, sig_rows, self._payload, proj_dev,
+                    jnp.int32(off),
+                    num_bands=num_bands, rows_per_band=rows_per_band,
+                    hash_family=hash_family, step=step,
+                )
+            self._finish_rehash(sig_rows)
+            self._check_placement()
 
     def add_vectors_batch(
         self, indices, vectors, proj_t, hash_family: str = "gaussian"
@@ -859,6 +914,55 @@ def _sharded_append_payload(mesh, axis, payload, pnorm, new_rows, offset):
         out_specs=(P(axis, None), P(axis)),
         check_vma=False,
     )(payload, pnorm, new_rows, offset)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "axis", "num_bands", "rows_per_band", "hash_family", "step",
+    ),
+    donate_argnums=(2,),
+)
+def _sharded_rehash_block(
+    mesh, axis, sig_rows, payload, proj_t, offset,
+    *, num_bands, rows_per_band, hash_family, step,
+):
+    from lshrs_tpu.storage.device import _hash_words_fused
+
+    def local(s_l, p_l, proj, off):
+        x = jax.lax.dynamic_slice(
+            p_l, (off, 0), (step, p_l.shape[1])
+        ).astype(jnp.float32)
+        w = _hash_words_fused(
+            x, proj, num_bands=num_bands, rows_per_band=rows_per_band,
+            hash_family=hash_family,
+        )
+        return jax.lax.dynamic_update_slice(s_l, w, (off, 0))
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(sig_rows, payload, proj_t, offset)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(2,))
+def _sharded_append_vec(mesh, axis, vec, new_vals, offset):
+    n = new_vals.shape[0]
+
+    def local(v_l, vals, off):
+        pos = _local_scatter_pos(axis, off, n, v_l.shape[0])
+        return v_l.at[pos].set(vals, mode="drop")
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(vec, new_vals, offset)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(2,))

@@ -153,13 +153,37 @@ def _hash_append_jit(
     return sig_t, sig_rows, ids, w
 
 
+def _cast_payload_rows(x, jdtype):
+    """Cast raw float32 rows to the resident payload dtype.
+
+    ``int8``: symmetric per-row quantization ``rows = round(x / s)`` with
+    scale ``s = max|x| / 127`` (zero rows get s=1). Returns
+    ``(rows, pscale)`` — ``pscale`` is None for float dtypes. The cosine
+    rerank never needs the scale (it cancels: ``pnorm`` stores the norm
+    of the integer rows); the scale exists only to reconstruct vector
+    magnitudes (`get_vectors`, checkpoints, dot-mode score fidelity).
+    Re-quantizing a dequantized row reproduces the int8 rows
+    bit-for-bit (the max coordinate lands on exactly +-127, and the
+    <=2e-7 relative scale recovery error never moves a coordinate
+    across a rounding boundary), so query results survive a checkpoint
+    round-trip unchanged; the recovered scale itself may differ in the
+    last f32 ulp.
+    """
+    if jdtype == jnp.int8:
+        s = jnp.max(jnp.abs(x), axis=1) / 127.0
+        s = jnp.where(s > 0, s, 1.0).astype(jnp.float32)
+        rows = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+        return rows, s
+    return x.astype(jdtype), None
+
+
 @partial(
     jax.jit,
-    donate_argnums=(0, 1, 2, 3, 4),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
     static_argnames=("num_bands", "rows_per_band", "payload_dtype", "hash_family"),
 )
 def _hash_append_payload_jit(
-    sig_t, sig_rows, ids, payload, pnorm, x, proj_t, new_ids, offset,
+    sig_t, sig_rows, ids, payload, pnorm, pscale, x, proj_t, new_ids, offset,
     *, num_bands, rows_per_band, payload_dtype, hash_family="gaussian",
 ):
     """`_hash_append_jit` + payload/pnorm append, still one dispatch."""
@@ -170,17 +194,44 @@ def _hash_append_payload_jit(
     sig_t = jax.lax.dynamic_update_slice(sig_t, w.T, (0, offset))
     sig_rows = jax.lax.dynamic_update_slice(sig_rows, w, (offset, 0))
     ids = jax.lax.dynamic_update_slice(ids, new_ids, (offset,))
-    rows = x.astype(payload_dtype)
+    rows, ps = _cast_payload_rows(x, payload_dtype)
     payload = jax.lax.dynamic_update_slice(payload, rows, (offset, 0))
     pnorm = jax.lax.dynamic_update_slice(
         pnorm, jnp.linalg.norm(rows.astype(jnp.float32), axis=1), (offset,)
     )
-    return sig_t, sig_rows, ids, payload, pnorm, w
+    if ps is not None:
+        pscale = jax.lax.dynamic_update_slice(pscale, ps, (offset,))
+    return sig_t, sig_rows, ids, payload, pnorm, pscale, w
 
 
 @partial(jax.jit, donate_argnums=(0,))
 def _append_rows_jit(arr, new_rows, offset):
     return jax.lax.dynamic_update_slice(arr, new_rows, (offset, 0))
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=("num_bands", "rows_per_band", "hash_family", "step"),
+)
+def _rehash_block_jit(
+    sig_rows, payload, proj_t, offset,
+    *, num_bands, rows_per_band, hash_family, step,
+):
+    """Re-hash ``step`` payload rows at ``offset`` into the new signature
+    row array — one donated device program per block, so peak extra HBM
+    stays O(step * dim) regardless of capacity. int8 payload rows hash
+    as raw integers: the positive per-row scale cannot change the sign
+    of any projection, so the bits equal those of the dequantized rows.
+    """
+    x = jax.lax.dynamic_slice(
+        payload, (offset, 0), (step, payload.shape[1])
+    ).astype(jnp.float32)
+    w = _hash_words_fused(
+        x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band,
+        hash_family=hash_family,
+    )
+    return jax.lax.dynamic_update_slice(sig_rows, w, (offset, 0))
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -258,10 +309,19 @@ class DeviceStore(BaseStorage):
             the collision scan already stores — zero extra memory,
             VPU-rate. Results are bit-identical.
         payload_dtype: resident payload precision (``store_vectors``):
-            ``"float32"`` (default; value-exact cosines) or
+            ``"float32"`` (default; value-exact cosines),
             ``"bfloat16"`` — HALF the payload HBM (the dominant array at
             scale: dim bytes/slot instead of 2*dim), cosine rerank then
-            runs a native bf16 MXU matmul with ~1e-3 relative rounding.
+            runs a native bf16 MXU matmul with ~1e-3 relative rounding —
+            or ``"int8"`` — a QUARTER of f32 (dim + 8 bytes/slot
+            including norm + reconstruction scale): rows store
+            ``round(127 * x / max|x|)`` per-row-scaled; the scale cancels
+            out of the cosine (pnorm is the integer rows' norm), so
+            rerank ranks by the cosine of the quantized direction
+            (~4e-3 relative rounding at 768d) and the gather engine
+            moves 4x fewer payload-gather bytes. int8 is what fits a
+            768-dim payload next to the index at the 100M/v5e-8 sizing
+            (see PERFORMANCE.md).
         rerank_engine: top-p rerank formulation — ``"full"`` (one
             ``(Q, C)`` cosine matmul over the whole store; exact, but
             brute-force-kNN cost at scale), ``"gather"`` (candidate-gather:
@@ -297,8 +357,10 @@ class DeviceStore(BaseStorage):
     ) -> None:
         if chunk_size <= 0 or chunk_size > 1 << 14:
             raise ValueError("chunk_size must be in (0, 16384]")
-        if payload_dtype not in ("float32", "bfloat16"):
-            raise ValueError("payload_dtype must be 'float32' or 'bfloat16'")
+        if payload_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                "payload_dtype must be 'float32', 'bfloat16' or 'int8'"
+            )
         if rerank_engine not in ("auto", "full", "gather"):
             raise ValueError("rerank_engine must be 'auto', 'full' or 'gather'")
         if rerank_candidates <= 0:
@@ -334,9 +396,10 @@ class DeviceStore(BaseStorage):
         self.rerank_engine = rerank_engine
         self.rerank_candidates = rerank_candidates
         self._rerank_truncations = 0
-        self._payload_jdtype = (
-            jnp.bfloat16 if payload_dtype == "bfloat16" else jnp.float32
-        )
+        self._payload_jdtype = {
+            "bfloat16": jnp.bfloat16,
+            "int8": jnp.int8,
+        }.get(payload_dtype, jnp.float32)
         # Lazily (re)built sorted bucket index (see lshrs_tpu.ops.bucketed).
         self._bucket_index: tuple | None = None
         self._bucket_overflows = 0
@@ -375,6 +438,13 @@ class DeviceStore(BaseStorage):
         )
         self._pnorm = (
             jnp.zeros((cap,), dtype=jnp.float32) if self.store_vectors else None
+        )
+        # Per-row quantization scales (int8 payload only): reconstruction
+        # metadata, never read by the query path (see _cast_payload_rows).
+        self._pscale = (
+            jnp.zeros((cap,), dtype=jnp.float32)
+            if self.store_vectors and self._payload_jdtype == jnp.int8
+            else None
         )
         # Bitplanes are LAZY: materialized from the packed words on the
         # first Hamming use (`_ensure_planes`), then maintained by
@@ -774,10 +844,10 @@ class DeviceStore(BaseStorage):
             if self._payload is not None:
                 (
                     self._sig_t, self._sig_rows, self._ids,
-                    self._payload, self._pnorm, w,
+                    self._payload, self._pnorm, self._pscale, w,
                 ) = _hash_append_payload_jit(
                     self._sig_t, self._sig_rows, self._ids,
-                    self._payload, self._pnorm,
+                    self._payload, self._pnorm, self._pscale,
                     x, proj_dev, jnp.asarray(ids_p), offset,
                     num_bands=self.num_bands,
                     rows_per_band=self.rows_per_band,
@@ -829,13 +899,19 @@ class DeviceStore(BaseStorage):
         if self._payload is not None and vectors is not None:
             rows_p = np.zeros((pad, self.dim), dtype=np.float32)
             rows_p[: slots.size] = vectors
-            rows_d = jnp.asarray(rows_p).astype(self._payload_jdtype)
+            rows_d, ps = _cast_payload_rows(
+                jnp.asarray(rows_p), self._payload_jdtype
+            )
             self._payload = _scatter_rows_jit(
                 self._payload, jnp.asarray(slots_p), rows_d
             )
             self._pnorm = self._pnorm.at[jnp.asarray(slots_p)].set(
                 jnp.linalg.norm(rows_d.astype(jnp.float32), axis=1), mode="drop"
             )
+            if ps is not None:
+                self._pscale = self._pscale.at[jnp.asarray(slots_p)].set(
+                    ps, mode="drop"
+                )
         if self._planes is not None:
             planes_rows = unpack_bitplanes(
                 jnp.asarray(words_p),
@@ -860,16 +936,18 @@ class DeviceStore(BaseStorage):
         words_dev = jnp.asarray(words, dtype=jnp.uint32)
         if pad != n:
             words_dev = jnp.pad(words_dev, ((0, pad - n), (0, 0)))
-        rows = None
+        rows = pscale = None
         if self._payload is not None:
             # Store-precision rows: norms are computed from the ROUNDED
             # payload so the cosine denominator matches the stored bits.
-            rows = jnp.asarray(vectors, dtype=jnp.float32).astype(
-                self._payload_jdtype
+            rows, pscale = _cast_payload_rows(
+                jnp.asarray(vectors, dtype=jnp.float32), self._payload_jdtype
             )
             if pad != n:
                 rows = jnp.pad(rows, ((0, pad - n), (0, 0)))
-        return n, ids_p, words_dev, rows
+                if pscale is not None:
+                    pscale = jnp.pad(pscale, (0, pad - n))
+        return n, ids_p, words_dev, rows, pscale
 
     def _append_finish(self, ids32: np.ndarray, n: int) -> None:
         if self._slot_of is not None:
@@ -879,7 +957,9 @@ class DeviceStore(BaseStorage):
         self._refresh_ranks()
 
     def _append(self, ids32: np.ndarray, words, vectors) -> None:
-        n, ids_p, words_dev, rows = self._append_prep(ids32, words, vectors)
+        n, ids_p, words_dev, rows, pscale = self._append_prep(
+            ids32, words, vectors
+        )
         offset = np.int32(self._size)
         self._sig_t, self._ids = _append_jit(
             self._sig_t, self._ids, words_dev.T, jnp.asarray(ids_p), offset
@@ -892,6 +972,10 @@ class DeviceStore(BaseStorage):
                 jnp.linalg.norm(rows.astype(jnp.float32), axis=1),
                 (offset,),
             )
+            if pscale is not None:
+                self._pscale = jax.lax.dynamic_update_slice(
+                    self._pscale, pscale, (offset,)
+                )
         if self._planes is not None:
             planes_rows = unpack_bitplanes(
                 words_dev, num_bands=self.num_bands, rows_per_band=self.rows_per_band
@@ -915,6 +999,9 @@ class DeviceStore(BaseStorage):
             self._payload = payload.at[: self._capacity].set(self._payload)
             pnorm = jnp.zeros((new_cap,), dtype=jnp.float32)
             self._pnorm = pnorm.at[: self._capacity].set(self._pnorm)
+            if self._pscale is not None:
+                pscale = jnp.zeros((new_cap,), dtype=jnp.float32)
+                self._pscale = pscale.at[: self._capacity].set(self._pscale)
         if self._planes is not None:
             planes = jnp.zeros(
                 (new_cap, self.num_bands * self.rows_per_band), dtype=jnp.int8
@@ -1861,7 +1948,11 @@ class DeviceStore(BaseStorage):
                 count=len(indices),
             )
             payload = self._payload
-        return np.asarray(payload)[slots].astype(np.float32)
+            pscale = self._pscale
+        rows = np.asarray(payload)[slots].astype(np.float32)
+        if pscale is not None:  # int8: dequantize by the per-row scale
+            rows *= np.asarray(pscale)[slots, None]
+        return rows
 
     # ------------------------------------------------------------------
     # bucket-level parity API
@@ -1970,10 +2061,106 @@ class DeviceStore(BaseStorage):
                 self._slot_of.clear()
             self._pending_ops.clear()
 
+    def _set_banding(self, num_bands: int, rows_per_band: int) -> None:
+        """Adopt a new banding scheme (callers rebuild signatures after)."""
+        if (num_bands + 1) * self.chunk >= 2**31:
+            raise ValueError(
+                "num_bands * chunk_size too large for exact top-k keys"
+            )
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.words = num_bands * words_per_band(rows_per_band)
+        self._refine_narrow_r = narrow_refine_r(rows_per_band)
+
+    def _reset_banding(self, num_bands: int, rows_per_band: int) -> None:
+        """Re-allocate empty state under a new banding (host rehash path)."""
+        with self._lock:
+            self._set_banding(num_bands, rows_per_band)
+            self._alloc(self._capacity)
+            self._size = 0
+            self._tombstones = 0
+            self._generation += 1
+            if self._slot_of is not None:
+                self._slot_of.clear()
+            self._pending_ops.clear()
+
+    def rehash(
+        self,
+        proj_t,
+        *,
+        num_bands: int,
+        rows_per_band: int,
+        hash_family: str = "gaussian",
+        block_slots: int = 1 << 17,
+    ) -> None:
+        """Rebuild EVERY stored signature from the resident payload under a
+        new banding / seed / hash family — entirely on device, at fused-
+        build rate, without re-streaming a single vector.
+
+        The reference cannot retune an index without re-ingesting from the
+        primary datastore (its Redis buckets only hold memberships,
+        `/root/reference/lshrs/storage/redis.py:40`); with the payload
+        resident in HBM, changing the operating point is a handful of
+        hash-matmul dispatches (~3 ms per 131k rows at 768d on v5e).
+
+        Args:
+            proj_t: device hash operand of the NEW hasher
+                (`LSHHasher.device_projection`).
+            num_bands / rows_per_band: the new banding.
+            hash_family: family matching ``proj_t``.
+            block_slots: rows re-hashed per device program (bounds the
+                transient f32 cast of the payload block).
+
+        Signatures derive from the payload at its STORED precision: exact
+        for ``payload_dtype="float32"``; with bf16/int8 payloads a few
+        near-zero projection margins may flip vs hashing the original
+        vectors (the probability is ~quantization-step / |margin|) —
+        identical retrieval semantics, marginally different bucket
+        boundaries. Ids, payload, tombstones and the id -> slot map are
+        untouched; Hamming bitplanes and refine/bucket caches rebuild
+        lazily.
+        """
+        with self._lock:
+            if self._payload is None:
+                raise RuntimeError(
+                    "rehash requires store_vectors=True: signatures are "
+                    "rebuilt from the resident payload"
+                )
+            self._set_banding(num_bands, rows_per_band)
+            cap = self._capacity
+            step = min(_next_pow2(block_slots), cap)
+            while cap % step:
+                step //= 2
+            proj_dev = (
+                proj_t
+                if hash_family == "structured"
+                else jnp.asarray(proj_t, dtype=jnp.float32)
+            )
+            sig_rows = jnp.zeros((cap, self.words), dtype=jnp.uint32)
+            for off in range(0, cap, step):
+                sig_rows = _rehash_block_jit(
+                    sig_rows, self._payload, proj_dev, np.int32(off),
+                    num_bands=num_bands, rows_per_band=rows_per_band,
+                    hash_family=hash_family, step=step,
+                )
+            self._finish_rehash(sig_rows)
+
+    def _finish_rehash(self, sig_rows) -> None:
+        """Install rebuilt signature rows; invalidate derived state."""
+        self._sig_rows = sig_rows
+        self._sig_t = sig_rows.T
+        self._rows_ext = {}
+        self._bucket_index = None
+        self._planes = None  # lazily rebuilt from the new words
+        self._generation += 1
+        # ids are unchanged, but the selection-key scale depends on the
+        # banding; recompute lazily like every other mutation.
+        self._refresh_ranks()
+
     def close(self) -> None:
         """Drop device buffers."""
         self._sig_t = self._ids = self._ranks = self._tie = None  # type: ignore[assignment]
-        self._payload = self._pnorm = self._planes = None
+        self._payload = self._pnorm = self._pscale = self._planes = None
         self._bucket_index = None
         self._sig_rows = None
         self._rows_ext = {}
@@ -1987,9 +2174,11 @@ class DeviceStore(BaseStorage):
 
     def stats(self) -> dict:
         sig_bytes = self._capacity * self.words * 4
-        payload_itemsize = 2 if self.payload_dtype == "bfloat16" else 4
+        payload_itemsize = {"bfloat16": 2, "int8": 1}.get(self.payload_dtype, 4)
         payload_bytes = (
             self._capacity * (self.dim or 0) * payload_itemsize
+            # int8 carries a 4-byte per-row reconstruction scale
+            + (self._capacity * 4 if self._pscale is not None else 0)
             if self.store_vectors
             else 0
         )
@@ -2037,10 +2226,17 @@ class DeviceStore(BaseStorage):
             }
             if self._payload is not None:
                 # Export as float32: .npz round-trips builtin dtypes only
-                # (a bfloat16 store re-rounds identically on restore).
+                # (bfloat16 re-rounds identically on restore; int8 rows
+                # export dequantized and re-quantize bit-identically, so
+                # query results are unchanged — only the reconstruction
+                # scale can move by 1 ulp; see _cast_payload_rows).
                 out["payload"] = np.asarray(
                     self._payload[:n].astype(jnp.float32)
                 )
+                if self._pscale is not None:
+                    out["payload"] = out["payload"] * np.asarray(
+                        self._pscale[:n]
+                    )[:, None]
         return out
 
     def load_state_arrays(self, state: dict[str, np.ndarray]) -> None:
