@@ -96,7 +96,7 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
         dim=args.dim,
         num_perm=args.num_perm,
         similarity_threshold=threshold,
-        store_vectors=args.rerank,
+        store_vectors=args.rerank or args.retrain > 0,
         enable_hamming=True,
         initial_capacity=1 << max(14, (args.n - 1).bit_length()),
         hash_mode="host",
@@ -114,6 +114,14 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
     t0 = time.perf_counter()
     lsh.index(np.arange(args.n), base)
     build_s = time.perf_counter() - t0
+    itq_info = None
+    if args.retrain > 0:
+        # Fit ITQ learned hyperplanes to the indexed payload and rebuild
+        # the signatures in place; every estimator below then measures
+        # the LEARNED family at identical memory/banding.
+        t0 = time.perf_counter()
+        itq_info = lsh.retrain(iters=args.retrain)
+        itq_info["retrain_s"] = round(time.perf_counter() - t0, 2)
     stats = lsh.stats()
     store = lsh._storage
 
@@ -137,6 +145,7 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
 
     out = {
         "threshold": threshold,
+        "family": "learned(itq)" if args.retrain > 0 else args.hash_family,
         "bands": f"{stats['num_bands']}x{stats['rows_per_band']}",
         f"recall@{k}_collision": round(r_coll, 4),
         f"recall@{k}_hamming": round(r_ham, 4),
@@ -150,6 +159,11 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
             stats["index"]["capacity"] * args.num_perm / 2**20, 1
         ),
     }
+    if itq_info is not None:
+        out["itq"] = {
+            key: itq_info[key]
+            for key in ("fitted_bits", "padded_bits", "bit_bias", "retrain_s")
+        }
 
     if args.rerank:
         scored = lsh.get_above_p_batch(queries, p=1.0, top_k=k)
@@ -202,6 +216,12 @@ def main() -> None:
     ap.add_argument("--hash-family", choices=["gaussian", "structured"],
                     default="gaussian",
                     help="LSH projection family (structured = FWHT rotations)")
+    ap.add_argument("--retrain", type=int, default=0, metavar="ITERS",
+                    help="fit ITQ learned hyperplanes on the indexed payload "
+                    "(ITERS alternations, lshrs_tpu.hash.itq) and rebuild the "
+                    "signatures in place before measuring — every estimator "
+                    "column then reports the learned family at identical "
+                    "memory and banding (implies store_vectors)")
     ap.add_argument("--dist", choices=["clustered", "heavy"], default="clustered",
                     help="base-data generator: Gaussian-mixture clusters or "
                     "GloVe-like heavy-tailed (Zipf clusters, anisotropic axes)")

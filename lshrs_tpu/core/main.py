@@ -189,8 +189,10 @@ class LSHRS:
             raise ValueError("buffer_size must be greater than zero")
         if hash_mode not in ("device", "host"):
             raise ValueError("hash_mode must be 'device' or 'host'")
-        if hash_family not in ("gaussian", "structured"):
-            raise ValueError("hash_family must be 'gaussian' or 'structured'")
+        if hash_family not in ("gaussian", "structured", "learned"):
+            raise ValueError(
+                "hash_family must be 'gaussian', 'structured' or 'learned'"
+            )
         if engine not in ("auto", "collision", "hamming"):
             raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
         if not isinstance(multiprobe, int) or multiprobe < 1:
@@ -1397,8 +1399,25 @@ class LSHRS:
         seed = cfg["seed"] if seed is None else seed
         if hash_family is None:
             hash_family = self._tpu_config["hash_family"]
-        if hash_family not in ("gaussian", "structured"):
-            raise ValueError("hash_family must be 'gaussian' or 'structured'")
+        if hash_family not in ("gaussian", "structured", "learned"):
+            raise ValueError(
+                "hash_family must be 'gaussian', 'structured' or 'learned'"
+            )
+        projection = None
+        if hash_family == "learned":
+            # A learned matrix is data, not a seed — rehash can only carry
+            # the CURRENT one (re-banding the same bits). Fitting a new one
+            # is `retrain`'s job.
+            if (
+                self._hasher.hash_family != "learned"
+                or self._hasher.projection_matrix.shape[0] != new_perm
+            ):
+                raise ValueError(
+                    "rehash cannot draw a learned projection; use "
+                    "retrain(sample) to fit one (or rehash within the "
+                    "current num_perm to re-band the existing learned bits)"
+                )
+            projection = self._hasher.projection_matrix
 
         hasher = LSHHasher(
             num_bands=num_bands,
@@ -1406,20 +1425,35 @@ class LSHRS:
             dim=self._hash_dim,
             seed=seed,
             hash_family=hash_family,
+            projection=projection,
         )
+        self._rebuild_store_signatures(hasher, num_bands, rows_per_band)
+        cfg.update(
+            num_perm=new_perm,
+            num_bands=num_bands,
+            rows_per_band=rows_per_band,
+            similarity_threshold=threshold,
+            seed=seed,
+        )
+        self._tpu_config["hash_family"] = hash_family
+
+    def _rebuild_store_signatures(
+        self, hasher: LSHHasher, num_bands: int, rows_per_band: int
+    ) -> None:
+        """Rebuild every stored signature under ``hasher`` and install it."""
         store = self._storage
-        if self._hash_on_device or hash_family == "structured":
+        if self._hash_on_device or hasher.hash_family == "structured":
             store.rehash(
                 hasher.device_projection(),
                 num_bands=num_bands,
                 rows_per_band=rows_per_band,
-                hash_family=hash_family,
+                hash_family=hasher.hash_family,
             )
         else:
-            # hash_mode="host" + gaussian: host BLAS and the MXU round
-            # differently, and stored/query signatures must come from ONE
-            # path per store — rebuild through a host round trip of the
-            # payload (slower, still no primary-datastore re-ingest).
+            # hash_mode="host": host BLAS and the MXU round differently,
+            # and stored/query signatures must come from ONE path per
+            # store — rebuild through a host round trip of the payload
+            # (slower, still no primary-datastore re-ingest).
             snap = store.state_arrays()
             ids = np.asarray(snap["ids"], dtype=np.int64)
             alive = ids >= 0
@@ -1430,14 +1464,100 @@ class LSHRS:
                     ids[alive], hasher.hash_batch_words_host(vec), vec
                 )
         self._hasher = hasher
-        cfg.update(
-            num_perm=new_perm,
-            num_bands=num_bands,
-            rows_per_band=rows_per_band,
-            similarity_threshold=threshold,
-            seed=seed,
+
+    def retrain(
+        self,
+        sample: Optional[np.ndarray] = None,
+        *,
+        iters: int = 64,
+        sample_cap: int = 131072,
+        seed: Optional[int] = None,
+    ) -> dict[str, Any]:
+        """Fit DATA-DEPENDENT hyperplanes (ITQ, `lshrs_tpu.hash.itq`) and
+        rebuild the index's signatures under them, in place.
+
+        The reference's hash family is frozen at seeded random hyperplanes
+        (`/root/reference/lshrs/hash/lsh.py:93-94`). With the payload
+        resident in HBM this index can instead LEARN its projections from
+        the indexed distribution — measurably higher recall per bit on
+        real embedding geometry (see PERFORMANCE.md) — and swap them in
+        with a handful of device rehash dispatches, no re-ingestion.
+
+        Args:
+            sample: ``(n, dim)`` representative raw vectors to fit on
+                (``similarity="dot"`` indexes augment them exactly like
+                ingest does). Default: the resident payload rows
+                themselves — the index fits to what it actually holds.
+            iters: ITQ alternation count.
+            sample_cap: fit at most this many rows (evenly strided
+                subsample; the fit is a host-side SVD + small GEMMs).
+            seed: rotation-init / padding seed (default: current seed).
+
+        Returns:
+            The fit diagnostics dict from
+            `lshrs_tpu.hash.itq.fit_itq_projection` (bit balance,
+            quantization alignment, padded-bit count).
+
+        Keeps the current banding; `rehash` re-bands afterwards if needed
+        (the learned matrix is carried as long as ``num_perm`` is
+        unchanged). Serving closures from before the retrain raise the
+        usual staleness error. Like `rehash`, requires the device backend
+        with ``store_vectors=True``.
+        """
+        from lshrs_tpu.hash.itq import fit_itq_projection
+
+        if not isinstance(self._storage, DeviceStore):
+            raise RuntimeError(
+                "retrain requires the device backend: bucket stores hold "
+                "no payload to rebuild signatures from"
+            )
+        if not self._store_vectors:
+            raise RuntimeError(
+                "retrain requires store_vectors=True: signatures are "
+                "rebuilt from the resident payload"
+            )
+        self.flush()
+        cfg = self._config
+        if sample is None:
+            snap = self._storage.state_arrays()
+            ids = np.asarray(snap["ids"], dtype=np.int64)
+            rows = np.asarray(snap["payload"], dtype=np.float32)[ids >= 0]
+            if rows.shape[0] < 2:
+                raise RuntimeError(
+                    "retrain needs at least 2 indexed vectors to fit on "
+                    "(or pass an explicit sample)"
+                )
+            # int8 payload rows are per-row scaled; the fit l2-normalizes
+            # rows, so the scale drops out.
+        else:
+            arr = np.asarray(sample, dtype=np.float32)
+            if arr.ndim != 2 or arr.shape[1] != self._dim:
+                raise ValueError(
+                    f"sample must have shape (n, {self._dim}); "
+                    f"received {tuple(arr.shape)}"
+                )
+            rows = self._augment_data(arr)
+        if rows.shape[0] > sample_cap:
+            stride = rows.shape[0] / sample_cap
+            rows = rows[(np.arange(sample_cap) * stride).astype(np.int64)]
+        seed = cfg["seed"] if seed is None else seed
+        proj, info = fit_itq_projection(
+            rows, cfg["num_perm"], iters=iters, seed=seed, return_info=True
         )
-        self._tpu_config["hash_family"] = hash_family
+        hasher = LSHHasher(
+            num_bands=cfg["num_bands"],
+            rows_per_band=cfg["rows_per_band"],
+            dim=self._hash_dim,
+            seed=seed,
+            hash_family="learned",
+            projection=proj,
+        )
+        self._rebuild_store_signatures(
+            hasher, cfg["num_bands"], cfg["rows_per_band"]
+        )
+        cfg["seed"] = seed
+        self._tpu_config["hash_family"] = "learned"
+        return info
 
     def stats(self) -> dict[str, Any]:
         """Configuration snapshot plus backend counters."""

@@ -122,13 +122,16 @@ class LSHHasher:
         dim: expected input dimensionality.
         words_per_band: uint32 words per band signature, ``ceil(r / 32)``.
         hash_family: ``"gaussian"`` (reference parity: dense seeded
-            hyperplanes, one MXU matmul per batch) or ``"structured"``
+            hyperplanes, one MXU matmul per batch), ``"structured"``
             (FWHT pseudo-random rotations, `lshrs_tpu.hash.fwht` — ~13x
             fewer flops per vector, native C host path, and host/device
-            bit parity by construction).
+            bit parity by construction), or ``"learned"`` (data-dependent
+            hyperplanes fitted with `lshrs_tpu.hash.itq` — same dense
+            matmul machinery as gaussian, only the matrix differs; pass
+            it via ``projection`` or assign ``projections`` afterwards).
         projections: list of per-band ``(rows_per_band, dim)`` float32
             matrices (views into one contiguous array); assignable, for
-            restore-from-disk. Gaussian family only.
+            restore-from-disk. Gaussian and learned families.
         diagonals: the ``(nblocks, 3, dpad)`` +-1 diagonal array of the
             structured family; assignable, for restore-from-disk.
     """
@@ -140,6 +143,7 @@ class LSHHasher:
         dim: int,
         seed: int = 42,
         hash_family: str = "gaussian",
+        projection: np.ndarray | None = None,
     ) -> None:
         if num_bands <= 0:
             raise ValueError("num_bands must be > 0")
@@ -147,8 +151,14 @@ class LSHHasher:
             raise ValueError("rows_per_band must be > 0")
         if dim <= 0:
             raise ValueError("dim must be > 0")
-        if hash_family not in ("gaussian", "structured"):
-            raise ValueError("hash_family must be 'gaussian' or 'structured'")
+        if hash_family not in ("gaussian", "structured", "learned"):
+            raise ValueError(
+                "hash_family must be 'gaussian', 'structured' or 'learned'"
+            )
+        if projection is not None and hash_family != "learned":
+            raise ValueError(
+                "an explicit projection requires hash_family='learned'"
+            )
 
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
@@ -160,7 +170,20 @@ class LSHHasher:
         if hash_family == "structured":
             self._proj = None
             self._diags = structured_diags(seed, dim=dim, num_perm=num_perm)
+        elif projection is not None:
+            p = np.asarray(projection, dtype=np.float32)
+            if p.shape != (num_perm, dim):
+                raise ValueError(
+                    f"projection must have shape ({num_perm}, {dim}); "
+                    f"received {tuple(p.shape)}"
+                )
+            self._proj = p.copy()
+            self._diags = None
         else:
+            # The "learned" family without an explicit matrix starts from
+            # the same seeded draw as gaussian — persistence restore
+            # constructs the hasher first and assigns the learned
+            # ``projections`` afterwards (`LSHRS.load_from_disk`).
             rng = np.random.default_rng(seed)
             self._proj = rng.standard_normal((num_perm, dim)).astype(np.float32)
             self._diags = None
@@ -181,9 +204,10 @@ class LSHHasher:
 
     @projections.setter
     def projections(self, matrices) -> None:
-        if self.hash_family != "gaussian":
+        if self.hash_family not in ("gaussian", "learned"):
             raise ValueError(
-                "projections are assignable only on the gaussian hash family"
+                "projections are assignable only on the gaussian and "
+                "learned hash families"
             )
         mats = [np.asarray(m, dtype=np.float32) for m in matrices]
         if len(mats) != self.num_bands or any(
