@@ -127,9 +127,11 @@ def fit_itq_projection(
     r = q0.astype(np.float32)
     for _ in range(iters):
         b = np.where(v @ r >= 0, 1.0, -1.0).astype(np.float32)
-        # orthogonal Procrustes: maximize tr(R^T V^T B)
-        u, _, vt = np.linalg.svd((v.T @ b).astype(np.float64))
-        r = (u @ vt).astype(np.float32)
+        # orthogonal Procrustes: maximize tr(R^T V^T B). (Keep the SVD
+        # factors off `u`: that name is the deflation direction, read
+        # again below by the info dict.)
+        lu, _, vt = np.linalg.svd((v.T @ b).astype(np.float64))
+        r = (lu @ vt).astype(np.float32)
 
     proj = (w @ r).T  # (k, dim): learned hyperplanes
     if num_perm > k:
