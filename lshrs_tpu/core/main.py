@@ -1519,16 +1519,17 @@ class LSHRS:
         self.flush()
         cfg = self._config
         if sample is None:
-            snap = self._storage.state_arrays()
-            ids = np.asarray(snap["ids"], dtype=np.int64)
-            rows = np.asarray(snap["payload"], dtype=np.float32)[ids >= 0]
+            # Device-side strided sampling: reads back <= sample_cap rows
+            # regardless of capacity (a full snapshot of a 1M x 768d
+            # store would move ~3 GB over the transport). int8 rows come
+            # back dequantized; the fit l2-normalizes anyway, so the
+            # per-row scale drops out.
+            rows = self._storage.sample_payload_rows(sample_cap)
             if rows.shape[0] < 2:
                 raise RuntimeError(
                     "retrain needs at least 2 indexed vectors to fit on "
                     "(or pass an explicit sample)"
                 )
-            # int8 payload rows are per-row scaled; the fit l2-normalizes
-            # rows, so the scale drops out.
         else:
             arr = np.asarray(sample, dtype=np.float32)
             if arr.ndim != 2 or arr.shape[1] != self._dim:

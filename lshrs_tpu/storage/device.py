@@ -2216,6 +2216,35 @@ class DeviceStore(BaseStorage):
             "payload_bytes": payload_bytes,
         }
 
+    def sample_payload_rows(self, cap: int) -> np.ndarray:
+        """Up to ``cap`` dequantized ALIVE payload rows (float32, host).
+
+        Evenly strided over the live slots and gathered ON DEVICE, so the
+        host readback is O(cap * dim) regardless of capacity — a full
+        `state_arrays` snapshot of a 1M x 768d store reads back ~3 GB
+        through the transport; this reads back at most ``cap`` rows
+        (plus the 4-byte-per-slot id column to locate the live slots).
+        Feeds `LSHRS.retrain`'s default fit sample.
+        """
+        if cap <= 0:
+            raise ValueError("cap must be > 0")
+        with self._lock:
+            if self._payload is None:
+                raise RuntimeError(
+                    "sample_payload_rows requires store_vectors=True"
+                )
+            n = self._size
+            ids = np.asarray(self._ids[:n], dtype=np.int64)
+            alive = np.flatnonzero(ids >= 0)
+            if alive.size > cap:
+                stride = alive.size / cap
+                alive = alive[(np.arange(cap) * stride).astype(np.int64)]
+            slots = jnp.asarray(alive.astype(np.int32))
+            rows = jnp.take(self._payload, slots, axis=0).astype(jnp.float32)
+            if self._pscale is not None:
+                rows = rows * jnp.take(self._pscale, slots)[:, None]
+            return np.asarray(rows)
+
     def state_arrays(self) -> dict[str, np.ndarray]:
         """Dense host snapshot of the used slots (for checkpointing)."""
         with self._lock:

@@ -286,3 +286,42 @@ def test_retrain_sharded(rng):
     lsh.retrain(iters=8)
     idx, count = lsh._ordered_candidates(X[9])[0]
     assert idx == 9 and count == 4
+
+
+def test_sample_payload_rows(rng):
+    """Device-side strided sampling: O(cap) readback feeding retrain."""
+    lsh, X = _device_lsh(rng)
+    store = lsh._storage
+    rows = store.sample_payload_rows(10_000)  # cap above n: all alive rows
+    assert rows.shape == X.shape and rows.dtype == np.float32
+    np.testing.assert_allclose(rows, X, rtol=1e-6)
+    capped = store.sample_payload_rows(64)
+    assert capped.shape == (64, 32)
+    # strided subsample: every returned row is a stored row
+    assert all(
+        np.isclose(X, r[None, :], atol=1e-6).all(axis=1).any() for r in capped
+    )
+    lsh.delete([0, 1, 2])
+    alive = store.sample_payload_rows(10_000)
+    assert alive.shape[0] == X.shape[0] - 3  # tombstones excluded
+    with pytest.raises(ValueError, match="cap must be > 0"):
+        store.sample_payload_rows(0)
+
+
+def test_sample_payload_rows_int8_dequantized(rng):
+    lsh, X = _device_lsh(rng, payload_dtype="int8")
+    rows = lsh._storage.sample_payload_rows(10_000)
+    # int8 rows come back dequantized by the per-row scale
+    np.testing.assert_allclose(rows, X, rtol=0.05, atol=0.02)
+    info = lsh.retrain(iters=4)  # default sample path rides the sampler
+    assert info["sample_rows"] == X.shape[0]
+
+
+def test_sample_payload_rows_requires_payload(rng):
+    lsh = LSHRS(dim=16, backend="device", store_vectors=False, num_perm=16,
+                num_bands=4, rows_per_band=4, chunk_size=64,
+                initial_capacity=64)
+    lsh.ingest(1, rng.standard_normal(16).astype(np.float32))
+    lsh.flush()
+    with pytest.raises(RuntimeError, match="store_vectors=True"):
+        lsh._storage.sample_payload_rows(8)
