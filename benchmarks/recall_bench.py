@@ -92,12 +92,15 @@ def recall(got_rows, gt: np.ndarray, k: int) -> float:
 def run_threshold(base, queries, gt, threshold, args) -> dict:
     from lshrs_tpu import LSHRS
 
+    is_cp = args.hash_family == "crosspolytope"
     lsh = LSHRS(
         dim=args.dim,
         num_perm=args.num_perm,
         similarity_threshold=threshold,
         store_vectors=args.rerank or args.retrain > 0,
-        enable_hamming=True,
+        # bit-semantic estimators (Hamming/asymmetric) are undefined over
+        # cross-polytope argmax symbols and rejected at construction
+        enable_hamming=not is_cp,
         initial_capacity=1 << max(14, (args.n - 1).bit_length()),
         hash_mode="host",
         hash_family=args.hash_family,
@@ -131,34 +134,36 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
     query_s = time.perf_counter() - t0
     r_coll = recall(got, gt, k)
 
-    # hamming (full-signature) recall — same hash path as indexing
-    # (store-level calls bypass the orchestrator, so apply the MIPS
-    # query augmentation explicitly; identity for cosine)
     q_aug = lsh._augment_query(queries)
-    qwords = lsh._hasher.hash_batch_words_host(q_aug)
-    _, ham_ids = store.query_hamming(qwords, k)
-    r_ham = recall([row[row >= 0] for row in ham_ids], gt, k)
-
-    # asymmetric SimHash recall — query keeps quantised coordinates
-    asym_rows = lsh.query_asymmetric_batch(queries, top_k=k)
-    r_asym = recall([[i for i, _ in row] for row in asym_rows], gt, k)
-
     out = {
         "threshold": threshold,
         "family": "learned(itq)" if args.retrain > 0 else args.hash_family,
         "bands": f"{stats['num_bands']}x{stats['rows_per_band']}",
         f"recall@{k}_collision": round(r_coll, 4),
-        f"recall@{k}_hamming": round(r_ham, 4),
-        f"recall@{k}_asymmetric": round(r_asym, 4),
         "build_s": round(build_s, 2),
         "query_batch_s": round(query_s, 3),
         "signature_mb": round(stats["index"]["signature_bytes"] / 2**20, 1),
+    }
+    if not is_cp:
+        # hamming (full-signature) recall — same hash path as indexing
+        # (store-level calls bypass the orchestrator, so apply the MIPS
+        # query augmentation explicitly; identity for cosine)
+        qwords = lsh._hasher.hash_batch_words_host(q_aug)
+        _, ham_ids = store.query_hamming(qwords, k)
+        out[f"recall@{k}_hamming"] = round(
+            recall([row[row >= 0] for row in ham_ids], gt, k), 4
+        )
+
+        # asymmetric SimHash recall — query keeps quantised coordinates
+        asym_rows = lsh.query_asymmetric_batch(queries, top_k=k)
+        out[f"recall@{k}_asymmetric"] = round(
+            recall([[i for i, _ in row] for row in asym_rows], gt, k), 4
+        )
         # honest memory: Hamming bitplanes cost num_perm bytes/vector on
         # top of the num_perm/8-byte packed signature
-        "hamming_extra_mb": round(
+        out["hamming_extra_mb"] = round(
             stats["index"]["capacity"] * args.num_perm / 2**20, 1
-        ),
-    }
+        )
     if itq_info is not None:
         out["itq"] = {
             key: itq_info[key]
@@ -174,7 +179,7 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
     if args.multiprobe > 1:
         # Multi-probe collision (+ rerank): same index, zero extra memory —
         # the T-probe query words reuse every fused query path.
-        t_probe = min(args.multiprobe, stats["rows_per_band"])
+        t_probe = min(args.multiprobe, lsh._hasher.max_probes)
         qw_mp = lsh._hasher.hash_batch_probe_words_host(q_aug, t_probe)
         _, mp_ids = store.query_topk(qw_mp, k)
         out[f"recall@{k}_collision_mp{t_probe}"] = round(
@@ -213,9 +218,12 @@ def main() -> None:
                     "augmentation) and ranks ground truth by inner product; "
                     "base vectors get a 3x norm spread so the augmentation's "
                     "hard case is what gets measured")
-    ap.add_argument("--hash-family", choices=["gaussian", "structured"],
+    ap.add_argument("--hash-family",
+                    choices=["gaussian", "structured", "crosspolytope"],
                     default="gaussian",
-                    help="LSH projection family (structured = FWHT rotations)")
+                    help="LSH projection family (structured = FWHT "
+                    "rotations; crosspolytope = FALCONN signed-argmax "
+                    "symbols — collision/rerank estimators only)")
     ap.add_argument("--retrain", type=int, default=0, metavar="ITERS",
                     help="fit ITQ learned hyperplanes on the indexed payload "
                     "(ITERS alternations, lshrs_tpu.hash.itq) and rebuild the "

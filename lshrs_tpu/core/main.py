@@ -189,12 +189,34 @@ class LSHRS:
             raise ValueError("buffer_size must be greater than zero")
         if hash_mode not in ("device", "host"):
             raise ValueError("hash_mode must be 'device' or 'host'")
-        if hash_family not in ("gaussian", "structured", "learned"):
+        if hash_family not in ("gaussian", "structured", "learned", "crosspolytope"):
             raise ValueError(
-                "hash_family must be 'gaussian', 'structured' or 'learned'"
+                "hash_family must be 'gaussian', 'structured', 'learned' "
+                "or 'crosspolytope'"
             )
         if engine not in ("auto", "collision", "hamming"):
             raise ValueError("engine must be 'auto', 'collision' or 'hamming'")
+        if hash_family == "crosspolytope":
+            # Cross-polytope signatures are signed-argmax SYMBOLS, not sign
+            # bits: Hamming distance over the symbol's binary encoding and
+            # the coordinate-based asymmetric estimator are both
+            # meaningless, so bit-semantic engines are rejected rather
+            # than silently mis-ranking. Collision counting + payload
+            # rerank carry this family (its candidate sets are what's
+            # better — see lshrs_tpu/hash/crosspolytope.py).
+            if engine == "hamming":
+                raise ValueError(
+                    "engine='hamming' requires sign-bit signatures; the "
+                    "cross-polytope family ranks by collision counting "
+                    "(+ payload rerank)"
+                )
+            if enable_hamming:
+                raise ValueError(
+                    "enable_hamming is unavailable with "
+                    "hash_family='crosspolytope': Hamming distance over "
+                    "argmax symbols is not meaningful"
+                )
+            engine = "collision"
         if not isinstance(multiprobe, int) or multiprobe < 1:
             raise ValueError("multiprobe must be an integer >= 1")
         if similarity not in ("cosine", "dot"):
@@ -231,16 +253,34 @@ class LSHRS:
                 hamming_storage = "planes"
 
         if num_bands is None or rows_per_band is None:
-            num_bands, rows_per_band = get_optimal_config(num_perm, similarity_threshold)
+            if hash_family == "crosspolytope":
+                # The sign-bit S-curve (p = s^r) does not describe
+                # cross-polytope collisions; the CP tuner integrates a
+                # Monte-Carlo collision curve instead (lshrs_tpu/utils/cp.py).
+                from lshrs_tpu.utils.cp import get_optimal_cp_config
+
+                num_bands, rows_per_band = get_optimal_cp_config(
+                    num_perm, similarity_threshold, dim
+                )
+            else:
+                num_bands, rows_per_band = get_optimal_config(
+                    num_perm, similarity_threshold
+                )
         if num_bands * rows_per_band != num_perm:
             raise ValueError(
                 "num_bands * rows_per_band must equal num_perm "
                 f"(received {num_bands} * {rows_per_band} != {num_perm})"
             )
-        if multiprobe > rows_per_band:
+        max_probes = (
+            1 << (rows_per_band - 1)
+            if hash_family == "crosspolytope"
+            else rows_per_band
+        )
+        if multiprobe > max_probes:
+            bound = "cp_dims" if hash_family == "crosspolytope" else "rows_per_band"
             raise ValueError(
-                "multiprobe must be <= rows_per_band "
-                f"(= {rows_per_band}); received {multiprobe}"
+                f"multiprobe must be <= {bound} "
+                f"(= {max_probes}); received {multiprobe}"
             )
         self._multiprobe = multiprobe
 
@@ -1090,6 +1130,13 @@ class LSHRS:
             raise ValueError(
                 "mode must be 'collision', 'hamming', 'asymmetric' or 'topp'"
             )
+        if mode in ("hamming", "asymmetric") and (
+            self._hasher.hash_family == "crosspolytope"
+        ):
+            raise ValueError(
+                f"mode='{mode}' requires sign-bit signatures; the "
+                "cross-polytope family serves mode='collision' or 'topp'"
+            )
         if top_k is None or top_k <= 0:
             raise ValueError("top_k must be greater than zero when provided")
         if wire_dtype not in ("float32", "bfloat16"):
@@ -1391,17 +1438,35 @@ class LSHRS:
                 "num_bands * rows_per_band must equal num_perm "
                 f"(received {num_bands} * {rows_per_band} != {num_perm})"
             )
-        if self._multiprobe > rows_per_band:
-            raise ValueError(
-                "multiprobe must be <= rows_per_band "
-                f"(= {rows_per_band}); received {self._multiprobe}"
-            )
         seed = cfg["seed"] if seed is None else seed
         if hash_family is None:
             hash_family = self._tpu_config["hash_family"]
-        if hash_family not in ("gaussian", "structured", "learned"):
+        if hash_family not in ("gaussian", "structured", "learned", "crosspolytope"):
             raise ValueError(
-                "hash_family must be 'gaussian', 'structured' or 'learned'"
+                "hash_family must be 'gaussian', 'structured', 'learned' "
+                "or 'crosspolytope'"
+            )
+        if (hash_family == "crosspolytope") != (
+            self._tpu_config["hash_family"] == "crosspolytope"
+        ) and (
+            getattr(self._storage, "enable_hamming", False)
+            or self._engine == "hamming"
+        ):
+            raise ValueError(
+                "cannot rehash across the cross-polytope boundary while "
+                "Hamming ranking is enabled: construct the index with "
+                "engine='collision' and enable_hamming=False first"
+            )
+        max_probes = (
+            1 << (rows_per_band - 1)
+            if hash_family == "crosspolytope"
+            else rows_per_band
+        )
+        if self._multiprobe > max_probes:
+            bound = "cp_dims" if hash_family == "crosspolytope" else "rows_per_band"
+            raise ValueError(
+                f"multiprobe must be <= {bound} "
+                f"(= {max_probes}); received {self._multiprobe}"
             )
         projection = None
         if hash_family == "learned":
@@ -1442,7 +1507,9 @@ class LSHRS:
     ) -> None:
         """Rebuild every stored signature under ``hasher`` and install it."""
         store = self._storage
-        if self._hash_on_device or hasher.hash_family == "structured":
+        if self._hash_on_device or hasher.hash_family in (
+            "structured", "crosspolytope"
+        ):
             store.rehash(
                 hasher.device_projection(),
                 num_bands=num_bands,
@@ -1612,7 +1679,7 @@ class LSHRS:
         with open(output_dir / "metadata.json", "w") as f:
             json.dump(metadata, f, indent=2)
 
-        if self._hasher.hash_family == "structured":
+        if self._hasher.hash_family in ("structured", "crosspolytope"):
             np.savez_compressed(
                 output_dir / "diagonals.npz", diagonals=self._hasher.diagonals
             )
@@ -1676,7 +1743,7 @@ class LSHRS:
             **cls._restore_tpu_kwargs(tpu_config),
         )
 
-        if instance._hasher.hash_family == "structured":
+        if instance._hasher.hash_family in ("structured", "crosspolytope"):
             with np.load(input_dir / "diagonals.npz") as data:
                 instance._hasher.diagonals = data["diagonals"]
         else:
@@ -1748,7 +1815,7 @@ class LSHRS:
             "redis_config": self._redis_config.copy(),
             "tpu_config": self._tpu_config.copy(),
         }
-        if self._hasher.hash_family == "structured":
+        if self._hasher.hash_family in ("structured", "crosspolytope"):
             state["diagonals"] = np.asarray(self._hasher.diagonals)
         else:
             state["projections"] = [

@@ -30,6 +30,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from lshrs_tpu._config.config import HashSignatures
+from lshrs_tpu.hash.crosspolytope import (
+    cp_bits_jax,
+    cp_bits_np,
+    cp_diags,
+    cp_probe_bits_jax,
+    cp_probe_bits_np,
+    max_cp_probes,
+    validate_cp_geometry,
+)
 from lshrs_tpu.hash.fwht import (
     structured_coords_jax,
     structured_coords_np,
@@ -113,6 +122,45 @@ def _hash_batch_words_structured_jit(
     )
 
 
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band"))
+def _hash_batch_words_cp_jit(
+    vectors: jax.Array, diags: jax.Array, *, num_bands: int, rows_per_band: int
+) -> jax.Array:
+    """Cross-polytope twin: per-band FWHT rotation + signed-argmax symbol,
+    encoded as the band's ``r`` bits (`lshrs_tpu.hash.crosspolytope`)."""
+    bits = cp_bits_jax(
+        vectors, diags, num_bands=num_bands, rows_per_band=rows_per_band
+    )
+    return pack_bits_to_words(bits, num_bands=num_bands, rows_per_band=rows_per_band)
+
+
+@partial(jax.jit, static_argnames=("num_bands", "rows_per_band", "n_probes"))
+def _hash_batch_probe_words_cp_jit(
+    vectors: jax.Array,
+    diags: jax.Array,
+    *,
+    num_bands: int,
+    rows_per_band: int,
+    n_probes: int,
+) -> jax.Array:
+    """Cross-polytope multi-probe words ``(n, n_probes, BW)`` — probe t is
+    every band's t-th largest-|coordinate| signed axis."""
+    bits = cp_probe_bits_jax(
+        vectors,
+        diags,
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+        n_probes=n_probes,
+    )
+    n = bits.shape[0]
+    flat = pack_bits_to_words(
+        bits.reshape(n * n_probes, -1),
+        num_bands=num_bands,
+        rows_per_band=rows_per_band,
+    )
+    return flat.reshape(n, n_probes, -1)
+
+
 class LSHHasher:
     """Random-projection LSH hasher producing banded binary signatures.
 
@@ -151,9 +199,10 @@ class LSHHasher:
             raise ValueError("rows_per_band must be > 0")
         if dim <= 0:
             raise ValueError("dim must be > 0")
-        if hash_family not in ("gaussian", "structured", "learned"):
+        if hash_family not in ("gaussian", "structured", "learned", "crosspolytope"):
             raise ValueError(
-                "hash_family must be 'gaussian', 'structured' or 'learned'"
+                "hash_family must be 'gaussian', 'structured', 'learned' "
+                "or 'crosspolytope'"
             )
         if projection is not None and hash_family != "learned":
             raise ValueError(
@@ -170,6 +219,10 @@ class LSHHasher:
         if hash_family == "structured":
             self._proj = None
             self._diags = structured_diags(seed, dim=dim, num_perm=num_perm)
+        elif hash_family == "crosspolytope":
+            validate_cp_geometry(dim, rows_per_band)
+            self._proj = None
+            self._diags = cp_diags(seed, dim=dim, num_bands=num_bands)
         elif projection is not None:
             p = np.asarray(projection, dtype=np.float32)
             if p.shape != (num_perm, dim):
@@ -196,8 +249,8 @@ class LSHHasher:
         """Per-band projection matrices, reference-compatible layout."""
         if self._proj is None:
             raise ValueError(
-                "the structured hash family has no projection matrices; "
-                "persist `diagonals` instead"
+                f"the {self.hash_family} hash family has no projection "
+                "matrices; persist `diagonals` instead"
             )
         r = self.rows_per_band
         return [self._proj[b * r : (b + 1) * r] for b in range(self.num_bands)]
@@ -227,19 +280,21 @@ class LSHHasher:
 
     @property
     def diagonals(self) -> np.ndarray:
-        """The structured family's ``(nblocks, 3, dpad)`` +-1 diagonals."""
+        """The ±1 FWHT diagonals: ``(nblocks, 3, dpad)`` for the structured
+        family, ``(num_bands, 3, dpad)`` for cross-polytope."""
         if self._diags is None:
             raise ValueError(
-                "the gaussian hash family has no diagonals; "
+                f"the {self.hash_family} hash family has no diagonals; "
                 "persist `projections` instead"
             )
         return self._diags
 
     @diagonals.setter
     def diagonals(self, arr) -> None:
-        if self.hash_family != "structured":
+        if self.hash_family not in ("structured", "crosspolytope"):
             raise ValueError(
-                "diagonals are assignable only on the structured hash family"
+                "diagonals are assignable only on the structured and "
+                "cross-polytope hash families"
             )
         a = np.asarray(arr, dtype=np.float32)
         if a.shape != self._diags.shape or not np.all(np.abs(a) == 1.0):
@@ -271,21 +326,44 @@ class LSHHasher:
     # -- single-vector / parity API -----------------------------------------
 
     def _coords_host(self, arr: np.ndarray) -> np.ndarray:
-        """Host projection coordinates, ``(n, num_perm)`` float32."""
+        """Host projection coordinates, ``(n, num_perm)`` float32.
+
+        Sign-bit families only — cross-polytope signatures are argmax
+        symbols, not coordinate signs, so there is no per-bit coordinate
+        to expose (callers needing bits use :meth:`_bits_host`).
+        """
+        if self.hash_family == "crosspolytope":
+            raise ValueError(
+                "the cross-polytope family has no per-bit projection "
+                "coordinates (signatures are signed-argmax symbols); "
+                "coordinate-based estimators (asymmetric ranking) require "
+                "a sign-bit hash family"
+            )
         if self.hash_family == "structured":
             return structured_coords_np(
                 arr, self._diags, self.num_bands * self.rows_per_band
             )
         return arr @ self._proj.T
 
+    def _bits_host(self, arr: np.ndarray) -> np.ndarray:
+        """Host signature bits, ``(n, num_perm)`` bool — family dispatch."""
+        if self.hash_family == "crosspolytope":
+            return cp_bits_np(
+                arr,
+                self._diags,
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+            )
+        return self._coords_host(arr) > 0
+
     def hash_vector(self, vector: np.ndarray) -> HashSignatures:
         """Hash one vector to per-band packed byte signatures (host path)."""
         vec = self._validate_vector(vector)
-        if self.hash_family == "structured":
+        if self.hash_family in ("structured", "crosspolytope"):
             # FWHT association is fixed, so the batch path is bit-identical
             # for a single row (unlike BLAS, where GEMV and GEMM may round
             # differently — the gaussian family keeps the reference's GEMV).
-            bits = self._coords_host(vec.reshape(1, -1)) > 0
+            bits = self._bits_host(vec.reshape(1, -1))
         else:
             bits = (self._proj @ vec > 0).reshape(1, -1)
         words = pack_bits_to_words_np(
@@ -329,6 +407,13 @@ class LSHHasher:
             raise ValueError(
                 f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
             )
+        if self.hash_family == "crosspolytope":
+            return _hash_batch_words_cp_jit(
+                arr,
+                self._device_projection(),
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+            )
         if self.hash_family == "structured":
             return _hash_batch_words_structured_jit(
                 arr,
@@ -351,7 +436,7 @@ class LSHHasher:
         bit-identical (see `lshrs_tpu.hash.fwht`).
         """
         arr = np.asarray(vectors, dtype=np.float32)
-        bits = self._coords_host(arr) > 0
+        bits = self._bits_host(arr)
         return pack_bits_to_words_np(
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
@@ -418,17 +503,45 @@ class LSHHasher:
             )
         return out
 
+    @property
+    def max_probes(self) -> int:
+        """Largest valid multi-probe depth for this hash family.
+
+        Sign families flip one of the band's ``r`` bits per probe; the
+        cross-polytope family steps through the band's ``cp_dims`` ranked
+        signed axes.
+        """
+        if self.hash_family == "crosspolytope":
+            return max_cp_probes(self.rows_per_band)
+        return self.rows_per_band
+
+    def _validate_probes(self, n_probes: int) -> None:
+        if n_probes < 1 or n_probes > self.max_probes:
+            bound = (
+                "cp_dims"
+                if self.hash_family == "crosspolytope"
+                else "rows_per_band"
+            )
+            raise ValueError(
+                f"n_probes must be in [1, {bound}] "
+                f"(= {self.max_probes}); received {n_probes}"
+            )
+
     def _probe_bits_host(self, vectors: np.ndarray, n_probes: int) -> np.ndarray:
         """Host probe construction: ``(n, n_probes, num_perm)`` bool bits."""
-        if n_probes < 1 or n_probes > self.rows_per_band:
-            raise ValueError(
-                "n_probes must be in [1, rows_per_band] "
-                f"(= {self.rows_per_band}); received {n_probes}"
-            )
+        self._validate_probes(n_probes)
         arr = np.asarray(vectors, dtype=np.float32)
         if arr.ndim != 2 or arr.shape[1] != self.dim:
             raise ValueError(
                 f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
+            )
+        if self.hash_family == "crosspolytope":
+            return cp_probe_bits_np(
+                arr,
+                self._diags,
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+                n_probes=n_probes,
             )
         coords = self._coords_host(arr)
         n, num_perm = coords.shape
@@ -455,15 +568,19 @@ class LSHHasher:
         device-hashed store signatures (the per-store hash-path
         invariant).
         """
-        if n_probes < 1 or n_probes > self.rows_per_band:
-            raise ValueError(
-                "n_probes must be in [1, rows_per_band] "
-                f"(= {self.rows_per_band}); received {n_probes}"
-            )
+        self._validate_probes(n_probes)
         arr = jnp.asarray(vectors, dtype=jnp.float32)
         if arr.ndim != 2 or arr.shape[1] != self.dim:
             raise ValueError(
                 f"Expected vectors of shape (n, {self.dim}), received {tuple(arr.shape)}"
+            )
+        if self.hash_family == "crosspolytope":
+            return _hash_batch_probe_words_cp_jit(
+                arr,
+                self._device_projection(),
+                num_bands=self.num_bands,
+                rows_per_band=self.rows_per_band,
+                n_probes=n_probes,
             )
         if self.hash_family == "structured":
             coords = structured_coords_jax(
@@ -493,7 +610,7 @@ class LSHHasher:
         decode on device with `lshrs_tpu.ops.bitpack.dense_to_words`.
         """
         arr = np.asarray(vectors, dtype=np.float32)
-        bits = self._coords_host(arr) > 0
+        bits = self._bits_host(arr)
         return pack_bits_dense_np(
             bits, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )

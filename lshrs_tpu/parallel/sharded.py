@@ -260,15 +260,15 @@ class ShardedDeviceStore(DeviceStore):
         would fight GSPMD placement for marginal gain; hashing is ~3 ms
         per 100k vectors either way."""
         from lshrs_tpu.hash.hasher import (
+            _hash_batch_words_cp_jit,
             _hash_batch_words_jit,
             _hash_batch_words_structured_jit,
         )
 
-        hash_jit = (
-            _hash_batch_words_structured_jit
-            if hash_family == "structured"
-            else _hash_batch_words_jit
-        )
+        hash_jit = {
+            "structured": _hash_batch_words_structured_jit,
+            "crosspolytope": _hash_batch_words_cp_jit,
+        }.get(hash_family, _hash_batch_words_jit)
         x = jnp.asarray(vectors, dtype=jnp.float32)
         words = hash_jit(
             x,

@@ -111,6 +111,15 @@ def _hash_words_fused(x, proj_t, *, num_bands, rows_per_band, hash_family="gauss
     # other structured hash path by construction.
     from lshrs_tpu.ops.bitpack import pack_bits_to_words
 
+    if hash_family == "crosspolytope":
+        from lshrs_tpu.hash.crosspolytope import cp_bits_jax
+
+        bits = cp_bits_jax(
+            x, proj_t, num_bands=num_bands, rows_per_band=rows_per_band
+        )
+        return pack_bits_to_words(
+            bits, num_bands=num_bands, rows_per_band=rows_per_band
+        )
     if hash_family == "structured":
         from lshrs_tpu.hash.fwht import structured_coords_jax
 
@@ -782,9 +791,9 @@ class DeviceStore(BaseStorage):
                 `LSHHasher.device_projection` — ``(dim, num_perm)``
                 float32 projection for the gaussian family, the
                 ``(nblocks, 3, dpad)`` diagonals for the structured one.
-            hash_family: ``"gaussian"`` or ``"structured"`` — must match
-                the hasher that produced ``proj_t``
-                (`LSHHasher.hash_family`).
+            hash_family: `LSHHasher.hash_family` of the hasher that
+                produced ``proj_t`` (gaussian/learned take the matmul
+                branch; structured/crosspolytope the FWHT ones).
 
         Batches containing duplicate or already-present ids take the
         hash-then-upsert slow path (same result, more dispatches).
@@ -813,15 +822,15 @@ class DeviceStore(BaseStorage):
                 # Upsert path: hash with the SAME jitted program the query
                 # path uses (bit-agreement), then the generic upsert logic.
                 from lshrs_tpu.hash.hasher import (
+                    _hash_batch_words_cp_jit,
                     _hash_batch_words_jit,
                     _hash_batch_words_structured_jit,
                 )
 
-                hash_jit = (
-                    _hash_batch_words_structured_jit
-                    if hash_family == "structured"
-                    else _hash_batch_words_jit
-                )
+                hash_jit = {
+                    "structured": _hash_batch_words_structured_jit,
+                    "crosspolytope": _hash_batch_words_cp_jit,
+                }.get(hash_family, _hash_batch_words_jit)
                 words = hash_jit(
                     x,
                     proj_dev,
