@@ -393,3 +393,43 @@ def test_cp_auto_config_in_constructor():
     cfg = lsh.stats()
     assert cfg["num_bands"] * cfg["rows_per_band"] == 64
     assert 1 << (cfg["rows_per_band"] - 1) <= 128  # feasible at dim=96
+
+
+# ---------------------------------------------------------------------------
+# sharding
+# ---------------------------------------------------------------------------
+
+
+def test_cp_sharded_matches_unsharded():
+    """CP over an 8-device mesh: fused sharded build + query parity with the
+    single-device store (the sharded ``_hash_for_ingest`` dispatches the CP
+    hash program; results must be bit-identical to the unsharded path)."""
+    import jax
+
+    from lshrs_tpu.parallel import ShardedDeviceStore, make_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    b, r, dim = 8, 4, 32
+    sharded = LSHRS(
+        dim=dim, num_perm=b * r, num_bands=b, rows_per_band=r,
+        hash_family="crosspolytope",
+        storage=ShardedDeviceStore(
+            mesh=mesh, num_bands=b, rows_per_band=r,
+            chunk_size=64, initial_capacity=128,
+        ),
+    )
+    single = LSHRS(
+        dim=dim, num_perm=b * r, num_bands=b, rows_per_band=r,
+        hash_family="crosspolytope", backend="device",
+        chunk_size=64, initial_capacity=128,
+    )
+    x = _unit_rows(120, dim)
+    sharded.index(list(range(120)), x)
+    single.index(list(range(120)), x)
+    q = _unit_rows(16, dim, np.random.default_rng(3))
+    for qi in range(16):
+        assert sharded.query(q[qi], top_k=None) == single.query(
+            q[qi], top_k=None
+        )
+    assert sharded.get_top_k(x[11], topk=3)[0] == 11
