@@ -1045,19 +1045,34 @@ class DeviceStore(BaseStorage):
             return qw.reshape(q, t * bw), t
         return qw, 1
 
+    def _filtered_ids_tie(self, where) -> tuple[jax.Array, jax.Array]:
+        """(ids, tie) with ``where``-inadmissible slots marked dead.
+
+        The filtered columns flow through every query core exactly like
+        tombstones (id/tie < 0 => key 0), so filtered results equal
+        brute force over the admitted subset. Grouped fast paths must
+        drop their prebuilt refine tables when filtering (the tables
+        bake in the UNfiltered tie/id columns) — callers pass
+        ``sig_rows=None`` and the cores fall back to per-slot gathers.
+        """
+        if where is None:
+            return self._ids, self._tie
+        return where.device_state(self)
+
     def _query_topk_dev(
-        self, qw: jax.Array, k: int, probes: int = 1
+        self, qw: jax.Array, k: int, probes: int = 1, where=None
     ) -> tuple[jax.Array, jax.Array]:
         """Device-resident top-k (no host transfer of the results)."""
         self._ensure_ranks()
+        ids_x, tie_x = self._filtered_ids_tie(where)
         k_eff = max(1, min(k, self._capacity))
         # The bucketed engine packs (count, tie) into int32; past the packing
         # limit it would silently corrupt keys, so fall through to the scan.
         # Multi-probe queries also fall through (the bucket index probes
-        # exact band keys only).
-        if self.query_mode == "bucket" and probes == 1 and supports_fast_path(
-            self.num_bands, self._capacity
-        ):
+        # exact band keys only), as do filtered queries (the bucket index
+        # bakes in the unfiltered tie column).
+        if self.query_mode == "bucket" and probes == 1 and where is None \
+                and supports_fast_path(self.num_bands, self._capacity):
             if self._bucket_index is None:
                 self._bucket_index = build_bucket_index(
                     self._sig_t, self._ids, num_bands=self.num_bands
@@ -1074,8 +1089,8 @@ class DeviceStore(BaseStorage):
         if self._use_grouped():
             return collision_topk_grouped(
                 self._sig_t,
-                self._ids,
-                self._tie,
+                ids_x,
+                tie_x,
                 qw,
                 num_bands=self.num_bands,
                 k=k_eff,
@@ -1087,13 +1102,15 @@ class DeviceStore(BaseStorage):
                     min(self.group, self._capacity),
                     self._pallas_chunk(),
                     self._use_pallas(),
-                ),
-                narrow_r=self._refine_narrow_r,
+                )
+                if where is None
+                else None,
+                narrow_r=self._refine_narrow_r if where is None else 0,
                 probes=probes,
             )
         return collision_topk(
             self._sig_t,
-            self._ids,
+            ids_x,
             self._ranks,
             qw,
             num_bands=self.num_bands,
