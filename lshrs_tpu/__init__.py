@@ -11,7 +11,7 @@ persistence, and mesh-sharded scale-out.
 from typing import Final
 
 from lshrs_tpu.core.main import LSHRS, lshrs
-from lshrs_tpu.storage import BaseStorage, DeviceStore, MemoryStorage
+from lshrs_tpu.storage import BaseStorage, DeviceStore, IdFilter, MemoryStorage
 
 __version__: Final[str] = "0.1.0"
 
@@ -32,6 +32,7 @@ __all__ = [
     "lshrs",
     "BaseStorage",
     "DeviceStore",
+    "IdFilter",
     "MemoryStorage",
     "__version__",
 ]

@@ -39,6 +39,7 @@ import numpy as np
 from lshrs_tpu.hash.hasher import LSHHasher
 from lshrs_tpu.storage.base import BaseStorage, BucketOperation
 from lshrs_tpu.storage.device import DeviceStore
+from lshrs_tpu.storage.filter import as_filter
 from lshrs_tpu.storage.memory import MemoryStorage
 from lshrs_tpu.utils.br import get_optimal_config
 from lshrs_tpu.utils.similarity import top_k_cosine
@@ -445,12 +446,17 @@ class LSHRS:
         self.close()
 
     def __repr__(self) -> str:  # pragma: no cover - convenience
+        engine = self._engine
+        resolved = self._tpu_config.get("engine_resolved")
+        if resolved:
+            engine = f"{engine}->{resolved}"
         return (
             "LSHRS("
             f"dim={self._dim}, "
             f"num_perm={self._config['num_perm']}, "
             f"num_bands={self._config['num_bands']}, "
             f"rows_per_band={self._config['rows_per_band']}, "
+            f"engine='{engine}', "
             f"backend='{self._tpu_config['backend']}'"
             ")"
         )
@@ -712,27 +718,38 @@ class LSHRS:
         ``engine="hamming"`` always does; ``engine="auto"`` switches once
         the index capacity crosses `_AUTO_HAMMING_CAPACITY` — the regime
         where the collision scan can no longer hold the throughput bar.
-        Only top-k RANKING changes: candidate enumeration (``top_k=None``)
-        and top-p rerank keep collision semantics in every engine.
+        The switch is PINNED at first resolution and persisted
+        (``_tpu_config["engine_resolved"]``): once an instance has ranked
+        by Hamming, every later query — including after a save/load or
+        pickle round-trip, whatever capacity the restored store reports —
+        ranks by Hamming too, so result ordering never silently changes
+        across a checkpoint boundary. Only top-k RANKING changes:
+        candidate enumeration (``top_k=None``) and top-p rerank keep
+        collision semantics in every engine.
         """
         if not self._device_mode or not getattr(self._storage, "enable_hamming", False):
             return False
         if self._engine == "hamming":
             return True
+        if self._engine != "auto":
+            return False
+        if self._tpu_config.get("engine_resolved") == "hamming":
+            return True
         switched = (
-            self._engine == "auto"
-            and getattr(self._storage, "_capacity", 0) >= self._AUTO_HAMMING_CAPACITY
+            getattr(self._storage, "_capacity", 0) >= self._AUTO_HAMMING_CAPACITY
         )
-        if switched and not self.__dict__.get("_hamming_switch_logged"):
-            # One-time notice: the switch is monotonic (capacity only
-            # grows), so this fires at most once per instance lifetime.
-            self._hamming_switch_logged = True
+        if switched:
+            # Pin + persist: the switch is monotonic in-process (capacity
+            # only grows), and pinning makes it monotonic across
+            # checkpoint/restore too. Fires at most once per lineage.
+            self._tpu_config["engine_resolved"] = "hamming"
             logger.info(
                 "engine='auto': index capacity reached %d slots; top-k "
                 "ranking switched from band-collision counting to "
                 "full-signature Hamming (higher recall, ~3x throughput at "
                 "this scale; engine='collision' pins reference-parity "
-                "ordering).",
+                "ordering). The resolution is pinned and persists with "
+                "the index.",
                 self._AUTO_HAMMING_CAPACITY,
             )
         return switched
@@ -743,6 +760,7 @@ class LSHRS:
         *,
         top_k: Optional[int] = 10,
         top_p: Optional[float] = None,
+        where=None,
     ) -> Union[list[int], CandidateScores]:
         """Retrieve candidates similar to the query vector.
 
@@ -754,7 +772,24 @@ class LSHRS:
         payload or ``vector_fetch_fn``); returns the top
         ``max(1, ceil(n_candidates * top_p))`` as ``(id, score)`` tuples,
         additionally capped by ``top_k`` when given.
+
+        ``where``: optional :class:`~lshrs_tpu.storage.IdFilter` (or an
+        array-like allowlist of ids). Results rank ONLY the admitted
+        subset — exact top-k/top-p over it, not post-filtering (a
+        filtered-out candidate never consumes a result slot). Works on
+        every backend and engine.
+
+        Engine note: with ``engine="auto"`` (the default), top-k RANKING
+        switches from band-collision counting to full-signature Hamming
+        once index capacity crosses ``_AUTO_HAMMING_CAPACITY`` (512k
+        slots) — better recall and throughput at scale, but a different
+        ordering key. The switch is pinned at first resolution and
+        persists with the index (``stats()["engine_resolved"]``), so the
+        ordering for a given index never changes again — including across
+        save/load. Pass ``engine="collision"`` for strict reference-parity
+        ordering at every scale.
         """
+        where = as_filter(where)
         query_vector = self._augment_query(
             self._prepare_vector(vector)[None, :]
         )[0]
@@ -770,10 +805,10 @@ class LSHRS:
         ):
             if self._use_hamming_ranking():
                 qwords = self._hash_words(query_vector[None, :])
-                hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+                hamming, ids = self._storage.query_hamming(qwords, top_k, where=where)  # type: ignore[attr-defined]
                 return [int(i) for i in ids[0] if i >= 0]
             qwords = self._hash_query_words(query_vector[None, :])
-            counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
+            counts, ids = self._storage.query_topk(qwords, top_k, where=where)  # type: ignore[attr-defined]
             return [int(i) for i, c in zip(ids[0], counts[0]) if c > 0]
 
         # Fused device rerank: resident payload, no fetch callback — counts,
@@ -785,11 +820,11 @@ class LSHRS:
             and self._store_vectors
             and self._vector_fetch_fn is None
         ):
-            fused = self._query_topp_device(query_vector, top_k, top_p)
+            fused = self._query_topp_device(query_vector, top_k, top_p, where=where)
             if fused is not None:
                 return fused
 
-        ordered = self._ordered_candidates(query_vector)
+        ordered = self._ordered_candidates(query_vector, where=where)
         if not ordered:
             return []
 
@@ -824,15 +859,17 @@ class LSHRS:
         return ordered_scores[:limit]
 
     def query_batch(
-        self, vectors: np.ndarray, *, top_k: int = 10
+        self, vectors: np.ndarray, *, top_k: int = 10, where=None
     ) -> list[list[int]]:
         """Batched top-k collision query (device backend fast path).
 
         Hashes the whole batch with one matmul and runs a single fused
         scan; this is the high-QPS serving interface the reference lacks.
+        ``where``: optional id filter (see :meth:`query`).
         """
         if top_k is None or top_k <= 0:
             raise ValueError("top_k must be greater than zero when provided")
+        where = as_filter(where)
         arr = np.asarray(vectors, dtype=np.float32)
         if arr.ndim != 2 or arr.shape[1] != self._dim:
             raise ValueError(
@@ -843,18 +880,18 @@ class LSHRS:
             arr = self._augment_query(arr)
             if self._use_hamming_ranking():
                 qwords = self._hash_words(arr)
-                _, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+                _, ids = self._storage.query_hamming(qwords, top_k, where=where)  # type: ignore[attr-defined]
                 return [[int(i) for i in row if i >= 0] for row in ids]
             qwords = self._hash_query_words(arr)
-            counts, ids = self._storage.query_topk(qwords, top_k)  # type: ignore[attr-defined]
+            counts, ids = self._storage.query_topk(qwords, top_k, where=where)  # type: ignore[attr-defined]
             return [
                 [int(i) for i, c in zip(row_ids, row_counts) if c > 0]
                 for row_ids, row_counts in zip(ids, counts)
             ]
-        return [self.query(v, top_k=top_k) for v in arr]  # type: ignore[misc]
+        return [self.query(v, top_k=top_k, where=where) for v in arr]  # type: ignore[misc]
 
     def query_hamming(
-        self, vector: np.ndarray, *, top_k: int = 10
+        self, vector: np.ndarray, *, top_k: int = 10, where=None
     ) -> CandidateScores:
         """Rank by full-signature Hamming distance (TPU-native extension).
 
@@ -874,7 +911,9 @@ class LSHRS:
         )
         self._count("queries_served")
         qwords = self._hash_words(query_vector)
-        hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+        hamming, ids = self._storage.query_hamming(  # type: ignore[attr-defined]
+            qwords, top_k, where=as_filter(where)
+        )
         num_perm = self._config["num_perm"]
         scale = float(self._score_scale(query_vector)[0])
         return [
@@ -884,7 +923,7 @@ class LSHRS:
         ]
 
     def query_hamming_batch(
-        self, vectors: np.ndarray, *, top_k: int = 10
+        self, vectors: np.ndarray, *, top_k: int = 10, where=None
     ) -> list[CandidateScores]:
         """Batched full-signature Hamming ranking (one fused device scan).
 
@@ -903,7 +942,9 @@ class LSHRS:
         self._count("queries_served", arr.shape[0])
         arr = self._augment_query(arr)
         qwords = self._hash_words(arr)
-        hamming, ids = self._storage.query_hamming(qwords, top_k)  # type: ignore[attr-defined]
+        hamming, ids = self._storage.query_hamming(  # type: ignore[attr-defined]
+            qwords, top_k, where=as_filter(where)
+        )
         num_perm = self._config["num_perm"]
         scales = self._score_scale(arr)
         return [
@@ -916,7 +957,7 @@ class LSHRS:
         ]
 
     def query_asymmetric(
-        self, vector: np.ndarray, *, top_k: int = 10
+        self, vector: np.ndarray, *, top_k: int = 10, where=None
     ) -> CandidateScores:
         """Rank by the asymmetric SimHash estimator (TPU-native extension).
 
@@ -930,11 +971,11 @@ class LSHRS:
         ``cos(theta)`` for hyperplane projections).
         """
         return self.query_asymmetric_batch(
-            self._prepare_vector(vector)[None, :], top_k=top_k
+            self._prepare_vector(vector)[None, :], top_k=top_k, where=where
         )[0]
 
     def query_asymmetric_batch(
-        self, vectors: np.ndarray, *, top_k: int = 10
+        self, vectors: np.ndarray, *, top_k: int = 10, where=None
     ) -> list[CandidateScores]:
         """Batched asymmetric SimHash ranking (one fused device scan).
 
@@ -955,7 +996,9 @@ class LSHRS:
         arr = self._augment_query(arr)
         coords = self._hasher.hash_batch_coords_host(arr)
         qi8, sumabs = quantize_coords_np(coords)
-        dots, ids = self._storage.query_asymmetric(qi8, top_k)  # type: ignore[attr-defined]
+        dots, ids = self._storage.query_asymmetric(  # type: ignore[attr-defined]
+            qi8, top_k, where=as_filter(where)
+        )
         denom = np.maximum(sumabs, 1).astype(np.float64) / self._score_scale(arr)
         return [
             [
@@ -974,6 +1017,7 @@ class LSHRS:
         top_k: Optional[int] = None,
         max_candidates: int = 4096,
         wire_dtype: str = "float32",
+        where=None,
     ) -> list[CandidateScores]:
         """Batched cosine-reranked top-p (device fused path).
 
@@ -999,6 +1043,7 @@ class LSHRS:
             raise ValueError(
                 f"Vectors must have shape (n, {self._dim}); received {arr.shape}"
             )
+        where = as_filter(where)
         fused = (
             self._device_mode
             and self._store_vectors
@@ -1006,7 +1051,10 @@ class LSHRS:
             and hasattr(self._storage, "query_topp_batch")
         )
         if not fused:
-            return [self.query(v, top_k=top_k, top_p=p) for v in arr]  # type: ignore[misc]
+            return [
+                self.query(v, top_k=top_k, top_p=p, where=where)  # type: ignore[misc]
+                for v in arr
+            ]
         self._count("queries_served", arr.shape[0])
         arr = self._augment_query(arr)
         qwords = self._hash_query_words(arr)
@@ -1014,7 +1062,7 @@ class LSHRS:
         # how much of the ranking is ever consumed.
         max_out = min(max_candidates, top_k) if top_k is not None else max_candidates
         ids, sims, n = self._storage.query_topp_batch(  # type: ignore[attr-defined]
-            qwords, arr, max_out, wire_dtype=wire_dtype
+            qwords, arr, max_out, wire_dtype=wire_dtype, where=where
         )
         if self._similarity == "dot":
             sims = sims * self._score_scale(arr)[:, None]
@@ -1045,6 +1093,7 @@ class LSHRS:
         wire_dtype: str = "float32",
         coords_wire: str = "int8",
         auto_refresh: bool = False,
+        where=None,
     ):
         """Compiled high-QPS serving closure over the *current* index.
 
@@ -1079,6 +1128,12 @@ class LSHRS:
                 byte: half the transport, with the query quantised to
                 ``[-7, 7]`` — retains most of the asymmetric recall
                 gain; measured tables in ``PERFORMANCE.md``).
+            where: optional :class:`~lshrs_tpu.storage.IdFilter` (or an
+                array-like allowlist of ids) baked into the snapshot:
+                every batch ranks ONLY the admitted subset (exact — a
+                filtered-out candidate never consumes a result slot).
+                The filter state is captured with the snapshot; mutate
+                + re-snapshot (or ``auto_refresh``) to track changes.
             auto_refresh: serve through mutations — on a stale snapshot
                 the closure transparently re-snapshots the CURRENT index
                 contents and retries (thread-safe; re-snapshotting is
@@ -1095,6 +1150,7 @@ class LSHRS:
         """
         if not self._device_mode:
             raise RuntimeError("serving_fn requires the device backend")
+        where = as_filter(where)
         if auto_refresh:
             refresh_lock = Lock()
             inner: list = [None]
@@ -1107,6 +1163,7 @@ class LSHRS:
                             mode=mode,
                             wire_dtype=wire_dtype,
                             coords_wire=coords_wire,
+                            where=where,
                         )
                     return inner[0]
 
@@ -1165,7 +1222,7 @@ class LSHRS:
         if mode == "topp":
             topp_probes = self._multiprobe
             serve = self._storage.snapshot_topp_fn(  # type: ignore[attr-defined]
-                top_k, wire=wire, probes=topp_probes
+                top_k, wire=wire, probes=topp_probes, where=where
             )
 
             def run_topp(vectors):
@@ -1201,6 +1258,7 @@ class LSHRS:
                 top_k,
                 mode="asymmetric",
                 wire="coords4" if int4 else "words",
+                where=where,
             )
 
             def run_asym(vectors):
@@ -1228,7 +1286,7 @@ class LSHRS:
         # the probe wire grows a T axis (T * bytes/query).
         probes = self._multiprobe if mode == "collision" else 1
         serve = self._storage.snapshot_query_fn(  # type: ignore[attr-defined]
-            top_k, wire=wire, mode=mode, probes=probes
+            top_k, wire=wire, mode=mode, probes=probes, where=where
         )
 
         def run(vectors):
@@ -1255,12 +1313,13 @@ class LSHRS:
     _MAX_DEVICE_RERANK = 4096
 
     def _query_topp_device(
-        self, query_vector: np.ndarray, top_k: Optional[int], top_p: float
+        self, query_vector: np.ndarray, top_k: Optional[int], top_p: float,
+        where=None,
     ) -> Optional[CandidateScores]:
         """Fused top-p on the device store; None -> caller falls back."""
         qwords = self._hash_query_words(query_vector[None, :])
         ids, sims, n = self._storage.query_topp(  # type: ignore[attr-defined]
-            qwords, query_vector, self._MAX_DEVICE_RERANK
+            qwords, query_vector, self._MAX_DEVICE_RERANK, where=where
         )
         if self._similarity == "dot":
             sims = sims * float(self._score_scale(query_vector[None, :])[0])
@@ -1282,7 +1341,9 @@ class LSHRS:
     # host readback stays O(candidates) instead of O(capacity).
     _CANDIDATE_ENUM_START = 4096
 
-    def _ordered_candidates(self, query_vector: np.ndarray) -> list[tuple[int, int]]:
+    def _ordered_candidates(
+        self, query_vector: np.ndarray, where=None
+    ) -> list[tuple[int, int]]:
         """All colliding candidates ordered by ``(-count, id)``.
 
         Device mode enumerates them BOUNDED: an exact device top-M by
@@ -1295,15 +1356,27 @@ class LSHRS:
         """
         if self._device_mode:
             qwords = self._hash_query_words(query_vector[None, :])
-            n = int(self._storage.query_nnz(qwords)[0])  # type: ignore[attr-defined]
+            n = int(self._storage.query_nnz(qwords, where=where)[0])  # type: ignore[attr-defined]
             if n == 0:
                 return []
             m = max(self._CANDIDATE_ENUM_START, 1 << (n - 1).bit_length())
-            counts, ids = self._storage.query_topk(qwords, m)  # type: ignore[attr-defined]
+            counts, ids = self._storage.query_topk(  # type: ignore[attr-defined]
+                qwords, m, where=where
+            )
             return [
                 (int(i), int(c)) for i, c in zip(ids[0, :n], counts[0, :n])
             ]
         counts_map = self._candidate_counts(query_vector)
+        if where is not None:
+            # Bucket backends (memory / Redis) filter host-side: one
+            # vectorized membership probe over the candidate set.
+            cand = np.fromiter(counts_map, dtype=np.int64, count=len(counts_map))
+            admitted = where.admits(cand)
+            counts_map = {
+                int(i): counts_map[int(i)]
+                for i, ok in zip(cand, admitted)
+                if ok
+            }
         return sorted(counts_map.items(), key=lambda item: (-item[1], item[0]))
 
     def _candidate_counts(self, query_vector: np.ndarray) -> dict[int, int]:
@@ -1641,6 +1714,7 @@ class LSHRS:
             "redis_prefix": self._redis_config["prefix"],
             "backend": self._tpu_config["backend"],
             "engine": self._engine,
+            "engine_resolved": self._tpu_config.get("engine_resolved"),
             "similarity": self._similarity,
             "multiprobe": self._multiprobe,
             "ranking": "hamming" if self._use_hamming_ranking() else "collision",
@@ -1757,6 +1831,10 @@ class LSHRS:
         if index_path.exists() and isinstance(instance._storage, DeviceStore):
             with np.load(index_path) as data:
                 instance._storage.load_state_arrays({k: data[k] for k in data.files})
+        if tpu_config.get("engine_resolved"):
+            # Pinned auto-engine resolution survives the checkpoint: result
+            # ordering never silently changes across a restore boundary.
+            instance._tpu_config["engine_resolved"] = tpu_config["engine_resolved"]
         return instance
 
     @classmethod
@@ -1852,6 +1930,10 @@ class LSHRS:
             **self._restore_tpu_kwargs(tpu_config),
         )
         self.__dict__ = restored.__dict__
+        if tpu_config.get("engine_resolved"):
+            # Pinned auto-engine resolution survives pickling (see
+            # load_from_disk): ordering is stable across the round-trip.
+            self._tpu_config["engine_resolved"] = tpu_config["engine_resolved"]
         if "diagonals" in state:
             self._hasher.diagonals = state["diagonals"]
         else:

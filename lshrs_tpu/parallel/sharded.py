@@ -319,7 +319,7 @@ class ShardedDeviceStore(DeviceStore):
         return self.store_vectors and self._use_grouped()  # local geometry
 
     def _topp_gather_dispatch(
-        self, qw, qv_dev, max_out: int, mc: int, probes: int = 1
+        self, qw, qv_dev, max_out: int, mc: int, probes: int = 1, where=None
     ):
         """Shard_map gather rerank: each shard reranks its local
         candidates exactly (shard-local tie keys are exactly what the
@@ -328,6 +328,7 @@ class ShardedDeviceStore(DeviceStore):
         the top-k path, with cosine as the (absolute, shard-independent)
         primary key. The per-query candidate budget is ``mc`` PER SHARD."""
         self._ensure_ranks()
+        ids_x, tie_x = self._filtered_ids_tie(where)
         local = self._local_rows()
         group = min(self.group, local)
         use_pallas = self._use_pallas()
@@ -337,10 +338,12 @@ class ShardedDeviceStore(DeviceStore):
             self.axis,
             self._payload,
             self._pnorm,
-            self._ids,
-            self._tie,
+            ids_x,
+            tie_x,
             self._sig_t,
-            self._refine_rows_for(group, pallas_chunk, use_pallas),
+            self._refine_rows_for(group, pallas_chunk, use_pallas)
+            if where is None
+            else self._sig_rows,
             qw,
             qv_dev,
             num_bands=self.num_bands,
@@ -350,8 +353,9 @@ class ShardedDeviceStore(DeviceStore):
             pallas_chunk=pallas_chunk,
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=use_pallas,
-            narrow_r=self._refine_narrow_r,
+            narrow_r=self._refine_narrow_r if where is None else 0,
             probes=probes,
+            use_rows=where is None,
         )
 
     def snapshot_topp_fn(
@@ -363,6 +367,7 @@ class ShardedDeviceStore(DeviceStore):
         max_candidates: int | None = None,
         probes: int = 1,
         batch_hint: int = 1024,
+        where=None,
     ):
         """Sharded rerank serving closure. The full engine inherits the
         GSPMD program; the gather engine compiles the shard_map gather
@@ -373,7 +378,7 @@ class ShardedDeviceStore(DeviceStore):
         if eng != "gather":
             return super().snapshot_topp_fn(
                 max_out, wire=wire, engine="full", max_candidates=mc,
-                probes=probes, batch_hint=batch_hint,
+                probes=probes, batch_hint=batch_hint, where=where,
             )
         if wire not in ("words", "dense"):
             raise ValueError("wire must be 'words' or 'dense'")
@@ -392,11 +397,15 @@ class ShardedDeviceStore(DeviceStore):
             out = max(1, min(max_out, local))
             num_bands, rows_per_band = self.num_bands, self.rows_per_band
             mesh, axis = self.mesh, self.axis
-            narrow_r = self._refine_narrow_r
+            use_rows = where is None
+            narrow_r = self._refine_narrow_r if use_rows else 0
+            ids_x, tie_x = self._filtered_ids_tie(where)
             state = (
-                self._payload, self._pnorm, self._ids, self._tie,
+                self._payload, self._pnorm, ids_x, tie_x,
                 self._sig_t,
-                self._refine_rows_for(group, pallas_chunk, use_pallas),
+                self._refine_rows_for(group, pallas_chunk, use_pallas)
+                if use_rows
+                else self._sig_rows,
             )
             snapshot_gen = self._generation
 
@@ -424,7 +433,7 @@ class ShardedDeviceStore(DeviceStore):
                 group=group, pallas_chunk=pallas_chunk,
                 q_tile=min(128, _next_pow2(max(8, q.shape[0]))),
                 use_pallas=use_pallas,
-                narrow_r=narrow_r, probes=probes,
+                narrow_r=narrow_r, probes=probes, use_rows=use_rows,
             )
             return ids_o, sims, n
 
@@ -440,8 +449,11 @@ class ShardedDeviceStore(DeviceStore):
 
         return serve
 
-    def _query_topk_dev(self, qw: jax.Array, k: int, probes: int = 1):
+    def _query_topk_dev(
+        self, qw: jax.Array, k: int, probes: int = 1, where=None
+    ):
         self._ensure_ranks()
+        ids_x, tie_x = self._filtered_ids_tie(where)
         k_eff = max(1, min(k, self._local_rows()))
         return _sharded_topk(
             self.mesh,
@@ -452,11 +464,11 @@ class ShardedDeviceStore(DeviceStore):
                 self._pallas_chunk(),
                 self._use_pallas(),
             )
-            if self._use_grouped()
+            if self._use_grouped() and where is None
             else self._sig_rows,
-            self._ids,
+            ids_x,
             self._ranks,
-            self._tie,
+            tie_x,
             qw,
             num_bands=self.num_bands,
             k=k_eff,
@@ -466,24 +478,10 @@ class ShardedDeviceStore(DeviceStore):
             pallas_chunk=self._pallas_chunk(),
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=self._use_pallas(),
-            narrow_r=self._refine_narrow_r,
+            narrow_r=self._refine_narrow_r if where is None else 0,
             probes=probes,
+            use_rows=where is None,
         )
-
-    def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
-        qw, probes = self._norm_qwords(qwords)
-        with self._lock:
-            if self._size == 0:
-                q = qw.shape[0]
-                return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-            counts, ids = self._query_topk_dev(qw, k, probes)
-        counts, ids = np.asarray(counts), np.asarray(ids)
-        k_eff = counts.shape[1]
-        if k_eff < k:
-            q = counts.shape[0]
-            counts = np.pad(counts, ((0, 0), (0, k - k_eff)))
-            ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
-        return counts, ids
 
     def _hamming_geometry(self, local: int) -> tuple[int, bool, int]:
         """(tile, use_pallas, group) for the shard-local Hamming cores.
@@ -510,9 +508,10 @@ class ShardedDeviceStore(DeviceStore):
             rows_per_band=self.rows_per_band,
         )
 
-    def _query_hamming_dev(self, qw: jax.Array, k: int):
+    def _query_hamming_dev(self, qw: jax.Array, k: int, where=None):
         self._ensure_ranks()
         self._ensure_planes()  # lazily built on first Hamming use
+        ids_x, tie_x = self._filtered_ids_tie(where)
         p = self.num_bands * self.rows_per_band
         local = self._local_rows()
         k_eff = max(1, min(k, local))
@@ -521,9 +520,10 @@ class ShardedDeviceStore(DeviceStore):
         )
         pallas_tile, use_pallas, group = self._hamming_geometry(local)
         chunk = pallas_tile if use_pallas else min(self.chunk, local)
+        ham_use_rows = ham_grouped and where is None
         ham_rows = (
             self._refine_rows_for(group, chunk, use_pallas)
-            if ham_grouped
+            if ham_use_rows
             else self._sig_rows
         )
         q_tile = hamming_q_tile(
@@ -535,9 +535,9 @@ class ShardedDeviceStore(DeviceStore):
                 self.axis,
                 self._sig_t,
                 ham_rows,
-                self._ids,
+                ids_x,
                 self._ranks,
-                self._tie,
+                tie_x,
                 qw,
                 num_perm=p,
                 k=k_eff,
@@ -546,7 +546,8 @@ class ShardedDeviceStore(DeviceStore):
                 group=group,
                 use_pallas=use_pallas,
                 q_tile=q_tile,
-                narrow_r=self._refine_narrow_r if ham_grouped else 0,
+                narrow_r=self._refine_narrow_r if ham_use_rows else 0,
+                use_rows=ham_use_rows,
             )
         qbits = unpack_bitplanes(
             qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
@@ -557,9 +558,9 @@ class ShardedDeviceStore(DeviceStore):
             self._planes,
             self._sig_t,
             ham_rows,
-            self._ids,
+            ids_x,
             self._ranks,
-            self._tie,
+            tie_x,
             qbits,
             qw,
             num_perm=p,
@@ -569,15 +570,17 @@ class ShardedDeviceStore(DeviceStore):
             group=group,
             use_pallas=use_pallas,
             q_tile=q_tile,
-            narrow_r=self._refine_narrow_r if ham_grouped else 0,
+            narrow_r=self._refine_narrow_r if ham_use_rows else 0,
+            use_rows=ham_use_rows,
         )
 
-    def _query_asymmetric_dev(self, qc: jax.Array, k: int):
+    def _query_asymmetric_dev(self, qc: jax.Array, k: int, where=None):
         """Shard-local asymmetric ranking + exact (dots, id) ICI merge."""
         from lshrs_tpu.ops.asymmetric import asymmetric_shift
 
         self._ensure_ranks()
         self._ensure_planes()
+        ids_x, tie_x = self._filtered_ids_tie(where)
         if self._planes is None:
             raise RuntimeError(
                 'asymmetric ranking requires hamming_storage="planes": the '
@@ -592,16 +595,17 @@ class ShardedDeviceStore(DeviceStore):
         grouped = local % group == 0
         chunk = pallas_tile if use_pallas else min(self.chunk, local)
         q_tile = hamming_q_tile(qc.shape[0], chunk, packed=False)
+        asym_use_rows = grouped and p <= 2048 and where is None
         return _sharded_asymmetric(
             self.mesh,
             self.axis,
             self._planes,
             self._refine_rows_for(group, chunk, use_pallas)
-            if grouped and p <= 2048
+            if asym_use_rows
             else self._sig_rows,
-            self._ids,
+            ids_x,
             self._ranks,
-            self._tie,
+            tie_x,
             qc,
             num_perm=p,
             num_bands=self.num_bands,
@@ -612,19 +616,21 @@ class ShardedDeviceStore(DeviceStore):
             shift=asymmetric_shift(p, local),
             use_pallas=use_pallas,
             q_tile=q_tile,
-            narrow_r=self._refine_narrow_r if grouped else 0,
+            narrow_r=self._refine_narrow_r if asym_use_rows else 0,
+            use_rows=asym_use_rows,
         )
 
-    def query_nnz(self, qwords) -> np.ndarray:
+    def query_nnz(self, qwords, *, where=None) -> np.ndarray:
         qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return np.zeros((qw.shape[0],), np.int32)
+            ids_x, _ = self._filtered_ids_tie(where)
             n = _sharded_nnz(
                 self.mesh,
                 self.axis,
                 self._sig_t,
-                self._ids,
+                ids_x,
                 qw,
                 num_bands=self.num_bands,
                 chunk=min(self.chunk, self._local_rows()),
@@ -632,7 +638,7 @@ class ShardedDeviceStore(DeviceStore):
             )
         return np.asarray(n)
 
-    def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
+    def query_counts(self, qwords, *, where=None) -> tuple[np.ndarray, np.ndarray]:
         qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
@@ -640,17 +646,18 @@ class ShardedDeviceStore(DeviceStore):
                     np.zeros((qw.shape[0], self._capacity), np.int32),
                     np.full((self._capacity,), -1, np.int32),
                 )
+            ids_x, _ = self._filtered_ids_tie(where)
             counts = _sharded_counts(
                 self.mesh,
                 self.axis,
                 self._sig_t,
-                self._ids,
+                ids_x,
                 qw,
                 num_bands=self.num_bands,
                 chunk=min(self.chunk, self._local_rows()),
                 probes=probes,
             )
-            ids = self._ids
+            ids = ids_x
         return np.asarray(counts), np.asarray(ids)
 
     def snapshot_query_fn(
@@ -661,6 +668,7 @@ class ShardedDeviceStore(DeviceStore):
         dev_batch: int | None = None,
         mode: str = "collision",
         probes: int = 1,
+        where=None,
     ):
         """Compiled single-dispatch serving closure over the sharded store.
 
@@ -737,7 +745,11 @@ class ShardedDeviceStore(DeviceStore):
             # (strided iff the Pallas kernel runs; asymmetric reconstructs
             # exact dots from the same word-row table — word-row refine).
             asym_grouped = local % group == 0
-            if mode == "hamming":
+            # Prebuilt refine tables bake the UNfiltered tie/id columns:
+            # a filtered snapshot drops them (per-slot gather fallback).
+            if where is not None:
+                rows = self._sig_rows
+            elif mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_chunk, ham_pallas)
                     if ham_grouped
@@ -758,15 +770,17 @@ class ShardedDeviceStore(DeviceStore):
                     else self._sig_rows
                 )
             asym_shift = asymmetric_shift(num_perm, local, qmax=asym_qmax)
+            ids_x, tie_x = self._filtered_ids_tie(where)
             state = (
-                self._sig_t, rows, self._ids, self._ranks, self._tie, self._planes
+                self._sig_t, rows, ids_x, self._ranks, tie_x, self._planes
             )
             pallas_chunk = self._pallas_chunk()
             use_pallas = self._use_pallas()
             mode_grouped = {
                 "hamming": ham_grouped, "asymmetric": asym_grouped,
             }.get(mode, grouped)
-            narrow_r = self._refine_narrow_r if mode_grouped else 0
+            use_rows = mode_grouped and where is None
+            narrow_r = self._refine_narrow_r if use_rows else 0
 
         def run_slice(qw, st):
             sig_t, rows_, ids, ranks, tie, planes = st
@@ -779,6 +793,7 @@ class ShardedDeviceStore(DeviceStore):
                     chunk=ham_chunk, grouped=asym_grouped, group=group,
                     shift=asym_shift, use_pallas=ham_pallas,
                     q_tile=aq_tile, qmax=asym_qmax, narrow_r=narrow_r,
+                    use_rows=use_rows,
                 )[1]
             if mode == "hamming":
                 ham_q_tile = hamming_q_tile(
@@ -790,7 +805,7 @@ class ShardedDeviceStore(DeviceStore):
                         num_perm=num_perm, k=k_eff, chunk=ham_chunk,
                         grouped=ham_grouped, group=group,
                         use_pallas=ham_pallas, q_tile=ham_q_tile,
-                        narrow_r=narrow_r,
+                        narrow_r=narrow_r, use_rows=use_rows,
                     )[1]
                 qbits = unpack_bitplanes(
                     qw, num_bands=num_bands, rows_per_band=rows_per_band
@@ -800,14 +815,14 @@ class ShardedDeviceStore(DeviceStore):
                     num_perm=num_perm, k=k_eff, chunk=ham_chunk,
                     grouped=ham_grouped, group=group,
                     use_pallas=ham_pallas, q_tile=ham_q_tile,
-                    narrow_r=narrow_r,
+                    narrow_r=narrow_r, use_rows=use_rows,
                 )[1]
             return _sharded_topk(
                 mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
                 num_bands=num_bands, k=k_eff, chunk=chunk,
                 grouped=grouped, group=group, pallas_chunk=pallas_chunk,
                 q_tile=q_tile, use_pallas=use_pallas,
-                narrow_r=narrow_r, probes=probes,
+                narrow_r=narrow_r, probes=probes, use_rows=use_rows,
             )[1]
 
         @jax.jit
@@ -1033,13 +1048,13 @@ def _sharded_tie(mesh, axis, ids):
     static_argnames=(
         "mesh", "axis", "num_bands", "k", "chunk",
         "grouped", "group", "pallas_chunk", "q_tile", "use_pallas", "narrow_r",
-        "probes",
+        "probes", "use_rows",
     ),
 )
 def _sharded_topk(
     mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_bands, k, chunk, grouped, group, pallas_chunk, q_tile, use_pallas,
-    narrow_r=0, probes=1,
+    narrow_r=0, probes=1, use_rows=True,
 ):
     def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
@@ -1047,7 +1062,8 @@ def _sharded_topk(
                 sig_l, ids_l, tie_l, qw,
                 num_bands=num_bands, k=k, group=group,
                 pallas_chunk=pallas_chunk, q_tile=q_tile, use_pallas=use_pallas,
-                sig_rows=rows_l, narrow_r=narrow_r, probes=probes,
+                sig_rows=rows_l if use_rows else None,
+                narrow_r=narrow_r, probes=probes,
             )
         else:
             counts, out_ids = collision_topk_core(
@@ -1076,13 +1092,14 @@ def _sharded_topk(
     static_argnames=(
         "mesh", "axis", "num_perm", "num_bands", "k", "chunk", "grouped",
         "group", "shift", "use_pallas", "q_tile", "interpret", "qmax",
-        "narrow_r",
+        "narrow_r", "use_rows",
     ),
 )
 def _sharded_asymmetric(
     mesh, axis, planes, rows, ids, ranks, tie, qcoords,
     *, num_perm, num_bands, k, chunk, grouped, group, shift,
     use_pallas=False, q_tile=128, interpret=False, qmax=None, narrow_r=0,
+    use_rows=True,
 ):
     """Shard-local asymmetric top-k + exact ICI merge.
 
@@ -1112,7 +1129,8 @@ def _sharded_asymmetric(
                 planes_l, ids_l, tie_l, qc,
                 k=k, chunk=chunk, group=group, shift=shift, qmax=qmax,
                 use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
-                sig_rows=rows_l, narrow_r=narrow_r, num_bands=num_bands,
+                sig_rows=rows_l if use_rows else None,
+                narrow_r=narrow_r, num_bands=num_bands,
             )
         else:
             dots, out_ids = asymmetric_topk_chunked_core(
@@ -1147,13 +1165,13 @@ def _sharded_asymmetric(
     jax.jit,
     static_argnames=(
         "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
-        "use_pallas", "q_tile", "interpret", "narrow_r",
+        "use_pallas", "q_tile", "interpret", "narrow_r", "use_rows",
     ),
 )
 def _sharded_hamming(
     mesh, axis, planes, sig_t, rows, ids, ranks, tie, qbits, qwords,
     *, num_perm, k, chunk, grouped, group,
-    use_pallas=False, q_tile=128, interpret=False, narrow_r=0,
+    use_pallas=False, q_tile=128, interpret=False, narrow_r=0, use_rows=True,
 ):
     def local(planes_l, sig_l, rows_l, ids_l, ranks_l, tie_l, qb, qw):
         if grouped:
@@ -1161,7 +1179,7 @@ def _sharded_hamming(
                 planes_l, sig_l, ids_l, tie_l, qb, qw,
                 k=k, chunk=chunk, group=group,
                 use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
-                sig_rows=rows_l, narrow_r=narrow_r,
+                sig_rows=rows_l if use_rows else None, narrow_r=narrow_r,
             )
         else:
             hamming, out_ids = hamming_topk_chunked_core(
@@ -1193,13 +1211,13 @@ def _sharded_hamming(
     jax.jit,
     static_argnames=(
         "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
-        "use_pallas", "q_tile", "interpret", "narrow_r",
+        "use_pallas", "q_tile", "interpret", "narrow_r", "use_rows",
     ),
 )
 def _sharded_hamming_packed(
     mesh, axis, sig_t, rows, ids, ranks, tie, qwords,
     *, num_perm, k, chunk, grouped, group,
-    use_pallas=False, q_tile=128, interpret=False, narrow_r=0,
+    use_pallas=False, q_tile=128, interpret=False, narrow_r=0, use_rows=True,
 ):
     def local(sig_l, rows_l, ids_l, ranks_l, tie_l, qw):
         if grouped:
@@ -1207,7 +1225,7 @@ def _sharded_hamming_packed(
                 sig_l, ids_l, tie_l, qw,
                 num_perm=num_perm, k=k, chunk=chunk, group=group,
                 use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
-                sig_rows=rows_l, narrow_r=narrow_r,
+                sig_rows=rows_l if use_rows else None, narrow_r=narrow_r,
             )
         else:
             hamming, out_ids = hamming_topk_packed_chunked_core(
@@ -1238,13 +1256,13 @@ def _sharded_hamming_packed(
     static_argnames=(
         "mesh", "axis", "num_bands", "max_out", "max_candidates",
         "group", "pallas_chunk", "q_tile", "use_pallas", "interpret",
-        "narrow_r", "probes",
+        "narrow_r", "probes", "use_rows",
     ),
 )
 def _sharded_topp_gather(
     mesh, axis, payload, pnorm, ids, tie, sig_t, rows, qwords, qvecs,
     *, num_bands, max_out, max_candidates, group, pallas_chunk, q_tile,
-    use_pallas, interpret=False, narrow_r=0, probes=1,
+    use_pallas, interpret=False, narrow_r=0, probes=1, use_rows=True,
 ):
     """SPMD candidate-gather rerank: shard-local gather rerank + cosine merge.
 
@@ -1267,7 +1285,8 @@ def _sharded_topp_gather(
             num_bands=num_bands, max_out=max_out,
             max_candidates=max_candidates, group=group,
             pallas_chunk=pallas_chunk, q_tile=q_tile,
-            use_pallas=use_pallas, interpret=interpret, sig_rows=rows_l,
+            use_pallas=use_pallas, interpret=interpret,
+            sig_rows=rows_l if use_rows else None,
             narrow_r=narrow_r, probes=probes,
         )
         ids_g = jax.lax.all_gather(out_ids, axis)  # (S, Q, max_out)

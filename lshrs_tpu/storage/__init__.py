@@ -1,8 +1,17 @@
 from .base import BaseStorage, BucketOperation
 from .device import DeviceStore
+from .filter import IdFilter, as_filter
 from .memory import MemoryStorage
 
-__all__ = ["BaseStorage", "BucketOperation", "DeviceStore", "MemoryStorage", "RedisStorage"]
+__all__ = [
+    "BaseStorage",
+    "BucketOperation",
+    "DeviceStore",
+    "IdFilter",
+    "MemoryStorage",
+    "RedisStorage",
+    "as_filter",
+]
 
 
 def __getattr__(name):

@@ -1057,7 +1057,9 @@ class DeviceStore(BaseStorage):
         """
         if where is None:
             return self._ids, self._tie
-        return where.device_state(self)
+        from lshrs_tpu.storage.filter import as_filter
+
+        return as_filter(where).device_state(self)
 
     def _query_topk_dev(
         self, qw: jax.Array, k: int, probes: int = 1, where=None
@@ -1119,13 +1121,18 @@ class DeviceStore(BaseStorage):
             probes=probes,
         )
 
-    def query_topk(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def query_topk(
+        self, qwords, k: int, *, where=None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Exact (count desc, id asc) top-k for a query batch.
 
         Args:
             qwords: ``(Q, num_bands * W)`` uint32 signature words, or the
                 multi-probe ``(Q, T, num_bands * W)`` layout — counts are
                 then bands matching ANY probe variant.
+            where: optional :class:`~lshrs_tpu.storage.IdFilter` (or an
+                array-like allowlist of ids): results rank ONLY the
+                admitted subset — exact top-k over it, not post-filtering.
         Returns:
             ``(counts, ids)`` NumPy arrays of shape ``(Q, k)``; zero-count
             padding carries id -1.
@@ -1138,7 +1145,7 @@ class DeviceStore(BaseStorage):
             if self._size == 0:
                 q = qw.shape[0]
                 return (np.zeros((q, k), np.int32), np.full((q, k), -1, np.int32))
-            counts, ids = self._query_topk_dev(qw, k, probes)
+            counts, ids = self._query_topk_dev(qw, k, probes, where=where)
         counts, ids = np.asarray(counts), np.asarray(ids)
         k_eff = counts.shape[1]
         if k_eff < k:
@@ -1147,13 +1154,13 @@ class DeviceStore(BaseStorage):
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return counts, ids
 
-    def query_topk_ids(self, qwords, k: int) -> jax.Array:
+    def query_topk_ids(self, qwords, k: int, *, where=None) -> jax.Array:
         """Device-resident id-only top-k (serving fast path, one readback)."""
         qw, probes = self._norm_qwords(qwords)
         with self._lock:
             if self._size == 0:
                 return jnp.full((qw.shape[0], k), -1, jnp.int32)
-            _, ids = self._query_topk_dev(qw, k, probes)
+            _, ids = self._query_topk_dev(qw, k, probes, where=where)
         return ids
 
     def snapshot_query_fn(
@@ -1164,6 +1171,7 @@ class DeviceStore(BaseStorage):
         dev_batch: int | None = None,
         mode: str = "collision",
         probes: int = 1,
+        where=None,
     ):
         """Compiled single-dispatch serving closure over the CURRENT contents.
 
@@ -1255,7 +1263,9 @@ class DeviceStore(BaseStorage):
                     "bitplanes on the MXU (the packed-words variant has no "
                     "bitplane operand)"
                 )
-            sig_t, ids, tie, ranks = self._sig_t, self._ids, self._tie, self._ranks
+            sig_t = self._sig_t
+            ids, tie = self._filtered_ids_tie(where)
+            ranks = self._ranks
             planes = self._planes
             grouped, use_pallas = self._use_grouped(), self._use_pallas()
             group = min(self.group, self._capacity)
@@ -1273,7 +1283,11 @@ class DeviceStore(BaseStorage):
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
             # Grouped refine table in the geometry of the served mode.
             asym_grouped = self._capacity % group == 0
-            if mode == "hamming":
+            # Prebuilt refine tables bake the UNfiltered tie/id columns:
+            # a filtered snapshot drops them (per-slot gather fallback).
+            if where is not None:
+                rows = None
+            elif mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_tile, ham_pallas)
                     if ham_grouped
@@ -1306,7 +1320,7 @@ class DeviceStore(BaseStorage):
         # arrays are embedded in the program (and shipped to remote compile
         # services), which blows up for multi-hundred-MB stores.
         state = (sig_t, ids, tie, ranks, rows, planes)
-        narrow_r = self._refine_narrow_r
+        narrow_r = self._refine_narrow_r if where is None else 0
 
         def run_slice(qw, st):
             sig_t_, ids_, tie_, ranks_, rows_, planes_ = st
@@ -1451,6 +1465,7 @@ class DeviceStore(BaseStorage):
         max_candidates: int | None = None,
         probes: int = 1,
         batch_hint: int = 1024,
+        where=None,
     ):
         """Compiled single-dispatch top-p rerank closure (serving path).
 
@@ -1510,21 +1525,25 @@ class DeviceStore(BaseStorage):
             out = max(1, min(max_out, self._capacity))
             if eng == "gather":
                 self._ensure_ranks()
+                ids_x, tie_x = self._filtered_ids_tie(where)
                 group = min(self.group, self._capacity)
                 use_pallas = self._use_pallas()
                 pallas_chunk = self._pallas_chunk()
                 state = (
                     self._sig_t,
-                    self._ids,
-                    self._tie,
+                    ids_x,
+                    tie_x,
                     self._payload,
                     self._pnorm,
-                    self._refine_rows_for(group, pallas_chunk, use_pallas),
+                    self._refine_rows_for(group, pallas_chunk, use_pallas)
+                    if where is None
+                    else None,
                 )
             else:
-                state = (self._sig_t, self._ids, None, self._payload, self._pnorm, None)
+                ids_x, _ = self._filtered_ids_tie(where)
+                state = (self._sig_t, ids_x, None, self._payload, self._pnorm, None)
             snapshot_gen = self._generation  # atomic with the state capture
-        narrow_r = self._refine_narrow_r
+        narrow_r = self._refine_narrow_r if where is None else 0
 
         @jax.jit
         def _serve(q, qv, st):
@@ -1580,12 +1599,13 @@ class DeviceStore(BaseStorage):
 
         return serve
 
-    def query_counts(self, qwords) -> tuple[np.ndarray, np.ndarray]:
+    def query_counts(self, qwords, *, where=None) -> tuple[np.ndarray, np.ndarray]:
         """Full per-slot collision counts plus the slot-id map.
 
         Returns ``(counts (Q, capacity), ids (capacity,))`` — the device
         analogue of the reference's whole candidate dict, for the
         unbounded-candidate paths (``top_k=None``, top-p rerank).
+        ``where``-inadmissible slots report zero counts and id -1.
         """
         qw, probes = self._norm_qwords(qwords)
         with self._lock:
@@ -1594,19 +1614,21 @@ class DeviceStore(BaseStorage):
                     np.zeros((qw.shape[0], self._capacity), np.int32),
                     np.full((self._capacity,), -1, np.int32),
                 )
+            ids_x, _ = self._filtered_ids_tie(where)
             counts = collision_counts(
-                self._sig_t, self._ids, qw,
+                self._sig_t, ids_x, qw,
                 num_bands=self.num_bands, chunk=self.chunk, probes=probes,
             )
-            ids = self._ids
+            ids = ids_x
         return np.asarray(counts), np.asarray(ids)
 
-    def query_nnz(self, qwords) -> np.ndarray:
+    def query_nnz(self, qwords, *, where=None) -> np.ndarray:
         """Per-query colliding-candidate counts, ``(Q,)`` — O(Q) readback.
 
         The completeness probe of the bounded candidate enumeration: the
         reduction runs inside the device chunk scan, so the ``(Q, C)``
-        count matrix never exists anywhere.
+        count matrix never exists anywhere. ``where``-inadmissible slots
+        do not count.
         """
         from lshrs_tpu.ops.scan import collision_nnz
 
@@ -1614,17 +1636,19 @@ class DeviceStore(BaseStorage):
         with self._lock:
             if self._size == 0:
                 return np.zeros((qw.shape[0],), np.int32)
+            ids_x, _ = self._filtered_ids_tie(where)
             n = collision_nnz(
-                self._sig_t, self._ids, qw,
+                self._sig_t, ids_x, qw,
                 num_bands=self.num_bands, chunk=self.chunk, probes=probes,
             )
         return np.asarray(n)
 
-    def _query_hamming_dev(self, qw: jax.Array, k: int):
+    def _query_hamming_dev(self, qw: jax.Array, k: int, where=None):
         """Device-resident Hamming top-k, grouped path when the packed
         key fits int32, chunked selection otherwise."""
         self._ensure_ranks()
         self._ensure_planes()  # lazily built on first Hamming use
+        ids_x, tie_x = self._filtered_ids_tie(where)
         p = self.num_bands * self.rows_per_band
         k_eff = max(1, min(k, self._capacity))
         grouped = (
@@ -1646,18 +1670,20 @@ class DeviceStore(BaseStorage):
         if self.hamming_storage == "packed":
             if grouped:
                 return hamming_topk_packed(
-                    self._sig_t, self._ids, self._tie, qw,
+                    self._sig_t, ids_x, tie_x, qw,
                     num_perm=p,
                     k=k_eff,
                     chunk=pallas_tile if use_pallas else self.chunk,
                     group=group,
                     use_pallas=use_pallas,
                     q_tile=q_tile,
-                    sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas),
-                    narrow_r=self._refine_narrow_r,
+                    sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas)
+                    if where is None
+                    else None,
+                    narrow_r=self._refine_narrow_r if where is None else 0,
                 )
             return hamming_topk_packed_chunked(
-                self._sig_t, self._ids, self._ranks, qw,
+                self._sig_t, ids_x, self._ranks, qw,
                 num_perm=p, k=k_eff, chunk=self.chunk,
             )
         qbits = unpack_bitplanes(
@@ -1665,25 +1691,30 @@ class DeviceStore(BaseStorage):
         )
         if grouped:
             return hamming_topk(
-                self._planes, self._sig_t, self._ids, self._tie, qbits, qw,
+                self._planes, self._sig_t, ids_x, tie_x, qbits, qw,
                 k=k_eff,
                 chunk=pallas_tile if use_pallas else self.chunk,
                 group=group,
                 use_pallas=use_pallas,
                 q_tile=q_tile,
-                sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas),
-                narrow_r=self._refine_narrow_r,
+                sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas)
+                if where is None
+                else None,
+                narrow_r=self._refine_narrow_r if where is None else 0,
             )
         return hamming_topk_chunked(
-            self._planes, self._ids, self._ranks, qbits, k=k_eff, chunk=self.chunk
+            self._planes, ids_x, self._ranks, qbits, k=k_eff, chunk=self.chunk
         )
 
-    def query_hamming(self, qwords, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def query_hamming(
+        self, qwords, k: int, *, where=None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k by full-signature Hamming distance (MXU ranking mode).
 
         Requires ``enable_hamming=True``. Returns ``(hamming (Q, k),
         ids (Q, k))`` ordered by (hamming asc, id asc); empty tail entries
-        carry id -1.
+        carry id -1. ``where``: optional id filter (exact ranking over
+        the admitted subset).
         """
         if not self.enable_hamming:
             raise RuntimeError(
@@ -1696,7 +1727,7 @@ class DeviceStore(BaseStorage):
             if self._size == 0:
                 q = qw.shape[0]
                 return (np.full((q, k), p + 1, np.int32), np.full((q, k), -1, np.int32))
-            hamming, ids = self._query_hamming_dev(qw, k)
+            hamming, ids = self._query_hamming_dev(qw, k, where=where)
         hamming, ids = np.asarray(hamming), np.asarray(ids)
         k_eff = hamming.shape[1]
         if k_eff < k:
@@ -1705,7 +1736,7 @@ class DeviceStore(BaseStorage):
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return hamming, ids
 
-    def _query_asymmetric_dev(self, qc: jax.Array, k: int):
+    def _query_asymmetric_dev(self, qc: jax.Array, k: int, where=None):
         """Device-resident asymmetric top-k (quantised-coords query)."""
         from lshrs_tpu.ops.asymmetric import (
             asymmetric_shift,
@@ -1715,6 +1746,7 @@ class DeviceStore(BaseStorage):
 
         self._ensure_ranks()
         self._ensure_planes()  # lazily built on first Hamming/asymmetric use
+        ids_x, tie_x = self._filtered_ids_tie(where)
         if self._planes is None:
             raise RuntimeError(
                 'asymmetric ranking requires hamming_storage="planes": the '
@@ -1737,9 +1769,9 @@ class DeviceStore(BaseStorage):
             # num_perm-byte bitplane rows (5x whole-query win at 1M). The
             # core ignores the table past 2048 bits (unroll cost), so the
             # table is not built — or LRU-evicting others — there either.
-            use_rows = p <= 2048
+            use_rows = p <= 2048 and where is None
             return asymmetric_topk(
-                self._planes, self._ids, self._tie, qc,
+                self._planes, ids_x, tie_x, qc,
                 k=k_eff,
                 chunk=pallas_tile if use_pallas else self.chunk,
                 group=group,
@@ -1755,10 +1787,12 @@ class DeviceStore(BaseStorage):
                 num_bands=self.num_bands,
             )
         return asymmetric_topk_chunked(
-            self._planes, self._ids, self._ranks, qc, k=k_eff, chunk=self.chunk
+            self._planes, ids_x, self._ranks, qc, k=k_eff, chunk=self.chunk
         )
 
-    def query_asymmetric(self, qcoords, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def query_asymmetric(
+        self, qcoords, k: int, *, where=None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k by asymmetric SimHash score (quantised query coords).
 
         Args:
@@ -1788,7 +1822,7 @@ class DeviceStore(BaseStorage):
                     np.full((q, k), empty_dots, np.int32),
                     np.full((q, k), -1, np.int32),
                 )
-            dots, ids = self._query_asymmetric_dev(qc, k)
+            dots, ids = self._query_asymmetric_dev(qc, k, where=where)
         dots, ids = np.asarray(dots), np.asarray(ids)
         k_eff = dots.shape[1]
         if k_eff < k:
@@ -1799,7 +1833,7 @@ class DeviceStore(BaseStorage):
             ids = np.pad(ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
         return dots, ids
 
-    def query_hamming_ids(self, qwords, k: int) -> jax.Array:
+    def query_hamming_ids(self, qwords, k: int, *, where=None) -> jax.Array:
         """Device-resident id-only Hamming top-k (serving fast path)."""
         if not self.enable_hamming:
             raise RuntimeError(
@@ -1810,11 +1844,11 @@ class DeviceStore(BaseStorage):
         with self._lock:
             if self._size == 0:
                 return jnp.full((qw.shape[0], k), -1, jnp.int32)
-            _, ids = self._query_hamming_dev(qw, k)
+            _, ids = self._query_hamming_dev(qw, k, where=where)
         return ids
 
     def query_topp(
-        self, qwords, qvec: np.ndarray, max_out: int
+        self, qwords, qvec: np.ndarray, max_out: int, *, where=None
     ) -> tuple[np.ndarray, np.ndarray, int]:
         """Fused top-p rerank: collision counts + cosine ranking, on device.
 
@@ -1829,14 +1863,15 @@ class DeviceStore(BaseStorage):
             if self._size == 0:
                 return (np.full(max_out, -1, np.int32), np.zeros(max_out, np.float32), 0)
             out = max(1, min(max_out, self._capacity))
+            ids_x, _ = self._filtered_ids_tie(where)
             counts = collision_counts(
-                self._sig_t, self._ids, qw,
+                self._sig_t, ids_x, qw,
                 num_bands=self.num_bands, chunk=self.chunk, probes=probes,
             )
             ids, sims, n = rerank_topp(
                 self._payload,
                 self._pnorm,
-                self._ids,
+                ids_x,
                 counts[0],
                 jnp.asarray(qvec, dtype=jnp.float32),
                 max_out=out,
@@ -1852,6 +1887,7 @@ class DeviceStore(BaseStorage):
         wire_dtype: str = "float32",
         engine: str | None = None,
         max_candidates: int | None = None,
+        where=None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched fused top-p rerank (one device dispatch for the batch).
 
@@ -1896,13 +1932,14 @@ class DeviceStore(BaseStorage):
                 qv = qv.astype(ml_dtypes.bfloat16)
             if eng == "gather":
                 ids, sims, n, exact = self._topp_gather_dispatch(
-                    qw, jnp.asarray(qv), out, mc, probes
+                    qw, jnp.asarray(qv), out, mc, probes, where=where
                 )
             else:
                 exact = None
+                ids_x, _ = self._filtered_ids_tie(where)
                 ids, sims, n = _topp_batch_jit(
                     self._sig_t,
-                    self._ids,
+                    ids_x,
                     self._payload,
                     self._pnorm,
                     qw,
@@ -1920,20 +1957,21 @@ class DeviceStore(BaseStorage):
         return np.asarray(ids), np.asarray(sims), np.asarray(n)
 
     def _topp_gather_dispatch(
-        self, qw, qv_dev, max_out: int, mc: int, probes: int = 1
+        self, qw, qv_dev, max_out: int, mc: int, probes: int = 1, where=None
     ):
         """Gather-engine rerank dispatch (call under the lock); returns
         device ``(ids, sims, n, exact)``. Sharded stores override with
         the shard_map formulation."""
         self._ensure_ranks()
+        ids_x, tie_x = self._filtered_ids_tie(where)
         group = min(self.group, self._capacity)
         use_pallas = self._use_pallas()
         pallas_chunk = self._pallas_chunk()
         return rerank_topp_gather(
             self._payload,
             self._pnorm,
-            self._ids,
-            self._tie,
+            ids_x,
+            tie_x,
             self._sig_t,
             qw,
             qv_dev,
@@ -1944,8 +1982,10 @@ class DeviceStore(BaseStorage):
             pallas_chunk=pallas_chunk,
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
             use_pallas=use_pallas,
-            sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas),
-            narrow_r=self._refine_narrow_r,
+            sig_rows=self._refine_rows_for(group, pallas_chunk, use_pallas)
+            if where is None
+            else None,
+            narrow_r=self._refine_narrow_r if where is None else 0,
             probes=probes,
         )
 

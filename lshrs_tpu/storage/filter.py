@@ -23,11 +23,19 @@ data-dependent shapes — and cached per store generation, so repeated
 queries through the same :class:`IdFilter` cost zero extra dispatches.
 Exactness: masked slots contribute key 0 to group-max selection and to
 refinement (same argument as tombstones), so filtered top-k equals
-brute-force top-k over the admitted subset.
+brute-force top-k over the admitted subset. The grouped fast paths
+drop their prebuilt refine tables when filtering (the tables bake in
+the UNfiltered tie/id columns) and fall back to per-slot gathers.
+
+Under GSPMD the filtered columns inherit the slot-axis sharding of the
+store's ``ids`` / ``tie`` (the allow/deny tables replicate), so the
+same program serves :class:`~lshrs_tpu.parallel.ShardedDeviceStore`.
 """
 
 from __future__ import annotations
 
+import threading
+import weakref
 from functools import partial
 from typing import Optional
 
@@ -35,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["IdFilter"]
+__all__ = ["IdFilter", "as_filter"]
 
 # Sentinel that can never equal a live external id (ids are >= 0): used to
 # pad an EMPTY allowlist so the jitted membership probe keeps a non-empty
@@ -91,11 +99,17 @@ def _normalize(ids, name: str) -> Optional[np.ndarray]:
 class IdFilter:
     """Reusable query-time id filter: admit ``allow`` minus ``deny``.
 
-    Construct once, pass as ``where=`` to any query method — the device
-    membership state is computed lazily on first use against a store and
-    recomputed automatically when the store mutates (the store's
-    generation counter guards the cache), so a long-lived filter stays
-    correct across appends, deletes and compactions.
+    Construct once, pass as ``where=`` to any query method (an
+    array-like of ids is accepted there as an allowlist shorthand) —
+    the device membership state is computed lazily on first use against
+    a store and recomputed automatically when the store mutates (the
+    store's generation counter guards the cache), so a long-lived
+    filter stays correct across appends, deletes and compactions.
+
+    A filter instance is thread-safe and may be shared across stores:
+    the per-store cache is keyed by weak references (a garbage-collected
+    store releases its cached device arrays; a new store can never
+    alias a dead one's entry) and guarded by the filter's own lock.
 
     Args:
         allowed_ids: ids admitted to results (None = admit all). An
@@ -104,6 +118,9 @@ class IdFilter:
             allowlist: admitted = allow ∧ ¬deny).
     """
 
+    # Bound on live-store cache entries: a filter rarely spans stores.
+    _CACHE_MAX = 4
+
     def __init__(self, allowed_ids=None, disallowed_ids=None) -> None:
         if allowed_ids is None and disallowed_ids is None:
             raise ValueError(
@@ -111,9 +128,13 @@ class IdFilter:
             )
         self.allowed = _normalize(allowed_ids, "allowed_ids")
         self.disallowed = _normalize(disallowed_ids, "disallowed_ids")
-        # store id() -> (generation, ids_f, tie_f); a filter is typically
-        # used against one store (or a handful), so a tiny map suffices.
-        self._cache: dict[int, tuple[int, jax.Array, jax.Array]] = {}
+        # store (weak) -> (generation, ids_f, tie_f). Weak keys make the
+        # cache immune to id()-reuse after GC and release dead stores'
+        # device arrays; the lock makes one filter shareable across
+        # stores/threads (each store serializes on its OWN lock, so the
+        # store lock alone cannot protect this shared state).
+        self._cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+        self._lock = threading.Lock()
         self._allow_dev: Optional[jax.Array] = None
         self._deny_dev: Optional[jax.Array] = None
 
@@ -145,34 +166,40 @@ class IdFilter:
         remove / compact / rehash / clear) bumps the generation and the
         next query recomputes the mask against the current id column.
         """
-        key = id(store)
         gen = store._generation
-        hit = self._cache.get(key)
-        if hit is not None and hit[0] == gen:
-            return hit[1], hit[2]
+        with self._lock:
+            hit = self._cache.get(store)
+            if hit is not None and hit[0] == gen:
+                return hit[1], hit[2]
         store._ensure_ranks()  # the tie column must be fresh
-        if self._allow_dev is None:
-            self._allow_dev = jnp.asarray(
-                self.allowed
-                if self.allowed is not None and self.allowed.size
-                else _NEVER
-            )
-            self._deny_dev = jnp.asarray(
-                self.disallowed
-                if self.disallowed is not None and self.disallowed.size
-                else _NEVER
-            )
+        with self._lock:
+            if self._allow_dev is None:
+                self._allow_dev = jnp.asarray(
+                    self.allowed
+                    if self.allowed is not None and self.allowed.size
+                    else _NEVER
+                )
+                self._deny_dev = jnp.asarray(
+                    self.disallowed
+                    if self.disallowed is not None and self.disallowed.size
+                    else _NEVER
+                )
+            allow_dev, deny_dev = self._allow_dev, self._deny_dev
         ids_f, tie_f = _filtered_state_jit(
             store._ids,
             store._tie,
-            self._allow_dev,
-            self._deny_dev,
+            allow_dev,
+            deny_dev,
             has_allow=self.allowed is not None,
             has_deny=self.disallowed is not None and self.disallowed.size > 0,
         )
-        if len(self._cache) >= 4:  # bound: a filter rarely spans stores
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[key] = (gen, ids_f, tie_f)
+        with self._lock:
+            while len(self._cache) >= self._CACHE_MAX:
+                ref = next(iter(self._cache.keyrefs()), None)
+                victim = ref() if ref is not None else None
+                if victim is None or self._cache.pop(victim, None) is None:
+                    break
+            self._cache[store] = (gen, ids_f, tie_f)
         return ids_f, tie_f
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
@@ -183,7 +210,7 @@ class IdFilter:
 
 def as_filter(where) -> Optional[IdFilter]:
     """Coerce a ``where=`` argument: IdFilter passes through, an
-    array-like is an allowlist shorthand, None means unfiltered."""
+    array-like of ids is an allowlist shorthand, None means unfiltered."""
     if where is None or isinstance(where, IdFilter):
         return where
     return IdFilter(allowed_ids=where)

@@ -175,6 +175,7 @@ def find_optimal_cp_br(
     return best
 
 
+@lru_cache(maxsize=64)
 def get_optimal_cp_config(
     num_perm: int, threshold: float, dim: int
 ) -> tuple[int, int]:
@@ -186,6 +187,13 @@ def get_optimal_cp_config(
     ``num_perm`` is feasible at this ``dim`` (only possible when
     ``num_perm`` is prime or ``dim`` is tiny) — pass the banding
     explicitly in that case.
+
+    Cost (measured, 1-core host): ~0.5 s on the first-ever call in a
+    process (seeds the shared per-``cp_dims`` MC curves) and ~0.1 ms
+    thereafter — the curves are keyed by ``cp_dims``, not ``num_perm``,
+    so even a cold call at a new ``num_perm`` reuses them; this cache
+    makes repeat constructions free outright. Negligible next to the
+    ITQ fit (25–27 s, PERFORMANCE.md).
     """
     best = find_optimal_cp_br(num_perm, threshold, dim)
     if best is not None:

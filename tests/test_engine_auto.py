@@ -107,6 +107,46 @@ def test_engine_persistence_roundtrip_and_legacy_default(rng, tmp_path):
     assert legacy._engine == "collision"
 
 
+def test_auto_resolution_pinned_across_checkpoint(rng, monkeypatch, tmp_path):
+    """Once engine='auto' switches to Hamming ranking, the resolution is
+    pinned and persisted: a save/load (or pickle) round-trip must never
+    silently change result ordering, whatever capacity the restored store
+    reports relative to the switch threshold."""
+    lsh = make()
+    X = rng.standard_normal((60, 32)).astype(np.float32)
+    lsh.index(list(range(60)), X)
+    monkeypatch.setattr(LSHRS, "_AUTO_HAMMING_CAPACITY", 128)
+    q = X[5] + 0.02 * rng.standard_normal(32).astype(np.float32)
+    before = lsh.get_top_k(q, topk=6)  # triggers + pins the switch
+    assert lsh.stats()["engine_resolved"] == "hamming"
+    assert "auto->hamming" in repr(lsh)
+    # Restore the REAL threshold (512k): the restored store's capacity
+    # (128) sits far below it — unpinned, auto would flip back to
+    # collision ordering across the checkpoint boundary.
+    monkeypatch.undo()
+    assert lsh._storage._capacity < LSHRS._AUTO_HAMMING_CAPACITY
+
+    lsh.save_to_disk(tmp_path / "idx")
+    back = LSHRS.load_from_disk(tmp_path / "idx")
+    assert back.stats()["engine_resolved"] == "hamming"
+    assert back.stats()["ranking"] == "hamming"
+    assert back.get_top_k(q, topk=6) == before
+
+    re = pickle.loads(pickle.dumps(lsh))
+    assert re.stats()["engine_resolved"] == "hamming"
+    assert re.get_top_k(q, topk=6) == before
+
+    # An unswitched instance persists no resolution and keeps collision
+    # ordering after restore (nothing pinned prematurely).
+    fresh = make()
+    fresh.index(list(range(60)), X)
+    assert fresh.stats()["engine_resolved"] is None
+    fresh.save_to_disk(tmp_path / "fresh")
+    fresh_back = LSHRS.load_from_disk(tmp_path / "fresh")
+    assert fresh_back.stats()["engine_resolved"] is None
+    assert fresh_back.stats()["ranking"] == "collision"
+
+
 def test_engine_validation():
     with pytest.raises(ValueError, match="engine"):
         make(engine="warp")
