@@ -193,6 +193,71 @@ def main() -> None:
     probe = np.asarray(serve(hasher.hash_batch_dense_host(X[:QUERY_BATCH])))
     self_match = float((probe[:, 0] == np.arange(QUERY_BATCH)).mean())
 
+    # ---- 1M default construction (north-star scale, machine-recorded) ----
+    # GloVe-1M-scale bar: LSHRS(dim=768, num_perm=256, engine="auto") with
+    # 1,048,576 vectors served through serving_fn() — the auto engine ranks
+    # by Hamming past 512k slots, which is what clears 100k QPS/chip here.
+    # hash_mode="host" ships the 32-byte query wire (see PERFORMANCE.md
+    # transport reconciliation). Kept lean: 3 trials x 4 batches of 8192.
+    from lshrs_tpu import LSHRS
+
+    n_1m = 1 << 20
+    one_m = {}
+    try:
+        lsh = LSHRS(
+            dim=DIM,
+            num_perm=NUM_BANDS * ROWS_PER_BAND,
+            num_bands=NUM_BANDS,
+            rows_per_band=ROWS_PER_BAND,
+            hash_mode="host",
+            hash_family="structured",
+            initial_capacity=n_1m,
+            dedupe=False,
+            buffer_size=1 << 30,
+        )
+        t0 = time.perf_counter()
+        step, q_1m = 1 << 17, 8192
+        X_keep = None
+        for off in range(0, n_1m, step):
+            xb = rng.standard_normal((step, DIM)).astype(np.float32)
+            if off == 0:
+                X_keep = xb[:q_1m].copy()
+            lsh.index(np.arange(off, off + step), xb)
+        build_1m_s = time.perf_counter() - t0
+        assert lsh.stats()["index"]["alive"] == n_1m
+
+        serve_1m = lsh.serving_fn(top_k=TOP_K)
+        probe_1m = np.asarray(serve_1m(X_keep))  # compile + self-match
+        self_match_1m = float((probe_1m[:, 0] == np.arange(q_1m)).mean())
+        raw_1m = [
+            rng.standard_normal((q_1m, DIM)).astype(np.float32)
+            for _ in range(4)
+        ]
+
+        def timed_1m_trial() -> float:
+            pool = ThreadPoolExecutor(max_workers=3)
+            t0 = time.perf_counter()
+            futs = [pool.submit(serve_1m, q) for q in raw_1m]
+            out = [np.asarray(f.result()) for f in futs]
+            dt = time.perf_counter() - t0
+            pool.shutdown()
+            assert len(out) == len(raw_1m)
+            return dt
+
+        trials_1m = sorted(timed_1m_trial() for _ in range(3))
+        n_q_1m = len(raw_1m) * q_1m
+        one_m = {
+            "qps_1m": round(n_q_1m / trials_1m[0], 1),
+            "qps_1m_median": round(n_q_1m / trials_1m[len(trials_1m) // 2], 1),
+            "self_match_rate_1m": self_match_1m,
+            "ranking_1m": lsh.stats()["ranking"],
+            "build_1m_s": round(build_1m_s, 1),
+            "build_1m_vectors_per_s": round(n_1m / build_1m_s, 1),
+        }
+        del lsh, serve_1m
+    except Exception as exc:  # the 100k headline must still be reported
+        one_m = {"qps_1m_error": f"{type(exc).__name__}: {exc}"}
+
     result = {
         "metric": "query_qps_100k_d768_p256_top10",
         "value": round(qps, 1),
@@ -218,6 +283,7 @@ def main() -> None:
             ),
             "self_match_rate": self_match,
             "n_vectors": N_VECTORS,
+            **one_m,
         },
     }
     print(json.dumps(result))

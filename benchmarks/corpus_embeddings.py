@@ -80,6 +80,15 @@ def main() -> None:
     ap.add_argument("--roots", nargs="*", default=None,
                     help="corpus roots (default: this Python's site-packages)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--contexts", type=int, default=0,
+                    help="additionally emit this many sliding-window "
+                    "passage vectors (<out>.ctx.npy) — idf-weighted means "
+                    "of the word embeddings over --ctx-window token "
+                    "windows. This is how the real-geometry corpus scales "
+                    "past the vocabulary size (dense-retrieval shape: "
+                    "~1M real passage vectors from a few hundred MB of "
+                    "text) — see PERFORMANCE.md 'Real-embedding recall'.")
+    ap.add_argument("--ctx-window", type=int, default=64)
     args = ap.parse_args()
 
     import scipy.sparse as sp
@@ -162,6 +171,57 @@ def main() -> None:
           f"({time.perf_counter()-t0:.1f}s); spectrum head {s[:5].round(1)}",
           file=sys.stderr, flush=True)
 
+    ctx_report = {}
+    if args.contexts:
+        # Sliding-window passage vectors: each window of ctx_window
+        # in-vocab tokens -> idf-weighted mean of its words' embeddings,
+        # L2-normalized. Real dense-retrieval geometry (passages sharing
+        # topical vocabulary are genuine near neighbours; overlapping
+        # windows contribute realistic near-duplicates) at corpus scale
+        # rather than vocabulary scale. Composed BEFORE the row shuffle
+        # so `alive` still aligns with the vocab ids.
+        t0 = time.perf_counter()
+        remap = np.full(v, -1, np.int32)
+        remap[np.flatnonzero(alive)] = np.arange(int(alive.sum()))
+        cids = remap[ids]
+        cids = cids[cids >= 0]
+        wcount = np.bincount(cids, minlength=emb.shape[0]).astype(np.float64)
+        idf = np.log(cids.size / np.maximum(wcount, 1.0)).astype(np.float32)
+        w_tok = idf[cids]  # per-token weight
+        W = args.ctx_window
+        stride = max(1, (cids.size - W) // args.contexts)
+        starts = np.arange(0, cids.size - W, stride)[: args.contexts]
+        ctx = np.empty((starts.size, emb.shape[1]), np.float32)
+        slab = 1 << 19  # tokens per slab: ~512 MB cumsum transient at 256d
+        out_i = 0
+        for s0 in range(0, cids.size - W, slab):
+            s1 = min(s0 + slab + W, cids.size)
+            sel = starts[(starts >= s0) & (starts + W <= s1)]
+            if sel.size == 0:
+                continue
+            rows = emb[cids[s0:s1]] * w_tok[s0:s1, None]
+            cs = np.concatenate(
+                [np.zeros((1, rows.shape[1]), np.float64),
+                 np.cumsum(rows, axis=0, dtype=np.float64)]
+            )
+            block = (cs[sel - s0 + W] - cs[sel - s0]).astype(np.float32)
+            ctx[out_i:out_i + sel.size] = block
+            out_i += sel.size
+        ctx = ctx[:out_i]
+        cn = np.linalg.norm(ctx, axis=1)
+        ctx = ctx[cn > 1e-6] / cn[cn > 1e-6, None]
+        ctx = ctx[rng.permutation(ctx.shape[0])]
+        np.save(args.out + ".ctx.npy", ctx)
+        ctx_report = {
+            "contexts": int(ctx.shape[0]),
+            "ctx_window": W,
+            "ctx_stride": int(stride),
+            "ctx_out": args.out + ".ctx.npy",
+        }
+        print(f"contexts: {ctx.shape[0]:,} x {emb.shape[1]} "
+              f"(window {W}, stride {stride}, "
+              f"{time.perf_counter()-t0:.1f}s)", file=sys.stderr, flush=True)
+
     # shuffle rows so recall_bench's tail held-out split samples words
     # uniformly (the natural order is frequency-sorted)
     perm = rng.permutation(emb.shape[0])
@@ -178,6 +238,7 @@ def main() -> None:
         "tokens": int(n_tok),
         "cooc_nnz": int(cooc.nnz),
         "singular_head": [round(float(x), 1) for x in s[:5]],
+        **ctx_report,
     }))
 
 

@@ -1,0 +1,205 @@
+"""Cross-polytope throughput bench — the recall-best family's perf story.
+
+CP wins every recall comparison in the repo (PERFORMANCE.md
+"Cross-polytope": +24% reranked recall at equal store bytes on the real
+corpus) but rejects the bit-semantic Hamming/asymmetric estimators by
+design, so at scale its rankers are the collision scan and the payload
+rerank. This bench measures the three numbers that were missing:
+
+1. `serving_fn(top_k)` collision QPS (the family's native top-k),
+2. `serving_fn(mode="topp")` candidate-gather rerank QPS (its natural
+   pairing at scale: CP's win is candidate QUALITY; the gather engine
+   reranks those candidates at capacity-flat cost),
+3. fused device build rate (`DeviceStore.add_vectors_batch`, one FWHT
+   hash + append program).
+
+Banding: the CP tuner's own choice for (num_perm, threshold) unless
+--bands/--rows pin it (the real-corpus A/B ran 32x8). The gaussian
+comparison rows in PERFORMANCE.md are at 16x16; CP's 32 one-word bands
+double the packed words per slot (128 B vs 64 B), so the collision scan
+carries 2x the VPU compare work per slot — that asymmetry is part of the
+honest result, not a bench artifact.
+
+Usage:
+    python benchmarks/cp_bench.py --n 131072
+    python benchmarks/cp_bench.py --n 1048576 --skip-build
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def pipelined_qps(serve, raw, trials):
+    _ = serve(raw[0])  # compile
+
+    def trial() -> float:
+        pool = ThreadPoolExecutor(max_workers=3)
+        t0 = time.perf_counter()
+        futs = [pool.submit(serve, q) for q in raw]
+        out = [f.result() for f in futs]
+        dt = time.perf_counter() - t0
+        pool.shutdown()
+        assert len(out) == len(raw)
+        return dt
+
+    ts = sorted(trial() for _ in range(trials))
+    n_q = sum(q.shape[0] for q in raw)
+    return round(n_q / ts[0], 1), round(n_q / ts[len(ts) // 2], 1)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 17)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--num-perm", type=int, default=256)
+    ap.add_argument("--bands", type=int, default=None)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--query-batch", type=int, default=8192)
+    ap.add_argument("--n-batches", type=int, default=6)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--payload", default="int8",
+                    choices=["float32", "bfloat16", "int8"])
+    ap.add_argument("--skip-build", action="store_true",
+                    help="skip the fused-build measurement")
+    ap.add_argument("--skip-topp", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lshrs_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from lshrs_tpu import LSHRS
+
+    rng = np.random.default_rng(0)
+    lsh = LSHRS(
+        dim=args.dim,
+        num_perm=args.num_perm,
+        num_bands=args.bands,
+        rows_per_band=args.rows,
+        hash_family="crosspolytope",
+        hash_mode="host",  # 32-byte dense wire (transport reconciliation)
+        store_vectors=not args.skip_topp,
+        payload_dtype=args.payload,
+        initial_capacity=args.n,
+        dedupe=False,
+        buffer_size=1 << 30,
+    )
+    bands = lsh._config["num_bands"]
+    rows = lsh._config["rows_per_band"]
+
+    t0 = time.perf_counter()
+    step = 1 << 17
+    X_keep = None
+    for off in range(0, args.n, step):
+        m = min(step, args.n - off)
+        xb = rng.standard_normal((m, args.dim)).astype(np.float32)
+        if off == 0:
+            X_keep = xb[: args.query_batch].copy()
+        lsh.index(np.arange(off, off + m), xb)
+    build_s = time.perf_counter() - t0
+    assert lsh.stats()["index"]["alive"] == args.n
+
+    raw = [
+        rng.standard_normal((args.query_batch, args.dim)).astype(np.float32)
+        for _ in range(args.n_batches)
+    ]
+
+    out = {
+        "metric": "crosspolytope_serving",
+        "n": args.n,
+        "dim": args.dim,
+        "banding": f"{bands}x{rows}",
+        "payload_dtype": args.payload if not args.skip_topp else None,
+        "host_stream_build_vectors_per_s": round(args.n / build_s, 1),
+        "platform": jax.devices()[0].platform,
+    }
+
+    # 1. collision top-k serving (CP's native ranking)
+    serve = lsh.serving_fn(top_k=10, mode="collision")
+    probe = serve(X_keep)
+    out["self_match_rate"] = float(
+        (probe[:, 0] == np.arange(args.query_batch)).mean()
+    )
+    out["collision_qps"], out["collision_qps_median"] = pipelined_qps(
+        serve, raw, args.trials
+    )
+
+    # 2. gather-rerank serving (CP's natural pairing at scale)
+    if not args.skip_topp:
+        serve_p = lsh.serving_fn(top_k=10, mode="topp")
+        ids_p, cos_p, _ = serve_p(X_keep)
+        out["topp_self_match_rate"] = float(
+            (np.asarray(ids_p)[:, 0] == np.arange(args.query_batch)).mean()
+        )
+        out["rerank_engine"] = lsh.stats()["index"]["rerank_engine"]
+
+        def topp_serve(q):
+            return serve_p(q)[0]
+
+        out["topp_qps"], out["topp_qps_median"] = pipelined_qps(
+            topp_serve, raw, args.trials
+        )
+
+    # 3. fused device build (vectors already in HBM -> ONE program)
+    if not args.skip_build:
+        import jax.numpy as jnp
+
+        from lshrs_tpu.hash.hasher import LSHHasher
+        from lshrs_tpu.storage.device import DeviceStore
+
+        n_b = min(args.n, 1 << 17)
+        hasher = LSHHasher(
+            num_bands=bands, rows_per_band=rows, dim=args.dim, seed=42,
+            hash_family="crosspolytope",
+        )
+        dstore = DeviceStore(
+            num_bands=bands, rows_per_band=rows, dim=args.dim,
+            initial_capacity=n_b, dedupe=False,
+        )
+        X_dev = jnp.asarray(
+            rng.standard_normal((n_b, args.dim)).astype(np.float32)
+        )
+        proj = hasher.device_projection()
+        ids_b = np.arange(n_b)
+        dstore.add_vectors_batch(
+            ids_b, X_dev, proj, hash_family="crosspolytope"
+        )  # warm
+
+        def timed_build() -> float:
+            dstore.clear()
+            t0 = time.perf_counter()
+            dstore.add_vectors_batch(
+                ids_b, X_dev, proj, hash_family="crosspolytope"
+            )
+            _ = np.asarray(dstore._ids[:8])  # completion barrier
+            return time.perf_counter() - t0
+
+        bt = sorted(timed_build() for _ in range(5))
+        out["fused_build_vectors_per_s"] = round(n_b / bt[0], 1)
+        out["fused_build_vectors_per_s_median"] = round(
+            n_b / bt[len(bt) // 2], 1
+        )
+        # fused rows must self-match host-wire queries bit-for-bit
+        dq = hasher.hash_batch_words_host(np.asarray(X_dev[:1024]))
+        _, got = dstore.query_topk(dq, 1)
+        out["fused_build_self_match"] = float((got[:, 0] == ids_b[:1024]).mean())
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,17 @@ class LSHRS:
             pins ``hamming_storage`` themselves. Candidate enumeration
             (``top_k=None``) and top-p rerank keep collision semantics
             in every engine.
+        hamming_cascade: coarse prefix width (bits) of the two-pass
+            Hamming refinement cascade — the >=4M-slot serving engine. 0
+            (default) = off. When set (device backend, unsharded, Hamming
+            ranking available), Hamming-mode top-k scans only the first
+            ``hamming_cascade`` hyperplanes' bitplanes (that fraction of
+            the full MXU cost AND of the ranking HBM) and re-ranks the
+            top ``hamming_cascade_refine`` slots per query by the exact
+            full-width distance. Approximate — the prefix pass can drop a
+            true top-k slot (agreement tables in PERFORMANCE.md);
+            asymmetric queries are unavailable while it is on.
+        hamming_cascade_refine: cascade refine pool per query, in slots.
         hash_mode: where this instance hashes — ``"device"`` (one MXU
             matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
             ships 64-byte packed signatures; wins when the host->device
@@ -174,6 +185,8 @@ class LSHRS:
         hash_mode: str = "device",
         hash_family: str = "gaussian",
         hamming_storage: Optional[str] = None,
+        hamming_cascade: int = 0,
+        hamming_cascade_refine: int = 2048,
         payload_dtype: str = "float32",
         rerank_engine: str = "auto",
         rerank_candidates: int = 1024,
@@ -240,6 +253,22 @@ class LSHRS:
             hamming_storage = "planes"
         if hamming_storage not in ("planes", "packed"):
             raise ValueError("hamming_storage must be 'planes' or 'packed'")
+        if hamming_cascade:
+            if backend != "device" or storage is not None:
+                raise ValueError(
+                    "hamming_cascade applies to the device backend only"
+                )
+            if shards is not None and shards > 1:
+                raise ValueError(
+                    "hamming_cascade is not yet supported on sharded "
+                    "stores (construct unsharded, or shard without the "
+                    "cascade)"
+                )
+            if engine == "collision" and not enable_hamming:
+                raise ValueError(
+                    "hamming_cascade requires Hamming ranking: construct "
+                    "with enable_hamming=True or engine='auto'/'hamming'"
+                )
         self._engine = engine
         if engine != "collision" and backend == "device" and not enable_hamming:
             # The auto/hamming engines rank with the int8 bitplane (MXU)
@@ -343,6 +372,8 @@ class LSHRS:
                     chunk_size=chunk_size,
                     enable_hamming=enable_hamming,
                     hamming_storage=hamming_storage,
+                    hamming_cascade=hamming_cascade,
+                    hamming_cascade_refine=hamming_cascade_refine,
                     group_size=group_size,
                     dedupe=dedupe,
                     query_mode=query_mode,
@@ -414,6 +445,8 @@ class LSHRS:
             "hash_mode": hash_mode,
             "hash_family": hash_family,
             "hamming_storage": hamming_storage,
+            "hamming_cascade": hamming_cascade,
+            "hamming_cascade_refine": hamming_cascade_refine,
             "payload_dtype": payload_dtype,
             "rerank_engine": rerank_engine,
             "rerank_candidates": rerank_candidates,
@@ -1873,6 +1906,10 @@ class LSHRS:
             "hash_mode": tpu_config.get("hash_mode", "device"),
             "hash_family": tpu_config.get("hash_family", "gaussian"),
             "hamming_storage": tpu_config.get("hamming_storage", "planes"),
+            "hamming_cascade": tpu_config.get("hamming_cascade", 0),
+            "hamming_cascade_refine": tpu_config.get(
+                "hamming_cascade_refine", 2048
+            ),
             "payload_dtype": tpu_config.get("payload_dtype", "float32"),
             "rerank_engine": tpu_config.get("rerank_engine", "auto"),
             "rerank_candidates": tpu_config.get("rerank_candidates", 1024),

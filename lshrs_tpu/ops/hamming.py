@@ -42,6 +42,8 @@ __all__ = [
     "hamming_q_tile",
     "unpack_bitplanes",
     "hamming_topk",
+    "hamming_topk_cascade",
+    "hamming_topk_cascade_core",
     "hamming_topk_core",
     "hamming_topk_chunked",
     "hamming_topk_chunked_core",
@@ -181,7 +183,7 @@ def hamming_topk_core(
 
 def _select_refine(
     gmax, sig_t, ids, tie, qwords, *, p, k, chunk, group, strided, sig_rows,
-    narrow_r=0,
+    narrow_r=0, m_groups=None,
 ):
     """Shared Hamming selection tail: top-k groups by max (hierarchical),
     popcount-exact refine from packed words, exact (hamming, id) order.
@@ -190,6 +192,13 @@ def _select_refine(
     ``sig_rows`` is narrow-packed (`lshrs_tpu.ops.bitpack.pack_words_narrow`).
     Popcount is layout-agnostic — the narrow words hold exactly the same
     set bits — so only the word count and the query packing change.
+
+    ``m_groups``: refine the top this-many groups instead of the default
+    ``k`` (the refinement-cascade widening: the coarse pass's group maxes
+    need a deeper pool to cover full-width top-k — see
+    :func:`hamming_topk_cascade_core`). The refine keys promote to int64
+    when ``(p + 2) * key_scale(C)`` no longer packs into int32, so the
+    cascade stays correct past the grouped engines' 4M-slot key ceiling.
     """
     from lshrs_tpu.ops.scan import _hierarchical_top_groups
 
@@ -197,7 +206,7 @@ def _select_refine(
     q = qwords.shape[0]
     scale = key_scale(c)
     ng = c // group
-    m = min(k, ng)
+    m = min(k if m_groups is None else max(k, m_groups), ng)
     top_groups = _hierarchical_top_groups(
         gmax, m=m, ngc=chunk // group if strided else None
     )
@@ -254,11 +263,31 @@ def _select_refine(
         cand_ids = None
     alive = cand_tie >= 0
     scaled = jnp.where(alive, p + 1 - hamming, 0)
-    key = scaled * scale + jnp.maximum(cand_tie, 0)
+    if (p + 2) * scale >= 2**31:
+        # Past the int32 key ceiling (capacity ~8M+ at num_perm=256) the
+        # global tie no longer packs next to the scaled distance. The
+        # refine pool is tiny ((Q, m*group)), so re-rank ties LOCALLY:
+        # within the pool, (scaled desc, tie desc) via a per-row tie rank
+        # is identical to the global (hamming asc, id asc) order — and
+        # ``scaled * next_pow2(mg) + local_rank`` always fits int32.
+        # (int64 keys would be the obvious fix, but jnp.int64 silently
+        # truncates to int32 unless the x64 flag is enabled globally.)
+        local_scale = 1 << (mg - 1).bit_length()
+        if (p + 2) * local_scale >= 2**31:
+            raise ValueError(
+                "refine pool too wide for the local tie-rank key: "
+                f"(num_perm + 2) * {local_scale} must fit int32"
+            )
+        r_tie = jnp.argsort(jnp.argsort(-cand_tie, axis=1), axis=1)
+        key = scaled * local_scale + (local_scale - 1 - r_tie)
+        sel_div = local_scale
+    else:
+        key = scaled * scale + jnp.maximum(cand_tie, 0)
+        sel_div = scale
 
     k_eff = min(k, mg)
     top_key, top_pos = jax.lax.top_k(key, k_eff)
-    sel_scaled = top_key // scale
+    sel_scaled = top_key // sel_div
     if cand_ids is not None:
         picked = jnp.take_along_axis(cand_ids, top_pos, axis=1)
     else:
@@ -270,6 +299,107 @@ def _select_refine(
         out_h = jnp.pad(out_h, ((0, 0), (0, k - k_eff)), constant_values=p + 1)
         sel_ids = jnp.pad(sel_ids, ((0, 0), (0, k - k_eff)), constant_values=-1)
     return out_h, sel_ids
+
+
+def hamming_topk_cascade_core(
+    planes_prefix: jax.Array,
+    sig_t: jax.Array,
+    ids: jax.Array,
+    tie: jax.Array,
+    qbits_prefix: jax.Array,
+    qwords: jax.Array,
+    *,
+    num_perm: int,
+    k: int,
+    refine_groups: int,
+    chunk: int,
+    group: int,
+    use_pallas: bool = False,
+    q_tile: int = 128,
+    interpret: bool = False,
+    sig_rows: jax.Array | None = None,
+    narrow_r: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-pass refinement-cascade Hamming top-k (the >=4M-slot engine).
+
+    A full ``num_perm``-bit scan is MXU-bound at large capacity — at
+    12.5M slots x 256 bits the int8 dot alone caps ~61k QPS/chip at 100%
+    MXU peak, so no tuning of the exhaustive formulation can hold the
+    100k QPS/chip bar there (see PERFORMANCE.md "QPS vs capacity").
+    The cascade scans a PREFIX of the bitplanes (pass 1: group-max keys
+    over ``cb = planes_prefix.shape[1]`` bits — ``cb/num_perm`` of the
+    MXU work), selects the top ``refine_groups`` groups per query, and
+    re-ranks every slot in those groups by the FULL ``num_perm``-bit
+    popcount from the packed words (pass 2, the existing refine stage).
+
+    Contract: the output is the exact (hamming asc, id asc) top-k *within
+    the refined pool* (``refine_groups * group`` slots). Unlike the
+    single-pass engines it is NOT provably equal to the full-width
+    ranking — the prefix pass can exclude a true top-k slot — so the
+    cascade is an explicit opt-in (`DeviceStore(hamming_cascade=...)`)
+    with measured agreement/recall tables in PERFORMANCE.md. Because the
+    prefix is itself a valid SimHash (the first ``cb`` hyperplanes), a
+    miss requires a slot to rank far worse on ``cb`` bits than on
+    ``num_perm`` — overwhelmingly unlikely for near neighbours and, at
+    ``refine_groups`` deep pools, measured rare even for ties.
+
+    The coarse key also packs into int32 far past the full-width
+    ceiling — ``(cb + 2) * key_scale(C) < 2**31`` holds through 16M slots
+    at cb=64 — which is what re-opens the grouped fast path above 4M.
+    """
+    c, p_pre = planes_prefix.shape
+    q = qbits_prefix.shape[0]
+    scale = key_scale(c)
+    nchunks = c // chunk
+
+    if use_pallas:
+        q_pad = -(-q // q_tile) * q_tile
+        qb = (
+            jnp.pad(qbits_prefix, ((0, q_pad - q), (0, 0)))
+            if q_pad != q
+            else qbits_prefix
+        )
+        gmax = hamming_group_max_keys(
+            planes_prefix, tie, qb,
+            group=group, chunk=chunk, q_tile=q_tile, scale=scale,
+            interpret=interpret,
+        )[:q]
+    else:
+        planes_c = planes_prefix.reshape(nchunks, chunk, p_pre)
+        ids_c = ids.reshape(nchunks, chunk)
+        tie_c = tie.reshape(nchunks, chunk)
+
+        def body(carry, xs):
+            chunk_planes, chunk_ids, chunk_tie = xs
+            dots = jax.lax.dot_general(
+                qbits_prefix,
+                chunk_planes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            alive = (chunk_ids >= 0)[None, :]
+            scaled = jnp.where(alive, (dots + p_pre) // 2 + 1, 0)
+            key = scaled * scale + jnp.maximum(chunk_tie, 0)[None, :]
+            gmax = key.reshape(q, chunk // group, group).max(axis=-1)
+            return carry, gmax
+
+        _, gmax = jax.lax.scan(body, 0, (planes_c, ids_c, tie_c))
+        gmax = jnp.moveaxis(gmax, 0, 1).reshape(q, c // group)
+
+    return _select_refine(
+        gmax, sig_t, ids, tie, qwords,
+        p=num_perm, k=k, chunk=chunk, group=group, strided=use_pallas,
+        sig_rows=sig_rows, narrow_r=narrow_r, m_groups=refine_groups,
+    )
+
+
+hamming_topk_cascade = partial(
+    jax.jit,
+    static_argnames=(
+        "num_perm", "k", "refine_groups", "chunk", "group", "use_pallas",
+        "q_tile", "interpret", "narrow_r",
+    ),
+)(hamming_topk_cascade_core)
 
 
 def hamming_topk_packed_core(

@@ -56,6 +56,8 @@ from lshrs_tpu.ops.bucketed import bucketed_topk, build_bucket_index
 from lshrs_tpu.ops.hamming import (
     hamming_q_tile,
     hamming_topk,
+    hamming_topk_cascade,
+    hamming_topk_cascade_core,
     hamming_topk_chunked,
     hamming_topk_chunked_core,
     hamming_topk_core,
@@ -317,6 +319,22 @@ class DeviceStore(BaseStorage):
             ``"packed"`` ranks via XOR+popcount over the packed words
             the collision scan already stores — zero extra memory,
             VPU-rate. Results are bit-identical.
+        hamming_cascade: coarse prefix width (bits) of the two-pass
+            refinement cascade — the >=4M-slot Hamming engine
+            (`lshrs_tpu.ops.hamming.hamming_topk_cascade_core`). 0
+            (default) = off (single-pass exact ranking). When set, the
+            store materializes ONLY the first ``hamming_cascade``
+            bitplane columns (``hamming_cascade`` bytes/slot instead of
+            ``num_perm`` — 4x less ranking HBM at 64/256), scans them at
+            ``hamming_cascade / num_perm`` of the full MXU cost, and
+            re-ranks the top ``hamming_cascade_refine`` slots per query
+            by the exact full-width popcount from the packed words.
+            Approximate: the prefix pass can exclude a true top-k slot
+            (measured agreement tables in PERFORMANCE.md). Incompatible
+            with asymmetric-mode queries (they rank against full-width
+            bitplanes).
+        hamming_cascade_refine: per-query refine pool of the cascade, in
+            slots (rounded up to whole selection groups, floored at k).
         payload_dtype: resident payload precision (``store_vectors``):
             ``"float32"`` (default; value-exact cosines),
             ``"bfloat16"`` — HALF the payload HBM (the dominant array at
@@ -360,6 +378,8 @@ class DeviceStore(BaseStorage):
         bucket_cap: int = 128,
         enable_hamming: bool = False,
         hamming_storage: str = "planes",
+        hamming_cascade: int = 0,
+        hamming_cascade_refine: int = 2048,
         payload_dtype: str = "float32",
         rerank_engine: str = "auto",
         rerank_candidates: int = 1024,
@@ -384,6 +404,27 @@ class DeviceStore(BaseStorage):
             raise ValueError("query_mode must be 'scan' or 'bucket'")
         if hamming_storage not in ("planes", "packed"):
             raise ValueError("hamming_storage must be 'planes' or 'packed'")
+        if hamming_cascade:
+            num_perm = num_bands * rows_per_band
+            if not enable_hamming or hamming_storage != "planes":
+                raise ValueError(
+                    "hamming_cascade requires enable_hamming=True with "
+                    'hamming_storage="planes" (the coarse pass scans a '
+                    "bitplane prefix)"
+                )
+            if (
+                hamming_cascade % 32
+                or not 0 < hamming_cascade < num_perm
+            ):
+                raise ValueError(
+                    "hamming_cascade must be a positive multiple of 32 "
+                    f"below num_perm (= {num_perm}); received "
+                    f"{hamming_cascade}"
+                )
+            if hamming_cascade_refine <= 0:
+                raise ValueError(
+                    "hamming_cascade_refine must be greater than zero"
+                )
 
         self.num_bands = num_bands
         self.rows_per_band = rows_per_band
@@ -401,6 +442,8 @@ class DeviceStore(BaseStorage):
         self.bucket_cap = bucket_cap
         self.enable_hamming = enable_hamming
         self.hamming_storage = hamming_storage
+        self.hamming_cascade = hamming_cascade
+        self.hamming_cascade_refine = hamming_cascade_refine
         self.payload_dtype = payload_dtype
         self.rerank_engine = rerank_engine
         self.rerank_candidates = rerank_candidates
@@ -595,20 +638,33 @@ class DeviceStore(BaseStorage):
     # uint32) to ~1 GB per dispatch during materialization.
     _PLANES_MATERIALIZE_STEP = 1 << 17
 
+    def _plane_bits(self) -> int:
+        """Stored bitplane width: the cascade prefix, or full num_perm."""
+        return self.hamming_cascade or self.num_bands * self.rows_per_band
+
+    def _cascade_groups(self, k: int) -> int:
+        """Coarse-pass group pool of the cascade: ``hamming_cascade_refine``
+        slots rounded up to whole selection groups, floored at k."""
+        group = min(self.group, self._capacity)
+        return max(k, -(-self.hamming_cascade_refine // group))
+
+    def _planes_rows(self, words: jax.Array) -> jax.Array:
+        """Bitplane rows for a batch of packed words, at the stored width
+        (the cascade keeps only the first ``hamming_cascade`` columns)."""
+        rows = unpack_bitplanes(
+            words, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+        )
+        pb = self._plane_bits()
+        return rows if rows.shape[1] == pb else rows[:, :pb]
+
     def _materialize_planes(self) -> jax.Array:
-        p = self.num_bands * self.rows_per_band
+        p = self._plane_bits()
         planes = jnp.zeros((self._capacity, p), dtype=jnp.int8)
         step = min(self._PLANES_MATERIALIZE_STEP, self._capacity)
         for off in range(0, self._capacity, step):
             rows = jax.lax.dynamic_slice_in_dim(self._sig_rows, off, step, 0)
             planes = jax.lax.dynamic_update_slice(
-                planes,
-                unpack_bitplanes(
-                    rows,
-                    num_bands=self.num_bands,
-                    rows_per_band=self.rows_per_band,
-                ),
-                (off, 0),
+                planes, self._planes_rows(rows), (off, 0)
             )
         return planes
 
@@ -872,10 +928,9 @@ class DeviceStore(BaseStorage):
                     hash_family=hash_family,
                 )
             if self._planes is not None:
-                planes_rows = unpack_bitplanes(
-                    w, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+                self._planes = _append_rows_jit(
+                    self._planes, self._planes_rows(w), offset
                 )
-                self._planes = _append_rows_jit(self._planes, planes_rows, offset)
             self._append_finish(ids32, n)
 
     def _needs_upsert(self, ids32: np.ndarray) -> bool:
@@ -922,13 +977,10 @@ class DeviceStore(BaseStorage):
                     ps, mode="drop"
                 )
         if self._planes is not None:
-            planes_rows = unpack_bitplanes(
-                jnp.asarray(words_p),
-                num_bands=self.num_bands,
-                rows_per_band=self.rows_per_band,
-            )
             self._planes = _scatter_rows_jit(
-                self._planes, jnp.asarray(slots_p), planes_rows
+                self._planes,
+                jnp.asarray(slots_p),
+                self._planes_rows(jnp.asarray(words_p)),
             )
         # ids unchanged -> ranks unchanged.
 
@@ -986,10 +1038,9 @@ class DeviceStore(BaseStorage):
                     self._pscale, pscale, (offset,)
                 )
         if self._planes is not None:
-            planes_rows = unpack_bitplanes(
-                words_dev, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+            self._planes = _append_rows_jit(
+                self._planes, self._planes_rows(words_dev), offset
             )
-            self._planes = _append_rows_jit(self._planes, planes_rows, offset)
         self._append_finish(ids32, n)
 
     def _grow(self, new_cap: int) -> None:
@@ -1012,9 +1063,7 @@ class DeviceStore(BaseStorage):
                 pscale = jnp.zeros((new_cap,), dtype=jnp.float32)
                 self._pscale = pscale.at[: self._capacity].set(self._pscale)
         if self._planes is not None:
-            planes = jnp.zeros(
-                (new_cap, self.num_bands * self.rows_per_band), dtype=jnp.int8
-            )
+            planes = jnp.zeros((new_cap, self._plane_bits()), dtype=jnp.int8)
             self._planes = planes.at[: self._capacity].set(self._planes)
         self._capacity = new_cap
         self._refresh_ranks()
@@ -1240,6 +1289,12 @@ class DeviceStore(BaseStorage):
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for asymmetric-mode queries"
             )
+        if mode == "asymmetric" and self.hamming_cascade:
+            raise RuntimeError(
+                "asymmetric ranking is unavailable with hamming_cascade: "
+                "the store holds only the coarse bitplane prefix, and the "
+                "asymmetric estimator ranks against full-width bitplanes"
+            )
         from lshrs_tpu.ops.asymmetric import (
             QMAX,
             QMAX4,
@@ -1281,6 +1336,13 @@ class DeviceStore(BaseStorage):
             )
             ham_tile = group * 128
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
+            cascade = self.hamming_cascade if mode == "hamming" else 0
+            cas_grouped = (
+                bool(cascade)
+                and supports_hamming_grouped(cascade, self._capacity)
+                and self._capacity % group == 0
+            )
+            cas_groups = self._cascade_groups(k_eff) if cascade else 0
             # Grouped refine table in the geometry of the served mode.
             asym_grouped = self._capacity % group == 0
             # Prebuilt refine tables bake the UNfiltered tie/id columns:
@@ -1290,7 +1352,7 @@ class DeviceStore(BaseStorage):
             elif mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_tile, ham_pallas)
-                    if ham_grouped
+                    if (cas_grouped if cascade else ham_grouped)
                     else None
                 )
             elif mode == "asymmetric":
@@ -1378,6 +1440,27 @@ class DeviceStore(BaseStorage):
                 qbits = unpack_bitplanes(
                     qw, num_bands=num_bands, rows_per_band=rows_per_band
                 )
+                if cascade:
+                    if cas_grouped:
+                        _, out = hamming_topk_cascade_core(
+                            planes_, sig_t_, ids_, tie_,
+                            qbits[:, :cascade], qw,
+                            num_perm=num_perm,
+                            k=k_eff,
+                            refine_groups=cas_groups,
+                            chunk=ham_tile if ham_pallas else chunk,
+                            group=group,
+                            use_pallas=ham_pallas,
+                            q_tile=q_tile,
+                            sig_rows=rows_,
+                            narrow_r=narrow_r,
+                        )
+                    else:
+                        _, out = hamming_topk_packed_chunked_core(
+                            sig_t_, ids_, ranks_, qw,
+                            num_perm=num_perm, k=k_eff, chunk=chunk,
+                        )
+                    return out
                 if ham_grouped:
                     _, out = hamming_topk_core(
                         planes_, sig_t_, ids_, tie_, qbits, qw,
@@ -1689,6 +1772,35 @@ class DeviceStore(BaseStorage):
         qbits = unpack_bitplanes(
             qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
         )
+        if self.hamming_cascade:
+            cb = self.hamming_cascade
+            if (
+                supports_hamming_grouped(cb, self._capacity)
+                and self._capacity % self.group == 0
+            ):
+                return hamming_topk_cascade(
+                    self._planes, self._sig_t, ids_x, tie_x,
+                    qbits[:, :cb], qw,
+                    num_perm=p,
+                    k=k_eff,
+                    refine_groups=self._cascade_groups(k_eff),
+                    chunk=pallas_tile if use_pallas else self.chunk,
+                    group=group,
+                    use_pallas=use_pallas,
+                    q_tile=q_tile,
+                    sig_rows=self._refine_rows_for(group, pallas_tile, use_pallas)
+                    if where is None
+                    else None,
+                    narrow_r=self._refine_narrow_r if where is None else 0,
+                )
+            # The resident planes are prefix-only, so the full-width
+            # single-pass fallbacks can't run; exact packed-words ranking
+            # covers the (pathological) capacities whose coarse key
+            # doesn't fit int32.
+            return hamming_topk_packed_chunked(
+                self._sig_t, ids_x, self._ranks, qw,
+                num_perm=p, k=k_eff, chunk=self.chunk,
+            )
         if grouped:
             return hamming_topk(
                 self._planes, self._sig_t, ids_x, tie_x, qbits, qw,
@@ -1809,6 +1921,12 @@ class DeviceStore(BaseStorage):
             raise RuntimeError(
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for asymmetric-mode queries"
+            )
+        if self.hamming_cascade:
+            raise RuntimeError(
+                "asymmetric ranking is unavailable with hamming_cascade: "
+                "the store holds only the coarse bitplane prefix, and the "
+                "asymmetric estimator ranks against full-width bitplanes"
             )
         qc = jnp.asarray(qcoords, dtype=jnp.int8)
         p = self.num_bands * self.rows_per_band
@@ -2257,8 +2375,9 @@ class DeviceStore(BaseStorage):
             "chunk_size": self.chunk,
             "query_mode": self.query_mode,
             "hamming_storage": self.hamming_storage if self.enable_hamming else None,
+            "hamming_cascade": self.hamming_cascade or None,
             "hamming_plane_bytes": (
-                self._capacity * self.num_bands * self.rows_per_band
+                self._capacity * self._plane_bits()
                 if self._planes is not None
                 else 0
             ),

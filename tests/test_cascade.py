@@ -1,0 +1,312 @@
+"""Hamming refinement cascade (`hamming_cascade`): the >=4M-slot engine.
+
+Correctness contract (see `lshrs_tpu.ops.hamming.hamming_topk_cascade_core`):
+exact (hamming asc, id asc) top-k WITHIN the refined pool; equal to the
+full-width exact ranking when the pool covers the whole store. These tests
+pin that contract, the prefix-width plane maintenance across mutations,
+serving-closure parity, persistence, and the local tie-rank key branch the
+cascade uses past the grouped engines' int32 ceiling.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pytest
+
+from lshrs_tpu import LSHRS
+from lshrs_tpu.hash.hasher import LSHHasher
+from lshrs_tpu.ops.hamming import hamming_topk_cascade_core
+from lshrs_tpu.storage.device import DeviceStore
+
+B, R, D = 8, 16, 32
+P = B * R  # 128 bits; prefix = 32
+
+
+@pytest.fixture
+def hasher():
+    return LSHHasher(num_bands=B, rows_per_band=R, dim=D, seed=42)
+
+
+def bits_of(words, hasher):
+    n = words.shape[0]
+    out = np.zeros((n, P), np.uint8)
+    for j in range(P):
+        band, row = j // R, j % R
+        word, bit = row // 32, row % 32
+        out[:, j] = (words[:, band * hasher.words_per_band + word] >> bit) & 1
+    return out
+
+
+def _store(cascade=32, refine=256, **kw):
+    kw.setdefault("num_bands", B)
+    kw.setdefault("rows_per_band", R)
+    kw.setdefault("chunk_size", 64)
+    kw.setdefault("initial_capacity", 256)
+    kw.setdefault("group_size", 8)
+    return DeviceStore(
+        enable_hamming=True,
+        hamming_cascade=cascade,
+        hamming_cascade_refine=refine,
+        **kw,
+    )
+
+
+def test_cascade_full_pool_matches_exact(hasher, rng):
+    """refine pool >= capacity => bit-identical to the exact engine."""
+    n = 700
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = rng.permutation(50_000)[:n]
+    words = hasher.hash_batch_words_host(X)
+
+    exact = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=256, group_size=8, enable_hamming=True,
+    )
+    exact.add_signature_batch(ids, words)
+    cas = _store(refine=1 << 20)
+    cas.add_signature_batch(ids, words)
+
+    qw = hasher.hash_batch_words_host(rng.standard_normal((16, D)).astype(np.float32))
+    h0, i0 = exact.query_hamming(qw, 12)
+    h1, i1 = cas.query_hamming(qw, 12)
+    assert np.array_equal(i0, i1)
+    assert np.array_equal(h0, h1)
+
+
+def test_cascade_returns_correct_distances_and_order(hasher, rng):
+    """Returned distances are true full-width Hammings in exact
+    (hamming asc, id asc) order, and the top hit agrees with the
+    full-width exact ranking on every query (the pool is deep enough
+    that a rank-1 miss would be a bug, not cascade approximation)."""
+    n = 600
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    ids = np.arange(n)
+    words = hasher.hash_batch_words_host(X)
+    cas = _store(refine=128)
+    cas.add_signature_batch(ids, words)
+
+    queries = X[:20] + 0.05 * rng.standard_normal((20, D)).astype(np.float32)
+    qw = hasher.hash_batch_words_host(queries)
+    h, out = cas.query_hamming(qw, 10)
+
+    xb = bits_of(words, hasher).astype(np.int32)
+    qb = bits_of(qw, hasher).astype(np.int32)
+    for qi in range(20):
+        true_h = np.abs(xb - qb[qi]).sum(axis=1)
+        # distances exact for every returned id
+        for rank in range(10):
+            if out[qi, rank] >= 0:
+                assert h[qi, rank] == true_h[out[qi, rank]]
+        got = list(zip(h[qi].tolist(), out[qi].tolist()))
+        assert got == sorted(got)
+        # near-duplicate query: rank-1 must match the exact ranking
+        best = sorted(zip(true_h.tolist(), ids.tolist()))[0]
+        assert (h[qi, 0], out[qi, 0]) == best
+
+
+def test_cascade_agreement_statistical(hasher, rng):
+    """On random data, a modest pool recovers almost all of the exact
+    top-10 (the coarse prefix is itself a valid SimHash)."""
+    n = 2000
+    X = rng.standard_normal((n, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    exact = DeviceStore(
+        num_bands=B, rows_per_band=R, chunk_size=64,
+        initial_capacity=256, group_size=8, enable_hamming=True,
+    )
+    exact.add_signature_batch(np.arange(n), words)
+    cas = _store(cascade=64, refine=512)
+    cas.add_signature_batch(np.arange(n), words)
+
+    qw = hasher.hash_batch_words_host(
+        rng.standard_normal((32, D)).astype(np.float32)
+    )
+    _, i0 = exact.query_hamming(qw, 10)
+    _, i1 = cas.query_hamming(qw, 10)
+    overlap = np.mean([
+        len(set(i0[q]) & set(i1[q])) / 10 for q in range(32)
+    ])
+    assert overlap >= 0.9, overlap
+
+
+def test_cascade_prefix_planes_memory(hasher, rng):
+    """Only the prefix columns are resident: hamming_plane_bytes reports
+    cascade bytes/slot, and the plane array is (capacity, cascade)."""
+    cas = _store(cascade=32)
+    words = hasher.hash_batch_words_host(
+        rng.standard_normal((100, D)).astype(np.float32)
+    )
+    cas.add_signature_batch(np.arange(100), words)
+    cas.query_hamming(words[:1], 1)  # materializes planes
+    assert cas._planes.shape == (cas._capacity, 32)
+    st = cas.stats()
+    assert st["hamming_cascade"] == 32
+    assert st["hamming_plane_bytes"] == cas._capacity * 32
+
+
+def test_cascade_after_mutations(hasher, rng):
+    """Prefix planes stay in sync through delete, upsert, and growth."""
+    cas = _store()
+    X = rng.standard_normal((100, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    cas.add_signature_batch(np.arange(100), words)
+
+    h, out = cas.query_hamming(words[5:6], 1)
+    assert out[0][0] == 5 and h[0][0] == 0
+
+    cas.remove_indices([5])
+    _, out = cas.query_hamming(words[5:6], 3)
+    assert 5 not in out[0]
+
+    # upsert overwrites the prefix planes too
+    x_new = rng.standard_normal((1, D)).astype(np.float32)
+    w_new = hasher.hash_batch_words_host(x_new)
+    cas.add_signature_batch([7], w_new)
+    h, out = cas.query_hamming(w_new, 1)
+    assert out[0][0] == 7 and h[0][0] == 0
+
+    # growth past the initial capacity keeps the prefix width
+    X2 = rng.standard_normal((400, D)).astype(np.float32)
+    cas.add_signature_batch(
+        np.arange(1000, 1400), hasher.hash_batch_words_host(X2)
+    )
+    assert cas._planes.shape[1] == 32
+    w2 = hasher.hash_batch_words_host(X2[:1])
+    h, out = cas.query_hamming(w2, 1)
+    assert out[0][0] == 1000 and h[0][0] == 0
+
+
+def test_cascade_serving_closure_parity(hasher, rng):
+    cas = _store()
+    X = rng.standard_normal((300, D)).astype(np.float32)
+    words = hasher.hash_batch_words_host(X)
+    cas.add_signature_batch(np.arange(300), words)
+
+    _, expect = cas.query_hamming(words[:8], 5)
+    serve = cas.snapshot_query_fn(5, mode="hamming")
+    got = np.asarray(serve(words[:8]))
+    assert np.array_equal(got, expect)
+
+    # mutation invalidates the snapshot
+    cas.add_signature_batch([999], words[:1])
+    with pytest.raises(RuntimeError, match="stale"):
+        serve(words[:8])
+
+
+def test_cascade_orchestrator_and_persistence(tmp_path, rng):
+    lsh = LSHRS(
+        dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+        engine="hamming", chunk_size=64, initial_capacity=256,
+        group_size=8, hamming_cascade=32, hamming_cascade_refine=256,
+    )
+    X = rng.standard_normal((200, D)).astype(np.float32)
+    lsh.index(list(range(200)), X)
+    out = lsh.query_hamming(X[42], top_k=5)
+    assert out[0][0] == 42
+
+    lsh.save_to_disk(tmp_path / "idx")
+    back = LSHRS.load_from_disk(tmp_path / "idx")
+    assert back._tpu_config["hamming_cascade"] == 32
+    assert back._tpu_config["hamming_cascade_refine"] == 256
+    assert back._storage.hamming_cascade == 32
+    assert back.query_hamming(X[42], top_k=5) == out
+
+    clone = pickle.loads(pickle.dumps(lsh))
+    assert clone._storage.hamming_cascade == 32
+    assert clone.query_hamming(X[42], top_k=5) == out
+
+
+def test_cascade_validation():
+    with pytest.raises(ValueError, match="multiple of 32"):
+        _store(cascade=33)
+    with pytest.raises(ValueError, match="below num_perm"):
+        _store(cascade=P)
+    with pytest.raises(ValueError, match="enable_hamming"):
+        DeviceStore(
+            num_bands=B, rows_per_band=R, chunk_size=64,
+            initial_capacity=256, hamming_cascade=32,
+        )
+    with pytest.raises(ValueError, match="greater than zero"):
+        _store(refine=0)
+    with pytest.raises(ValueError, match="sharded"):
+        LSHRS(
+            dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+            engine="hamming", shards=2, hamming_cascade=32,
+        )
+    with pytest.raises(ValueError, match="enable_hamming"):
+        LSHRS(
+            dim=D, num_perm=P, num_bands=B, rows_per_band=R,
+            engine="collision", hamming_cascade=32,
+        )
+
+
+def test_cascade_rejects_asymmetric(hasher, rng):
+    from lshrs_tpu.ops.asymmetric import quantize_coords_np
+
+    cas = _store()
+    words = hasher.hash_batch_words_host(
+        rng.standard_normal((50, D)).astype(np.float32)
+    )
+    cas.add_signature_batch(np.arange(50), words)
+    qc = quantize_coords_np(np.zeros((1, P), np.float32))
+    with pytest.raises(RuntimeError, match="asymmetric"):
+        cas.query_asymmetric(qc, 3)
+    with pytest.raises(RuntimeError, match="asymmetric"):
+        cas.snapshot_query_fn(3, mode="asymmetric")
+
+
+def test_cascade_local_tie_rank_branch(hasher, rng):
+    """Past the int32 key ceiling the refine re-ranks ties locally; the
+    results must stay exact (hamming asc, id asc). Exercised by passing
+    an inflated num_perm so ``(p + 2) * key_scale(C) >= 2**31`` without
+    allocating an 8M-slot store; the true distances come from the packed
+    words, so only the key packing changes."""
+    n = 512
+    X = rng.standard_normal((n // 2, D)).astype(np.float32)
+    words_half = hasher.hash_batch_words_host(X)
+    # duplicate signatures force id tie-breaking inside the refine pool
+    words = np.concatenate([words_half, words_half])
+    ids = np.arange(n, dtype=np.int32)
+
+    store = _store(cascade=32, refine=n, initial_capacity=n)
+    store.add_signature_batch(ids, words)
+    store._ensure_ranks()
+    store._ensure_planes()
+
+    qw = np.asarray(
+        hasher.hash_batch_words_host(
+            rng.standard_normal((8, D)).astype(np.float32)
+        ),
+        dtype=np.uint32,
+    )
+    import jax.numpy as jnp
+
+    from lshrs_tpu.ops.hamming import unpack_bitplanes
+
+    qbits = unpack_bitplanes(
+        jnp.asarray(qw), num_bands=B, rows_per_band=R
+    )[:, :32]
+    # (big_p + 2) * key_scale(512) >= 2**31 triggers the branch, while the
+    # 16-group pool keeps the local key ((big_p + 2) * 128) inside int32 —
+    # exactly the regime of a real >=8M-slot store (tiny pool, huge scale).
+    big_p = 1 << 22
+    h_big, i_big = hamming_topk_cascade_core(
+        store._planes, store._sig_t, store._ids, store._tie,
+        qbits, jnp.asarray(qw),
+        num_perm=big_p, k=10, refine_groups=16, chunk=64, group=8,
+    )
+    h_ref, i_ref = hamming_topk_cascade_core(
+        store._planes, store._sig_t, store._ids, store._tie,
+        qbits, jnp.asarray(qw),
+        num_perm=P, k=10, refine_groups=16, chunk=64, group=8,
+    )
+    assert np.array_equal(np.asarray(i_big), np.asarray(i_ref))
+    assert np.array_equal(np.asarray(h_big), np.asarray(h_ref))
+    # duplicated signatures: ties broken by ascending id
+    i_ref = np.asarray(i_ref)
+    h_ref = np.asarray(h_ref)
+    for q in range(8):
+        pairs = list(zip(h_ref[q].tolist(), i_ref[q].tolist()))
+        assert pairs == sorted(pairs)
