@@ -35,10 +35,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 NUM_BANDS, ROWS_PER_BAND = 16, 16  # num_perm = 256, 16 uint32 words/slot
 DIM = 768
@@ -47,7 +51,7 @@ CHUNK = 1 << 19  # 512k vectors/chunk: 1.5 GB f32 transient
 
 
 def build_store(n_slots: int, hasher, *, cascade: int, refine: int,
-                seed: int = 7):
+                group: int = 64, seed: int = 7):
     """DeviceStore with n_slots device-hashed random vectors."""
     import jax
 
@@ -60,6 +64,7 @@ def build_store(n_slots: int, hasher, *, cascade: int, refine: int,
         enable_hamming=True,
         hamming_cascade=cascade,
         hamming_cascade_refine=refine,
+        group_size=group,
         initial_capacity=max(1 << 17, int(2 ** np.ceil(np.log2(n_slots)))),
         dedupe=False,
     )
@@ -80,7 +85,8 @@ def build_store(n_slots: int, hasher, *, cascade: int, refine: int,
     return store, build_s, probe_x
 
 
-def run_point(n_slots, engine, hasher, q, n_batches, trials, rng):
+def run_point(n_slots, engine, hasher, q, n_batches, trials, rng, *,
+              group=64, dev_batch=None):
     cascade, refine = 0, 2048
     if engine.startswith("cascade"):
         spec = engine[len("cascade"):]
@@ -90,10 +96,18 @@ def run_point(n_slots, engine, hasher, q, n_batches, trials, rng):
         else:
             cascade = int(spec)
     store, build_s, probe_x = build_store(
-        n_slots, hasher, cascade=cascade, refine=refine
+        n_slots, hasher, cascade=cascade, refine=refine, group=group
     )
 
-    serve = store.snapshot_query_fn(TOP_K, mode="hamming", wire="words")
+    # The exact engine past the grouped int32 key ceiling (capacity ~8M at
+    # num_perm=256) falls back to the chunked scan, whose per-chunk top-k
+    # pools stack (nchunks, Q, k) — at Q=8192 that alone is tens of GB, so
+    # split the batch inside the program.
+    if dev_batch is None and not cascade and store._capacity >= (1 << 23):
+        dev_batch = 1024
+    serve = store.snapshot_query_fn(
+        TOP_K, mode="hamming", wire="words", dev_batch=dev_batch
+    )
 
     # self-match: re-hashed stored vectors at Hamming 0 return their own id
     self_words = np.asarray(hasher.hash_batch_words(probe_x))
@@ -142,6 +156,8 @@ def run_point(n_slots, engine, hasher, q, n_batches, trials, rng):
     row = {
         "slots": n_slots,
         "engine": engine,
+        "group": group,
+        "dev_batch": dev_batch,
         "capacity": store._capacity,
         "qps": round(n_q / ts[0], 1),
         "qps_median": round(n_q / ts[len(ts) // 2], 1),
@@ -163,10 +179,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, nargs="+",
                     default=[1 << 22, 1 << 23, 12_500_000])
-    ap.add_argument("--engines", nargs="+", default=["exact", "cascade64"])
+    ap.add_argument("--engines", nargs="+",
+                    default=["exact", "cascade128:8192"])
     ap.add_argument("--q", type=int, default=8192)
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--group", type=int, default=64)
+    ap.add_argument("--dev-batch", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -190,7 +209,7 @@ def main() -> None:
         for engine in args.engines:
             row, probe_ids = run_point(
                 n_slots, engine, hasher, args.q, args.batches, args.trials,
-                rng,
+                rng, group=args.group, dev_batch=args.dev_batch,
             )
             ids_by_engine[engine] = probe_ids
             if "exact" in ids_by_engine and engine != "exact":

@@ -4,14 +4,23 @@ CP wins every recall comparison in the repo (PERFORMANCE.md
 "Cross-polytope": +24% reranked recall at equal store bytes on the real
 corpus) but rejects the bit-semantic Hamming/asymmetric estimators by
 design, so at scale its rankers are the collision scan and the payload
-rerank. This bench measures the three numbers that were missing:
+rerank. This bench measures the numbers that were missing:
 
-1. `serving_fn(top_k)` collision QPS (the family's native top-k),
-2. `serving_fn(mode="topp")` candidate-gather rerank QPS (its natural
-   pairing at scale: CP's win is candidate QUALITY; the gather engine
-   reranks those candidates at capacity-flat cost),
-3. fused device build rate (`DeviceStore.add_vectors_batch`, one FWHT
-   hash + append program).
+1. `serving_fn(top_k)` collision QPS — END TO END with `hash_mode=
+   "device"` (raw f32 query wire + on-device FWHT hash + fused query
+   dispatch). Device hashing is the only production-shaped CP serving
+   path: the host CP hash is ~6k vec/s/core (32 full-dim rotations per
+   vector — measured, recorded in PERFORMANCE.md), so a host-wire CP
+   closure is hash-bound two orders of magnitude below the engine.
+2. store-level engine QPS with the wire prehashed off the timed path
+   (`DeviceStore.snapshot_query_fn`) — comparable with the QPS-vs-
+   capacity table's protocol.
+3. `serving_fn(mode="topp")` candidate-gather rerank QPS (CP's natural
+   pairing at scale: its win is candidate QUALITY; the gather engine
+   reranks those candidates at capacity-flat cost).
+4. fused device build rate (`DeviceStore.add_vectors_batch`, one FWHT
+   hash + append program) and the end-to-end `LSHRS.index` rate with
+   raw-vector upload included.
 
 Banding: the CP tuner's own choice for (num_perm, threshold) unless
 --bands/--rows pin it (the real-corpus A/B ran 32x8). The gaussian
@@ -37,6 +46,11 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(msg: str) -> None:
+    print(f"[cp_bench {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def pipelined_qps(serve, raw, trials):
@@ -91,7 +105,7 @@ def main() -> None:
         num_bands=args.bands,
         rows_per_band=args.rows,
         hash_family="crosspolytope",
-        hash_mode="host",  # 32-byte dense wire (transport reconciliation)
+        hash_mode="device",  # host CP hash is ~6k vec/s — see module doc
         store_vectors=not args.skip_topp,
         payload_dtype=args.payload,
         initial_capacity=args.n,
@@ -100,6 +114,8 @@ def main() -> None:
     )
     bands = lsh._config["num_bands"]
     rows = lsh._config["rows_per_band"]
+    log(f"constructed: {bands}x{rows}, n={args.n}, payload="
+        f"{None if args.skip_topp else args.payload}")
 
     t0 = time.perf_counter()
     step = 1 << 17
@@ -110,8 +126,10 @@ def main() -> None:
         if off == 0:
             X_keep = xb[: args.query_batch].copy()
         lsh.index(np.arange(off, off + m), xb)
+        log(f"indexed {off + m}/{args.n}")
     build_s = time.perf_counter() - t0
     assert lsh.stats()["index"]["alive"] == args.n
+    log(f"build done: {args.n / build_s:.0f} vec/s e2e")
 
     raw = [
         rng.standard_normal((args.query_batch, args.dim)).astype(np.float32)
@@ -124,21 +142,35 @@ def main() -> None:
         "dim": args.dim,
         "banding": f"{bands}x{rows}",
         "payload_dtype": args.payload if not args.skip_topp else None,
-        "host_stream_build_vectors_per_s": round(args.n / build_s, 1),
+        "index_build_vectors_per_s": round(args.n / build_s, 1),
         "platform": jax.devices()[0].platform,
     }
 
-    # 1. collision top-k serving (CP's native ranking)
+    # 1. collision top-k serving, end to end (device hash + query dispatch)
     serve = lsh.serving_fn(top_k=10, mode="collision")
     probe = serve(X_keep)
     out["self_match_rate"] = float(
         (probe[:, 0] == np.arange(args.query_batch)).mean()
     )
-    out["collision_qps"], out["collision_qps_median"] = pipelined_qps(
+    log(f"self-match {out['self_match_rate']:.3f}; timing collision e2e...")
+    out["collision_qps_e2e"], out["collision_qps_e2e_median"] = pipelined_qps(
         serve, raw, args.trials
     )
+    log(f"collision e2e: {out['collision_qps_e2e']} QPS")
 
-    # 2. gather-rerank serving (CP's natural pairing at scale)
+    # 2. store-level engine QPS, wire prehashed off the timed path
+    #    (the QPS-vs-capacity table's protocol: measures the engine, not
+    #    the query-hash dispatch)
+    store = lsh._storage
+    serve_store = store.snapshot_query_fn(10, wire="words")
+    hasher = lsh._hasher
+    raw_words = [np.asarray(hasher.hash_batch_words(q)) for q in raw]
+    out["collision_qps_engine"], out["collision_qps_engine_median"] = (
+        pipelined_qps(serve_store, raw_words, args.trials)
+    )
+    log(f"collision engine: {out['collision_qps_engine']} QPS")
+
+    # 3. gather-rerank serving (CP's natural pairing at scale)
     if not args.skip_topp:
         serve_p = lsh.serving_fn(top_k=10, mode="topp")
         ids_p, cos_p, _ = serve_p(X_keep)
@@ -153,19 +185,15 @@ def main() -> None:
         out["topp_qps"], out["topp_qps_median"] = pipelined_qps(
             topp_serve, raw, args.trials
         )
+        log(f"topp: {out['topp_qps']} QPS")
 
-    # 3. fused device build (vectors already in HBM -> ONE program)
+    # 4a. fused device build (vectors already in HBM -> ONE program)
     if not args.skip_build:
         import jax.numpy as jnp
 
-        from lshrs_tpu.hash.hasher import LSHHasher
         from lshrs_tpu.storage.device import DeviceStore
 
         n_b = min(args.n, 1 << 17)
-        hasher = LSHHasher(
-            num_bands=bands, rows_per_band=rows, dim=args.dim, seed=42,
-            hash_family="crosspolytope",
-        )
         dstore = DeviceStore(
             num_bands=bands, rows_per_band=rows, dim=args.dim,
             initial_capacity=n_b, dedupe=False,
@@ -197,6 +225,17 @@ def main() -> None:
         dq = hasher.hash_batch_words_host(np.asarray(X_dev[:1024]))
         _, got = dstore.query_topk(dq, 1)
         out["fused_build_self_match"] = float((got[:, 0] == ids_b[:1024]).mean())
+        log(f"fused build: {out['fused_build_vectors_per_s']} vec/s, "
+            f"self-match {out['fused_build_self_match']:.3f}")
+
+    # 4b. host CP hash rate — the documented bound for hash_mode="host"
+    xh = raw[0][:2048]
+    hasher.hash_batch_dense_host(xh)  # warm
+    t0 = time.perf_counter()
+    hasher.hash_batch_dense_host(xh)
+    out["host_hash_vectors_per_s"] = round(
+        xh.shape[0] / (time.perf_counter() - t0), 1
+    )
 
     print(json.dumps(out), flush=True)
 

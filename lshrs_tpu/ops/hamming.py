@@ -36,9 +36,10 @@ from lshrs_tpu.ops.pallas_scan import (
     hamming_packed_group_max_keys,
     key_scale,
 )
-from lshrs_tpu.ops.scan import merge_topk_pools
+from lshrs_tpu.ops.scan import merge_topk_pools, topk_wide, topk_wide_2key
 
 __all__ = [
+    "cascade_coarse_scale",
     "hamming_q_tile",
     "unpack_bitplanes",
     "hamming_topk",
@@ -57,6 +58,23 @@ __all__ = [
 def supports_hamming_grouped(num_perm: int, capacity: int) -> bool:
     """True when the (scaled-dot, tie) key packs into a positive int32."""
     return (num_perm + 2) * key_scale(capacity) < 2**31
+
+
+def cascade_coarse_scale(p_pre: int, capacity: int) -> tuple[int, int]:
+    """``(scale, tie_shift)`` for the cascade's coarse group-max key.
+
+    The coarse key ``scaled * scale + (tie >> tie_shift)`` must pack into
+    a positive int32 with ``scaled`` in ``[0, p_pre + 1]``. Below the
+    ceiling the shift is 0 and the key is the standard exact-selection
+    format; past it the tie term is right-shifted — coarse group
+    SELECTION then collapses ties within ``2**tie_shift`` id-rank
+    buckets, which only perturbs *which* equal-distance groups enter the
+    refine pool (the refine stage re-ranks with the true tie)."""
+    scale = key_scale(capacity)
+    tie_shift = 0
+    while (p_pre + 2) * (scale >> tie_shift) >= 2**31:
+        tie_shift += 1
+    return scale >> tie_shift, tie_shift
 
 
 def hamming_q_tile(q: int, chunk: int, *, packed: bool = False) -> int:
@@ -263,31 +281,20 @@ def _select_refine(
         cand_ids = None
     alive = cand_tie >= 0
     scaled = jnp.where(alive, p + 1 - hamming, 0)
+    k_eff = min(k, mg)
     if (p + 2) * scale >= 2**31:
         # Past the int32 key ceiling (capacity ~8M+ at num_perm=256) the
-        # global tie no longer packs next to the scaled distance. The
-        # refine pool is tiny ((Q, m*group)), so re-rank ties LOCALLY:
-        # within the pool, (scaled desc, tie desc) via a per-row tie rank
-        # is identical to the global (hamming asc, id asc) order — and
-        # ``scaled * next_pow2(mg) + local_rank`` always fits int32.
+        # global tie no longer packs next to the scaled distance, so
+        # select lexicographically by (scaled desc, tie desc) — exactly
+        # the global (hamming asc, id asc) order — with the two-key
+        # blockwise selector. No key packing, no capacity ceiling.
         # (int64 keys would be the obvious fix, but jnp.int64 silently
         # truncates to int32 unless the x64 flag is enabled globally.)
-        local_scale = 1 << (mg - 1).bit_length()
-        if (p + 2) * local_scale >= 2**31:
-            raise ValueError(
-                "refine pool too wide for the local tie-rank key: "
-                f"(num_perm + 2) * {local_scale} must fit int32"
-            )
-        r_tie = jnp.argsort(jnp.argsort(-cand_tie, axis=1), axis=1)
-        key = scaled * local_scale + (local_scale - 1 - r_tie)
-        sel_div = local_scale
+        sel_scaled, _, top_pos = topk_wide_2key(scaled, cand_tie, k_eff)
     else:
         key = scaled * scale + jnp.maximum(cand_tie, 0)
-        sel_div = scale
-
-    k_eff = min(k, mg)
-    top_key, top_pos = jax.lax.top_k(key, k_eff)
-    sel_scaled = top_key // sel_div
+        top_key, top_pos = topk_wide(key, k_eff)
+        sel_scaled = top_key // scale
     if cand_ids is not None:
         picked = jnp.take_along_axis(cand_ids, top_pos, axis=1)
     else:
@@ -343,13 +350,19 @@ def hamming_topk_cascade_core(
     ``num_perm`` — overwhelmingly unlikely for near neighbours and, at
     ``refine_groups`` deep pools, measured rare even for ties.
 
-    The coarse key also packs into int32 far past the full-width
-    ceiling — ``(cb + 2) * key_scale(C) < 2**31`` holds through 16M slots
-    at cb=64 — which is what re-opens the grouped fast path above 4M.
+    The coarse key packs into int32 at ANY capacity: when
+    ``(cb + 2) * key_scale(C)`` would overflow, the coarse pass right-
+    shifts the tie term (``tie >> s`` with ``scale >> s``) — group
+    SELECTION then collapses ties within ``2**s`` id-rank buckets, which
+    only perturbs *which* equal-distance groups enter the refine pool;
+    the refine stage re-ranks with the TRUE tie, so the reported order
+    stays exact-within-pool. This is what re-opens the grouped fast path
+    above 4M for any prefix width (e.g. cb=128 at 16M slots).
     """
     c, p_pre = planes_prefix.shape
     q = qbits_prefix.shape[0]
-    scale = key_scale(c)
+    scale, tie_shift = cascade_coarse_scale(p_pre, c)
+    tie_coarse = jnp.where(tie >= 0, tie >> tie_shift, tie) if tie_shift else tie
     nchunks = c // chunk
 
     if use_pallas:
@@ -360,14 +373,14 @@ def hamming_topk_cascade_core(
             else qbits_prefix
         )
         gmax = hamming_group_max_keys(
-            planes_prefix, tie, qb,
+            planes_prefix, tie_coarse, qb,
             group=group, chunk=chunk, q_tile=q_tile, scale=scale,
             interpret=interpret,
         )[:q]
     else:
         planes_c = planes_prefix.reshape(nchunks, chunk, p_pre)
         ids_c = ids.reshape(nchunks, chunk)
-        tie_c = tie.reshape(nchunks, chunk)
+        tie_c = tie_coarse.reshape(nchunks, chunk)
 
         def body(carry, xs):
             chunk_planes, chunk_ids, chunk_tie = xs

@@ -54,6 +54,8 @@ __all__ = [
     "collision_topk_grouped_core",
     "collision_topk_grouped",
     "merge_topk_pools",
+    "topk_wide",
+    "topk_wide_2key",
     "compute_chunk_ranks",
     "compute_global_tie",
     "global_tie_core",
@@ -361,6 +363,119 @@ def refine_counts_vs_query(
     return counts
 
 
+def topk_wide(
+    key: jax.Array, m: int, *, block: int = 256, flat: int = 1024
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-m ``(values, positions)`` over wide rows.
+
+    XLA lowers a flat ``lax.top_k`` to a (partial) row sort whose cost
+    grows superlinearly past a few thousand columns — at 4M slots the
+    cascade's two wide selections (4096- and 8192-column ``top_k``)
+    alone cost more than the exact engine's entire 256-bit scan. This
+    selector instead keeps every ``block``-column block's local top-m
+    per round (exact with NO key-distinctness assumption: every global
+    top-m element is, by definition, its own block's local top-m),
+    shrinking the row by ~``m/block`` per round until one cheap flat
+    ``top_k`` finishes. Among equal keys lower positions win
+    (``lax.top_k`` semantics), except that >m-way ties spanning a block
+    boundary may resolve to a different equal-key position. Positions
+    are only meaningful for values above the dtype minimum (internal
+    padding value; all selection keys in this package are >= 0).
+    """
+    q, n = key.shape
+    m = min(m, n)
+    block = max(block, 2 * m)
+    lowest = (
+        jnp.iinfo(key.dtype).min
+        if jnp.issubdtype(key.dtype, jnp.integer)
+        else -jnp.inf
+    )
+    pos: jax.Array | None = None
+    while n > max(flat, block):
+        nb = -(-n // block)
+        if nb * block != n:
+            key = jnp.pad(
+                key, ((0, 0), (0, nb * block - n)), constant_values=lowest
+            )
+        v, p = jax.lax.top_k(key.reshape(q * nb, block), m)
+        p = (
+            p.reshape(q, nb, m).astype(jnp.int32)
+            + (jnp.arange(nb, dtype=jnp.int32) * block)[None, :, None]
+        ).reshape(q, nb * m)
+        pos = p if pos is None else jnp.take_along_axis(pos, p, axis=1)
+        key = v.reshape(q, nb * m)
+        n = key.shape[1]
+    v, p = jax.lax.top_k(key, m)
+    p = p.astype(jnp.int32)
+    if pos is not None:
+        p = jnp.take_along_axis(pos, p, axis=1)
+    return v, p
+
+
+def topk_wide_2key(
+    primary: jax.Array,
+    secondary: jax.Array,
+    m: int,
+    *,
+    block: int = 256,
+    flat: int = 1024,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact top-m by DESCENDING ``(primary, secondary)`` lexicographic order.
+
+    The two-key analog of :func:`topk_wide`, with per-block stable
+    ``lax.sort(num_keys=2)`` as the selector. This is the selection
+    primitive for keys too wide to pack into one int32 — e.g. the
+    Hamming refine past ``(num_perm + 2) * key_scale(C) >= 2**31``
+    (capacity ~8M+ at num_perm=256) — replacing both the packed key and
+    the rank-remap double ``argsort`` it previously required. Equal
+    ``(primary, secondary)`` pairs resolve to the lowest position
+    (stable sort; same block-boundary caveat as :func:`topk_wide`).
+    Values must be > INT32_MIN (negated internally).
+
+    Returns:
+        ``(primary_sel, secondary_sel, positions)``, each ``(Q, m)``.
+    """
+    q, n = primary.shape
+    m = min(m, n)
+    block = max(block, 2 * m)
+    np1 = -primary
+    np2 = -secondary
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (q, n))
+    big = jnp.iinfo(np1.dtype).max
+
+    def keep_sorted(p1, p2, pp, keep):
+        width = p1.shape[-1]
+        s1, s2, sp = jax.lax.sort(
+            (
+                p1.reshape(-1, width),
+                p2.reshape(-1, width),
+                pp.reshape(-1, width),
+            ),
+            num_keys=2,
+        )
+        return s1[:, :keep], s2[:, :keep], sp[:, :keep]
+
+    while n > max(flat, block):
+        nb = -(-n // block)
+        if nb * block != n:
+            pad = ((0, 0), (0, nb * block - n))
+            np1 = jnp.pad(np1, pad, constant_values=big)
+            np2 = jnp.pad(np2, pad, constant_values=big)
+            pos = jnp.pad(pos, pad)
+        s1, s2, sp = keep_sorted(
+            np1.reshape(q * nb, block),
+            np2.reshape(q * nb, block),
+            pos.reshape(q * nb, block),
+            m,
+        )
+        np1 = s1.reshape(q, nb * m)
+        np2 = s2.reshape(q, nb * m)
+        pos = sp.reshape(q, nb * m)
+        n = nb * m
+    s1, s2, sp = keep_sorted(np1, np2, pos, m)
+    return -s1, -s2, sp
+
+
 def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax.Array:
     """Exact top-m group indices from per-group max keys.
 
@@ -369,7 +484,9 @@ def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax
     per-superchunk maxima -> top-m superchunks -> top-m groups within them.
     Exactness follows from globally distinct keys by the same argument as
     the group-max trick: every true top-m group lives in a top-m
-    superchunk by max.
+    superchunk by max. Leaf selections go through :func:`topk_wide`, so
+    wide leaves (e.g. the cascade's ``m * ngc`` candidate matrix at
+    ``m = 64``) stay block-local instead of full-row sorts.
     """
     q, ng = gmax.shape
     if ngc is None:
@@ -377,15 +494,14 @@ def _hierarchical_top_groups(gmax: jax.Array, *, m: int, ngc: int | None) -> jax
     # XLA's flat top_k cost grows superlinearly past ~2k columns; the
     # hierarchy is effectively free, so prefer it whenever it applies.
     if ng < 2048 or ng % ngc != 0 or ng // ngc <= m:
-        _, top_groups = jax.lax.top_k(gmax, m)
-        return top_groups
+        return topk_wide(gmax, m)[1]
     nch = ng // ngc
     g3 = gmax.reshape(q, nch, ngc)
     chunk_max = g3.max(axis=-1)
     mc = min(m, nch)
-    _, top_chunks = jax.lax.top_k(chunk_max, mc)  # (Q, mc)
+    _, top_chunks = topk_wide(chunk_max, mc)  # (Q, mc)
     cand = jnp.take_along_axis(g3, top_chunks[..., None], axis=1)  # (Q, mc, ngc)
-    _, pos = jax.lax.top_k(cand.reshape(q, mc * ngc), m)
+    _, pos = topk_wide(cand.reshape(q, mc * ngc), m)
     ci_sel = jnp.take_along_axis(top_chunks, pos // ngc, axis=1)
     return ci_sel * ngc + pos % ngc
 
@@ -515,7 +631,7 @@ def collision_topk_grouped_core(
     key = counts * (cand_tie >= 0).astype(jnp.int32) * scale + jnp.maximum(cand_tie, 0)
 
     k_eff = min(k, mg)
-    top_key, top_pos = jax.lax.top_k(key, k_eff)
+    top_key, top_pos = topk_wide(key, k_eff)
     sel_counts = top_key // scale
     if cand_ids is not None:
         picked = jnp.take_along_axis(cand_ids, top_pos, axis=1)

@@ -871,6 +871,25 @@ class DeviceStore(BaseStorage):
                 f"vectors must have shape ({n}, {x.shape[1]}); "
                 f"received {tuple(x.shape)}"
             )
+        if hash_family == "crosspolytope":
+            # The CP device hash materialises the FULL per-band rotations
+            # — an (n, num_bands * dpad) f32 transient (dpad = the padded
+            # FWHT width) that hits 17 GB at n = 131k x 32 bands x 1024.
+            # Slice the fused program so the transient stays ~2 GB; the
+            # slices pipeline through the async dispatch queue, so the
+            # extra dispatches cost RTTs, not serialised device time.
+            dpad = 1 << (int(x.shape[1]) - 1).bit_length()
+            # n_max = 2 GiB / (num_bands * dpad * 4 B)
+            max_rows = max(4096, (1 << 29) // max(1, self.num_bands * dpad))
+            if n > max_rows:
+                for i in range(0, n, max_rows):
+                    self.add_vectors_batch(
+                        ids_np[i : i + max_rows],
+                        jax.lax.slice_in_dim(x, i, min(i + max_rows, n)),
+                        proj_t,
+                        hash_family=hash_family,
+                    )
+                return
         proj_dev = jnp.asarray(proj_t, dtype=jnp.float32)
         ids32 = ids_np.astype(np.int32)
         with self._lock:
@@ -1337,11 +1356,11 @@ class DeviceStore(BaseStorage):
             ham_tile = group * 128
             ham_pallas = self._use_pallas() and self._capacity % ham_tile == 0
             cascade = self.hamming_cascade if mode == "hamming" else 0
-            cas_grouped = (
-                bool(cascade)
-                and supports_hamming_grouped(cascade, self._capacity)
-                and self._capacity % group == 0
-            )
+            # The cascade's coarse key packs at ANY capacity (the coarse
+            # pass tie-shifts past the int32 ceiling — see
+            # hamming_topk_cascade_core), so grouping needs only the
+            # group-divisibility invariant.
+            cas_grouped = bool(cascade) and self._capacity % group == 0
             cas_groups = self._cascade_groups(k_eff) if cascade else 0
             # Grouped refine table in the geometry of the served mode.
             asym_grouped = self._capacity % group == 0
@@ -1774,10 +1793,8 @@ class DeviceStore(BaseStorage):
         )
         if self.hamming_cascade:
             cb = self.hamming_cascade
-            if (
-                supports_hamming_grouped(cb, self._capacity)
-                and self._capacity % self.group == 0
-            ):
+            # Coarse key packs at any capacity (tie-shift in the core).
+            if self._capacity % self.group == 0:
                 return hamming_topk_cascade(
                     self._planes, self._sig_t, ids_x, tie_x,
                     qbits[:, :cb], qw,
@@ -2312,6 +2329,14 @@ class DeviceStore(BaseStorage):
                 )
             self._set_banding(num_bands, rows_per_band)
             cap = self._capacity
+            if hash_family == "crosspolytope" and self.dim:
+                # Bound the CP hash's (step, num_bands * dpad) f32 rotated-
+                # coords transient to ~2 GiB (see add_vectors_batch).
+                dpad = 1 << (int(self.dim) - 1).bit_length()
+                block_slots = min(
+                    block_slots,
+                    max(4096, (1 << 29) // max(1, num_bands * dpad)),
+                )
             step = min(_next_pow2(block_slots), cap)
             while cap % step:
                 step //= 2

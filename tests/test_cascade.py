@@ -310,3 +310,129 @@ def test_cascade_local_tie_rank_branch(hasher, rng):
     for q in range(8):
         pairs = list(zip(h_ref[q].tolist(), i_ref[q].tolist()))
         assert pairs == sorted(pairs)
+
+
+def test_cascade_coarse_scale_helper():
+    """Coarse-key packing: exact below the int32 ceiling, tie-shifted
+    above it, always ``(p_pre + 2) * scale < 2**31`` with a power-of-two
+    scale bounding the shifted tie range."""
+    from lshrs_tpu.ops.hamming import cascade_coarse_scale
+    from lshrs_tpu.ops.pallas_scan import key_scale
+
+    # below the ceiling: untouched exact-selection format
+    for p_pre, cap in [(32, 1 << 10), (64, 1 << 22), (128, 1 << 22)]:
+        scale, shift = cascade_coarse_scale(p_pre, cap)
+        assert (scale, shift) == (key_scale(cap), 0)
+    # cb=128 at 16M slots (the 12.5M sizing's capacity): one shift
+    scale, shift = cascade_coarse_scale(128, 1 << 24)
+    assert (scale, shift) == ((1 << 24) >> 1, 1)
+    # invariants across the sweep
+    for p_pre in (32, 64, 96, 128, 224):
+        for logc in range(10, 31):
+            scale, shift = cascade_coarse_scale(p_pre, 1 << logc)
+            assert (p_pre + 2) * scale < 2**31
+            assert scale == key_scale(1 << logc) >> shift
+            assert scale >= 1
+
+
+def test_cascade_tie_shift_selection_exact_with_full_pool(
+    hasher, rng, monkeypatch
+):
+    """With the coarse tie term right-shifted (the >=16M-capacity regime,
+    forced here by inflating key_scale) and the refine pool covering the
+    whole store, the cascade must still return the exact full-width
+    (hamming asc, id asc) top-k: shifted ties only perturb group
+    SELECTION, and a full pool makes selection irrelevant."""
+    import jax.numpy as jnp
+
+    import lshrs_tpu.ops.hamming as hamming_mod
+    from lshrs_tpu.ops.hamming import unpack_bitplanes
+
+    n = 512
+    X = rng.standard_normal((n // 2, D)).astype(np.float32)
+    words_half = hasher.hash_batch_words_host(X)
+    words = np.concatenate([words_half, words_half])  # forced id ties
+    ids = np.arange(n, dtype=np.int32)
+
+    store = _store(cascade=32, refine=n, initial_capacity=n)
+    store.add_signature_batch(ids, words)
+    store._ensure_ranks()
+    store._ensure_planes()
+
+    qw = np.asarray(
+        hasher.hash_batch_words_host(
+            rng.standard_normal((8, D)).astype(np.float32)
+        ),
+        dtype=np.uint32,
+    )
+    qbits = unpack_bitplanes(jnp.asarray(qw), num_bands=B, rows_per_band=R)
+
+    h_ref, i_ref = hamming_topk_cascade_core(
+        store._planes, store._sig_t, store._ids, store._tie,
+        qbits[:, :32], jnp.asarray(qw),
+        num_perm=P, k=10, refine_groups=n, chunk=64, group=8,
+    )
+
+    # inflate key_scale so (32 + 2) * scale >= 2**31 -> coarse tie-shift
+    real_key_scale = hamming_mod.key_scale
+    monkeypatch.setattr(
+        hamming_mod, "key_scale", lambda c: max(real_key_scale(c), 1 << 26)
+    )
+    from lshrs_tpu.ops.hamming import cascade_coarse_scale
+
+    assert cascade_coarse_scale(32, n)[1] > 0  # the shift really engages
+    h_sh, i_sh = hamming_topk_cascade_core(
+        store._planes, store._sig_t, store._ids, store._tie,
+        qbits[:, :32], jnp.asarray(qw),
+        num_perm=P, k=10, refine_groups=n, chunk=64, group=8,
+    )
+    assert np.array_equal(np.asarray(i_sh), np.asarray(i_ref))
+    assert np.array_equal(np.asarray(h_sh), np.asarray(h_ref))
+
+
+def test_topk_wide_matches_flat_topk(rng):
+    """Blockwise wide selection == flat lax.top_k on distinct keys, and
+    exact top-m values on heavily duplicated keys, across widths that
+    exercise 0, 1 and 2 reduction rounds plus ragged padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from lshrs_tpu.ops.scan import topk_wide
+
+    for n, m in [(640, 10), (1024, 64), (4096, 64), (8192, 10),
+                 (5000, 7), (33000, 64)]:
+        # distinct keys: exact positional agreement with lax.top_k
+        perm = np.stack([rng.permutation(n) for _ in range(4)]).astype(np.int32)
+        v, p = topk_wide(jnp.asarray(perm), m)
+        fv, fp = jax.lax.top_k(jnp.asarray(perm), m)
+        assert np.array_equal(np.asarray(v), np.asarray(fv)), (n, m)
+        assert np.array_equal(np.asarray(p), np.asarray(fp)), (n, m)
+        # duplicated keys: top-m VALUES still exact
+        dup = (perm // 7).astype(np.int32)
+        v2, p2 = topk_wide(jnp.asarray(dup), m)
+        ref = np.sort(dup, axis=1)[:, ::-1][:, :m]
+        assert np.array_equal(np.asarray(v2), ref), (n, m)
+        # returned positions index the returned values
+        gathered = np.take_along_axis(dup, np.asarray(p2), axis=1)
+        assert np.array_equal(gathered, np.asarray(v2)), (n, m)
+
+
+def test_topk_wide_2key_matches_lexsort_oracle(rng):
+    """Two-key blockwise selection == numpy lexsort by descending
+    (primary, secondary), including duplicate primaries, negative
+    secondaries and ragged widths."""
+    import jax.numpy as jnp
+
+    from lshrs_tpu.ops.scan import topk_wide_2key
+
+    for n, m in [(512, 10), (4096, 64), (8192, 10), (3000, 16)]:
+        prim = rng.integers(0, 50, size=(4, n)).astype(np.int32)
+        sec = rng.permutation(n).astype(np.int32)[None, :].repeat(4, axis=0)
+        sec[:, : n // 8] = -1  # dead-slot ties
+        p1, p2, pos = topk_wide_2key(jnp.asarray(prim), jnp.asarray(sec), m)
+        for r in range(4):
+            order = np.lexsort((-sec[r], -prim[r]))[:m]
+            assert np.array_equal(np.asarray(p1)[r], prim[r][order]), (n, m, r)
+            assert np.array_equal(np.asarray(p2)[r], sec[r][order]), (n, m, r)
+        gathered = np.take_along_axis(prim, np.asarray(pos), axis=1)
+        assert np.array_equal(gathered, np.asarray(p1)), (n, m)
