@@ -114,15 +114,20 @@ class LSHRS:
             in every engine.
         hamming_cascade: coarse prefix width (bits) of the two-pass
             Hamming refinement cascade — the >=4M-slot serving engine. 0
-            (default) = off. When set (device backend, unsharded, Hamming
-            ranking available), Hamming-mode top-k scans only the first
+            (default) = off. When set (device backend, Hamming ranking
+            available), Hamming-mode top-k scans only the first
             ``hamming_cascade`` hyperplanes' bitplanes (that fraction of
             the full MXU cost AND of the ranking HBM) and re-ranks the
             top ``hamming_cascade_refine`` slots per query by the exact
             full-width distance. Approximate — the prefix pass can drop a
             true top-k slot (agreement tables in PERFORMANCE.md);
-            asymmetric queries are unavailable while it is on.
-        hamming_cascade_refine: cascade refine pool per query, in slots.
+            asymmetric queries are unavailable while it is on. Composes
+            with ``shards=N``: each shard runs the coarse scan + exact
+            refine on its local block and the full-width keys merge over
+            ICI, so the per-query refine pool applies PER SHARD (the
+            12.5M-slots/chip x 8-chip = 100M sizing in PERFORMANCE.md).
+        hamming_cascade_refine: cascade refine pool per query, in slots
+            (per shard when sharded).
         hash_mode: where this instance hashes — ``"device"`` (one MXU
             matmul per batch, ships raw vectors) or ``"host"`` (CPU sgemm,
             ships 64-byte packed signatures; wins when the host->device
@@ -258,12 +263,6 @@ class LSHRS:
                 raise ValueError(
                     "hamming_cascade applies to the device backend only"
                 )
-            if shards is not None and shards > 1:
-                raise ValueError(
-                    "hamming_cascade is not yet supported on sharded "
-                    "stores (construct unsharded, or shard without the "
-                    "cascade)"
-                )
             if engine == "collision" and not enable_hamming:
                 raise ValueError(
                     "hamming_cascade requires Hamming ranking: construct "
@@ -354,6 +353,8 @@ class LSHRS:
                     chunk_size=chunk_size,
                     enable_hamming=enable_hamming,
                     hamming_storage=hamming_storage,
+                    hamming_cascade=hamming_cascade,
+                    hamming_cascade_refine=hamming_cascade_refine,
                     group_size=group_size,
                     dedupe=dedupe,
                     query_mode=query_mode,
@@ -630,8 +631,14 @@ class LSHRS:
         idx_arr = np.asarray(indices, dtype=np.int64).reshape(-1)
         if idx_arr.size and int(idx_arr.min()) < 0:
             raise ValueError("index must be non-negative")
-        zero_rows = np.all(np.abs(arr) <= 1e-8, axis=1)
-        if zero_rows.any():
+        # Zero-row rejection with a first-column prefilter: a zero row
+        # needs EVERY coordinate within tolerance, so only rows whose
+        # first coordinate is already ~0 can qualify — scan just those
+        # fully. Exact same semantics as the full np.all over the matrix,
+        # ~dim x less memory traffic (measured 65% of the 1-core ingest
+        # wall at 768d before this; the full check re-read 3 GB/1M rows).
+        cand = np.flatnonzero(np.abs(arr[:, 0]) <= 1e-8)
+        if cand.size and np.any(np.all(np.abs(arr[cand]) <= 1e-8, axis=1)):
             raise ValueError(
                 "Cannot index zero vector - norm undefined. Check embeddings for corruption."
             )
@@ -899,6 +906,12 @@ class LSHRS:
         Hashes the whole batch with one matmul and runs a single fused
         scan; this is the high-QPS serving interface the reference lacks.
         ``where``: optional id filter (see :meth:`query`).
+
+        On the bucket backends (memory/Redis) there is no device program
+        to batch into: the call degrades to a per-vector :meth:`query`
+        loop — reference-grade semantics and throughput, one storage
+        round-trip sequence per vector. Construct with the device backend
+        for fused batching.
         """
         if top_k is None or top_k <= 0:
             raise ValueError("top_k must be greater than zero when provided")

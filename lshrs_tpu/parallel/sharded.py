@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lshrs_tpu.ops.bitpack import pack_words_narrow
 from lshrs_tpu.ops.hamming import (
     hamming_q_tile,
+    hamming_topk_cascade_core,
     hamming_topk_chunked_core,
     hamming_topk_core,
     hamming_topk_packed_chunked_core,
@@ -195,11 +196,11 @@ class ShardedDeviceStore(DeviceStore):
                     self.mesh, self.axis, self._pscale, pscale, offset
                 )
         if self._planes is not None:
-            planes_rows = unpack_bitplanes(
-                words_dev, num_bands=self.num_bands, rows_per_band=self.rows_per_band
-            )
+            # _planes_rows slices to the stored width (the cascade keeps
+            # only the first ``hamming_cascade`` bitplane columns).
             self._planes = _sharded_append_rows(
-                self.mesh, self.axis, self._planes, planes_rows, offset
+                self.mesh, self.axis, self._planes,
+                self._planes_rows(words_dev), offset
             )
         self._append_finish(ids32, n)
         self._check_placement()
@@ -506,6 +507,7 @@ class ShardedDeviceStore(DeviceStore):
             self._sig_rows,
             num_bands=self.num_bands,
             rows_per_band=self.rows_per_band,
+            plane_bits=self._plane_bits(),
         )
 
     def _query_hamming_dev(self, qw: jax.Array, k: int, where=None):
@@ -529,6 +531,39 @@ class ShardedDeviceStore(DeviceStore):
         q_tile = hamming_q_tile(
             qw.shape[0], chunk, packed=self.hamming_storage == "packed"
         )
+        if self.hamming_cascade:
+            cb = self.hamming_cascade
+            cas_grouped = local % group == 0
+            qbits = unpack_bitplanes(
+                qw, num_bands=self.num_bands, rows_per_band=self.rows_per_band
+            )[:, :cb]
+            cas_use_rows = cas_grouped and where is None
+            return _sharded_hamming_cascade(
+                self.mesh,
+                self.axis,
+                self._planes,
+                self._sig_t,
+                self._refine_rows_for(group, chunk, use_pallas)
+                if cas_use_rows
+                else self._sig_rows,
+                ids_x,
+                self._ranks,
+                tie_x,
+                qbits,
+                qw,
+                num_perm=p,
+                k=k_eff,
+                refine_groups=max(
+                    k_eff, -(-self.hamming_cascade_refine // group)
+                ),
+                chunk=chunk,
+                grouped=cas_grouped,
+                group=group,
+                use_pallas=use_pallas,
+                q_tile=q_tile,
+                narrow_r=self._refine_narrow_r if cas_use_rows else 0,
+                use_rows=cas_use_rows,
+            )
         if self.hamming_storage == "packed":
             return _sharded_hamming_packed(
                 self.mesh,
@@ -703,6 +738,12 @@ class ShardedDeviceStore(DeviceStore):
                 "enable_hamming=False: construct the store with "
                 "enable_hamming=True for asymmetric-mode queries"
             )
+        if mode == "asymmetric" and self.hamming_cascade:
+            raise RuntimeError(
+                "asymmetric ranking is unavailable with hamming_cascade: "
+                "the store holds only the coarse bitplane prefix, and the "
+                "asymmetric estimator ranks against full-width bitplanes"
+            )
         from lshrs_tpu.ops.asymmetric import (
             QMAX,
             QMAX4,
@@ -741,6 +782,15 @@ class ShardedDeviceStore(DeviceStore):
             packed = self.hamming_storage == "packed"
             ham_tile, ham_pallas, _ = self._hamming_geometry(local)
             ham_chunk = ham_tile if ham_pallas else chunk
+            cascade = self.hamming_cascade if mode == "hamming" else 0
+            # Cascade coarse keys pack at any capacity (tie-shift in the
+            # core), so grouping needs only shard-local divisibility.
+            cas_grouped = bool(cascade) and local % group == 0
+            cas_groups = (
+                max(k_eff, -(-self.hamming_cascade_refine // group))
+                if cascade
+                else 0
+            )
             # Grouped refine table in the geometry of the served mode
             # (strided iff the Pallas kernel runs; asymmetric reconstructs
             # exact dots from the same word-row table — word-row refine).
@@ -752,7 +802,7 @@ class ShardedDeviceStore(DeviceStore):
             elif mode == "hamming":
                 rows = (
                     self._refine_rows_for(group, ham_chunk, ham_pallas)
-                    if ham_grouped
+                    if (cas_grouped if cascade else ham_grouped)
                     else self._sig_rows
                 )
             elif mode == "asymmetric":
@@ -777,7 +827,8 @@ class ShardedDeviceStore(DeviceStore):
             pallas_chunk = self._pallas_chunk()
             use_pallas = self._use_pallas()
             mode_grouped = {
-                "hamming": ham_grouped, "asymmetric": asym_grouped,
+                "hamming": cas_grouped if cascade else ham_grouped,
+                "asymmetric": asym_grouped,
             }.get(mode, grouped)
             use_rows = mode_grouped and where is None
             narrow_r = self._refine_narrow_r if use_rows else 0
@@ -799,6 +850,19 @@ class ShardedDeviceStore(DeviceStore):
                 ham_q_tile = hamming_q_tile(
                     qw.shape[0], ham_chunk, packed=packed
                 )
+                if cascade:
+                    qbits = unpack_bitplanes(
+                        qw, num_bands=num_bands, rows_per_band=rows_per_band
+                    )[:, :cascade]
+                    return _sharded_hamming_cascade(
+                        mesh, axis, planes, sig_t, rows_, ids, ranks, tie,
+                        qbits, qw,
+                        num_perm=num_perm, k=k_eff,
+                        refine_groups=cas_groups, chunk=ham_chunk,
+                        grouped=cas_grouped, group=group,
+                        use_pallas=ham_pallas, q_tile=ham_q_tile,
+                        narrow_r=narrow_r, use_rows=use_rows,
+                    )[1]
                 if packed:
                     return _sharded_hamming_packed(
                         mesh, axis, sig_t, rows_, ids, ranks, tie, qw,
@@ -1210,6 +1274,66 @@ def _sharded_hamming(
 @partial(
     jax.jit,
     static_argnames=(
+        "mesh", "axis", "num_perm", "k", "refine_groups", "chunk", "grouped",
+        "group", "use_pallas", "q_tile", "interpret", "narrow_r", "use_rows",
+    ),
+)
+def _sharded_hamming_cascade(
+    mesh, axis, planes_prefix, sig_t, rows, ids, ranks, tie, qbits_prefix,
+    qwords, *, num_perm, k, refine_groups, chunk, grouped, group,
+    use_pallas=False, q_tile=128, interpret=False, narrow_r=0, use_rows=True,
+):
+    """SPMD refinement cascade: shard-local coarse prefix scan +
+    shard-local full-width refine, then the exact-key ICI merge.
+
+    Each shard runs `hamming_topk_cascade_core` on its local block —
+    coarse selection over its ``planes_prefix`` columns, full
+    ``num_perm``-bit popcount refine of its own top ``refine_groups``
+    groups (the per-query refine pool applies PER SHARD, so the union
+    pool is ``n_shards`` x deeper than the unsharded store's at equal
+    settings). The refined (hamming, id) keys are absolute — full-width
+    distances, global ids — so the standard merge by (similarity desc,
+    id asc) is exact within the union pool, the same argument as
+    `_sharded_hamming`. Shards whose local geometry can't group fall
+    back to the exact packed-words scan (same as the base class)."""
+
+    def local(planes_l, sig_l, rows_l, ids_l, ranks_l, tie_l, qb, qw):
+        if grouped:
+            hamming, out_ids = hamming_topk_cascade_core(
+                planes_l, sig_l, ids_l, tie_l, qb, qw,
+                num_perm=num_perm, k=k, refine_groups=refine_groups,
+                chunk=chunk, group=group,
+                use_pallas=use_pallas, q_tile=q_tile, interpret=interpret,
+                sig_rows=rows_l if use_rows else None, narrow_r=narrow_r,
+            )
+        else:
+            hamming, out_ids = hamming_topk_packed_chunked_core(
+                sig_l, ids_l, ranks_l, qw, num_perm=num_perm, k=k, chunk=chunk
+            )
+        scaled = jnp.where(out_ids >= 0, num_perm + 1 - hamming, 0)
+        scaled_g = jax.lax.all_gather(scaled, axis)
+        ids_g = jax.lax.all_gather(out_ids, axis)
+        q = qw.shape[0]
+        pool_scaled = jnp.moveaxis(scaled_g, 0, 1).reshape(q, -1)
+        pool_ids = jnp.moveaxis(ids_g, 0, 1).reshape(q, -1)
+        m_scaled, m_ids = merge_topk_pools(pool_scaled, pool_ids, k=k)
+        return jnp.where(m_ids >= 0, num_perm + 1 - m_scaled, num_perm + 1), m_ids
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(None, axis), P(axis, None),
+            P(axis), P(axis), P(axis), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(planes_prefix, sig_t, rows, ids, ranks, tie, qbits_prefix, qwords)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "mesh", "axis", "num_perm", "k", "chunk", "grouped", "group",
         "use_pallas", "q_tile", "interpret", "narrow_r", "use_rows",
     ),
@@ -1322,13 +1446,19 @@ def _sharded_topp_gather(
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "axis", "num_bands", "rows_per_band")
+    jax.jit,
+    static_argnames=("mesh", "axis", "num_bands", "rows_per_band", "plane_bits"),
 )
-def _sharded_unpack_planes(mesh, axis, sig_rows, *, num_bands, rows_per_band):
+def _sharded_unpack_planes(
+    mesh, axis, sig_rows, *, num_bands, rows_per_band, plane_bits=0
+):
     def local(rows_l):
-        return unpack_bitplanes(
+        planes = unpack_bitplanes(
             rows_l, num_bands=num_bands, rows_per_band=rows_per_band
         )
+        if plane_bits and plane_bits != planes.shape[1]:
+            planes = planes[:, :plane_bits]  # cascade prefix columns only
+        return planes
 
     return jax.shard_map(
         local,
