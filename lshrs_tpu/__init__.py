@@ -8,12 +8,21 @@ device-resident payload, streaming ingestion, band/row auto-tuning,
 persistence, and mesh-sharded scale-out.
 """
 
+import importlib.metadata
 from typing import Final
 
 from lshrs_tpu.core.main import LSHRS, lshrs
 from lshrs_tpu.storage import BaseStorage, DeviceStore, IdFilter, MemoryStorage
 
-__version__: Final[str] = "0.1.0"
+# Version from installed package metadata (single source of truth:
+# pyproject.toml), with a development-checkout fallback — the reference's
+# contract (/root/reference/lshrs/__init__.py:6-10).
+try:
+    _version = importlib.metadata.version("lshrs-tpu")
+except importlib.metadata.PackageNotFoundError:  # pragma: no cover
+    _version = "0.0.0"  # development mode (not pip-installed)
+__version__: Final[str] = _version
+del _version
 
 # Fail fast when hard dependencies are missing.
 _hard_dependencies = ("numpy", "jax")
