@@ -120,11 +120,22 @@ def main() -> None:
     # Warm the fused CP hash+append program OFF the timed path: the first
     # index() call otherwise pays the one-time jit of the sliced
     # hash+append shapes (minutes cold through the remote compile helper)
-    # and the "e2e rate" measures the compiler, not the pipeline.
+    # and the "e2e rate" measures the compiler, not the pipeline. A
+    # separate rng keeps the seed-0 data/query stream identical to the
+    # earlier recorded runs (ADVICE r4); the tail-remainder shape is
+    # warmed too when n is not a multiple of the step (its jit would
+    # otherwise compile inside the timed loop).
     step = 1 << 17
-    warm = rng.standard_normal((min(step, args.n), args.dim)).astype(np.float32)
+    warm_rng = np.random.default_rng(1)
+    warm = warm_rng.standard_normal(
+        (min(step, args.n), args.dim)
+    ).astype(np.float32)
     lsh.index(np.arange(warm.shape[0]), warm)
     lsh.clear()
+    tail = args.n % min(step, args.n)
+    if tail:
+        lsh.index(np.arange(tail), warm[:tail])
+        lsh.clear()
     log("fused index path warmed (compile off the timed path)")
 
     t0 = time.perf_counter()
@@ -138,7 +149,8 @@ def main() -> None:
         tc = time.perf_counter()
         lsh.index(np.arange(off, off + m), xb)
         chunk_rates.append(m / (time.perf_counter() - tc))
-        log(f"indexed {off + m}/{args.n} ({chunk_rates[-1]:.0f}/s)")
+        log(f"indexed {off + m}/{args.n} ({chunk_rates[-1]:.0f}/s dispatch)")
+    _ = np.asarray(lsh._storage._ids[:8])  # drain the async dispatch queue
     build_s = time.perf_counter() - t0
     assert lsh.stats()["index"]["alive"] == args.n
     log(f"build done: {args.n / build_s:.0f} vec/s e2e")
@@ -155,7 +167,10 @@ def main() -> None:
         "banding": f"{bands}x{rows}",
         "payload_dtype": args.payload if not args.skip_topp else None,
         "index_build_vectors_per_s": round(args.n / build_s, 1),
-        "index_build_vectors_per_s_best_chunk": round(max(chunk_rates), 1),
+        # Per-chunk times measure upload+DISPATCH (async; the device may
+        # still be appending) — an overlap diagnostic, not a sustained
+        # rate. The e2e number above is barriered.
+        "index_build_dispatch_rate_best_chunk": round(max(chunk_rates), 1),
         "platform": jax.devices()[0].platform,
     }
 
