@@ -196,7 +196,10 @@ def main() -> None:
         out_i = 0
         for s0 in range(0, cids.size - W, slab):
             s1 = min(s0 + slab + W, cids.size)
-            sel = starts[(starts >= s0) & (starts + W <= s1)]
+            # half-open slab ownership: a start on the boundary belongs to
+            # ONE slab (start+W <= s1 always holds for owned starts, since
+            # max(starts) <= cids.size - W - 1 and s1 covers s0+slab+W)
+            sel = starts[(starts >= s0) & (starts < s0 + slab)]
             if sel.size == 0:
                 continue
             rows = emb[cids[s0:s1]] * w_tok[s0:s1, None]
