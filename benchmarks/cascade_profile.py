@@ -61,6 +61,7 @@ def main() -> None:
     ap.add_argument("--cascade", type=int, default=64)
     ap.add_argument("--refine", type=int, default=8192)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--exact-select", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +84,7 @@ def main() -> None:
     )
     from lshrs_tpu.ops.scan import (
         _hierarchical_top_groups,
+        _pool_top_groups,
         gather_refine_group_rows,
         topk_wide,
     )
@@ -124,6 +126,7 @@ def main() -> None:
     group = min(store.group, store._capacity)
     ham_tile = group * 128
     cap = store._capacity
+    store._ensure_planes()  # planes are lazily built on first ranking use
     sig_t, ids, tie, planes = (
         store._sig_t, store._ids, store._tie, store._planes
     )
@@ -150,12 +153,27 @@ def main() -> None:
     t, gmax = timed(coarse, planes, tie, qbits, trials=args.trials)
     report["coarse_ms"] = round(1000 * t, 1)
 
-    # -- stage: hierarchical top-group selection ---------------------------
-    sel = jax.jit(
-        partial(_hierarchical_top_groups, m=refine_groups, ngc=ham_tile // group)
-    )
+    # -- stage: top-group pool selection -----------------------------------
+    # The production cascade uses _pool_top_groups (hardware partial
+    # reduce); the exact hierarchical selector is timed for comparison.
+    sel = jax.jit(partial(_pool_top_groups, m=refine_groups))
     t, top_groups = timed(sel, gmax, trials=args.trials)
     report["select_ms"] = round(1000 * t, 1)
+    if args.exact_select:
+        sel_x = jax.jit(
+            partial(
+                _hierarchical_top_groups, m=refine_groups,
+                ngc=ham_tile // group,
+            )
+        )
+        t, tg_x = timed(sel_x, gmax, trials=args.trials)
+        report["select_exact_ms"] = round(1000 * t, 1)
+        ap = np.asarray(top_groups)
+        exg = np.asarray(tg_x)
+        report["pool_set_recall_vs_exact"] = round(float(np.mean([
+            len(set(exg[i]) & set(ap[i])) / exg.shape[1]
+            for i in range(0, exg.shape[0], 64)
+        ])), 4)
 
     # -- stage: grouped row gather -----------------------------------------
     # Mirror _select_refine exactly: the table holds NARROW-packed words

@@ -218,16 +218,23 @@ def _select_refine(
     when ``(p + 2) * key_scale(C)`` no longer packs into int32, so the
     cascade stays correct past the grouped engines' 4M-slot key ceiling.
     """
-    from lshrs_tpu.ops.scan import _hierarchical_top_groups
+    from lshrs_tpu.ops.scan import _hierarchical_top_groups, _pool_top_groups
 
     c = ids.shape[0]
     q = qwords.shape[0]
     scale = key_scale(c)
     ng = c // group
     m = min(k if m_groups is None else max(k, m_groups), ng)
-    top_groups = _hierarchical_top_groups(
-        gmax, m=m, ngc=chunk // group if strided else None
-    )
+    if m_groups is not None:
+        # Deep refine pool (the cascade): the pool is heuristic — refine
+        # re-ranks it with true keys — so use the TPU's hardware partial
+        # reduce instead of exact selection (which cost 89% of the whole
+        # cascade batch at m=128; see _pool_top_groups).
+        top_groups = _pool_top_groups(gmax, m=m)
+    else:
+        top_groups = _hierarchical_top_groups(
+            gmax, m=m, ngc=chunk // group if strided else None
+        )
     # Refine from packed words: hamming = sum popcount(xor) over the words.
     bw = sig_t.shape[0]
     mg = m * group

@@ -1362,6 +1362,17 @@ class DeviceStore(BaseStorage):
             # group-divisibility invariant.
             cas_grouped = bool(cascade) and self._capacity % group == 0
             cas_groups = self._cascade_groups(k_eff) if cascade else 0
+            if cas_grouped and dev_batch is None:
+                # The coarse pass materializes per-group keys: (Q_slice,
+                # C/group) int32. At 16M capacity x 8192 queries that is
+                # 8.6 GB — past a v5e chip's spare HBM next to the planes
+                # and refine table (observed compile-time RESOURCE_EXHAUSTED
+                # in the round-5 sweep). Bound the slice so the key matrix
+                # stays ~<= 2 GB; the serving closure loops slices inside
+                # ONE program, so dispatch count is unchanged.
+                ng_cas = self._capacity // group
+                q_cap = (1 << 29) // ng_cas  # Q * ng * 4B <= 2 GB
+                dev_batch = max(128, (q_cap // 128) * 128)
             # Grouped refine table in the geometry of the served mode.
             asym_grouped = self._capacity % group == 0
             # Prebuilt refine tables bake the UNfiltered tie/id columns:
