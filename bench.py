@@ -314,13 +314,13 @@ def main() -> None:
         one_m = {"qps_1m_error": f"{type(exc).__name__}: {exc}"}
 
     # ---- 4M cascade serving row (the >=4M-slot engine, machine-recorded) --
-    # The 100M/v5e-8 sizing is 12.5M slots/chip x 8 shards; a full
-    # 256-bit scan is MXU-bound there (~61k QPS at 100% int8 peak at
-    # 12.5M), so serving runs the Hamming refinement cascade
-    # (hamming_cascade=64: quarter-width coarse scan + exact full-width
-    # refine of 8192 slots/query). This row pins the >=4M story to the
-    # driver artifact; the 8M/12.5M sweep + agreement-vs-exact tables are
-    # in PERFORMANCE.md (benchmarks/capacity_bench.py). Vectors are
+    # Serving runs the Hamming refinement cascade in its measured-best
+    # configuration (hamming_cascade=128: half-width coarse scan + exact
+    # full-width refine of 8192 slots/query — planted recall@10 0.997+
+    # from 4M through 12.5M; a 64-bit prefix is too coarse, 0.76-0.83).
+    # This row pins the >=4M story to the driver artifact; the 8M/12.5M
+    # sweep + planted-recall tables are in PERFORMANCE.md
+    # (benchmarks/capacity_bench.py). Vectors are
     # synthesized ON DEVICE (the tunnel would gate a host build at this
     # scale) and built by the fused hash+append program; the planted
     # probe perturbs stored vectors to ~0.8 cosine — queries with genuine
@@ -332,7 +332,7 @@ def main() -> None:
         n_4m, q_4m = 1 << 22, 8192
         cas = _DS(
             num_bands=NUM_BANDS, rows_per_band=ROWS_PER_BAND, dim=DIM,
-            enable_hamming=True, hamming_cascade=64,
+            enable_hamming=True, hamming_cascade=128,
             hamming_cascade_refine=8192,
             initial_capacity=n_4m, dedupe=False,
         )
@@ -399,7 +399,7 @@ def main() -> None:
             "qps_4m_median": round(n_q_4m / trials_4m[len(trials_4m) // 2], 1),
             "self_match_rate_4m": self_match_4m,
             "planted_recall_4m": planted_4m,
-            "cascade_4m": "cascade64:8192",
+            "cascade_4m": "cascade128:8192",
             "build_4m_s": round(build_4m_s, 1),
         }
         del cas, serve_4m

@@ -8,8 +8,13 @@ exact single-pass engine as capacity grows.
 Physics anchor: an exhaustive 256-bit bitplane scan at 12.5M slots x 8192
 queries is ~2.6e13 int8 MACs per batch — ~61k QPS at 100% of a v5e MXU's
 int8 peak — so NO tuning of the exact formulation can reach 100k there.
-The cascade scans a 64-bit prefix (1/4 of the MXU work -> ~245k QPS at
-peak) and re-ranks the top `refine` slots per query at full width.
+The cascade scans a prefix of the bitplanes and re-ranks the top `refine`
+slots per query at full width. Round-5 measured reality: the grouped scan
+runs at ~17% of int8 peak (the VPU key/group-max tail dominates — prefix
+width 64 vs 128 changes QPS <2%), so the cascade lands at 29k QPS at
+12.5M / 38.7k at 8M / 49.2k at 4M (cascade128:8192, planted recall@10
+0.997+); the 100k bar holds to ~4M slots via the exact engine (96.9k).
+Tables: PERFORMANCE.md "Hamming refinement cascade".
 
 Method: random Gaussian vectors are synthesized ON DEVICE in 512k chunks
 and indexed through the fused hash+append program

@@ -120,7 +120,9 @@ class LSHRS:
             the full MXU cost AND of the ranking HBM) and re-ranks the
             top ``hamming_cascade_refine`` slots per query by the exact
             full-width distance. Approximate — the prefix pass can drop a
-            true top-k slot (agreement tables in PERFORMANCE.md);
+            true top-k slot (measured 4M-12.5M tables in PERFORMANCE.md
+            "Hamming refinement cascade": use 128 bits at 768d, planted
+            recall@10 0.997+ at 29-49k QPS/chip);
             asymmetric queries are unavailable while it is on. Composes
             with ``shards=N``: each shard runs the coarse scan + exact
             refine on its local block and the full-width keys merge over
