@@ -222,7 +222,8 @@ def main() -> None:
 
     # 3. gather-rerank serving (CP's natural pairing at scale)
     if not args.skip_topp:
-        serve_p = lsh.serving_fn(top_k=10, mode="topp")
+        serve_p = lsh.serving_fn(top_k=10, mode="topp",
+                                 batch_hint=args.query_batch)
         ids_p, cos_p, _ = serve_p(X_keep)
         out["topp_self_match_rate"] = float(
             (np.asarray(ids_p)[:, 0] == np.arange(args.query_batch)).mean()

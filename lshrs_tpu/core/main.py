@@ -1141,6 +1141,7 @@ class LSHRS:
         wire_dtype: str = "float32",
         coords_wire: str = "int8",
         auto_refresh: bool = False,
+        batch_hint: int = 1024,
         where=None,
     ):
         """Compiled high-QPS serving closure over the *current* index.
@@ -1182,6 +1183,14 @@ class LSHRS:
                 filtered-out candidate never consumes a result slot).
                 The filter state is captured with the snapshot; mutate
                 + re-snapshot (or ``auto_refresh``) to track changes.
+            batch_hint: ``"topp"`` only — the query-batch size the
+                closure will be served with. The auto rerank engine's
+                HBM-feasibility check sizes the full formulation's
+                ``(Q, capacity)`` temporaries from it; a closure
+                resolved at the 1024 default but dispatched with
+                8k-query batches can compile-OOM at 1M+ capacity (the
+                round-5 cp_bench failure mode). Pass your real batch
+                size.
             auto_refresh: serve through mutations — on a stale snapshot
                 the closure transparently re-snapshots the CURRENT index
                 contents and retries (thread-safe; re-snapshotting is
@@ -1211,6 +1220,7 @@ class LSHRS:
                             mode=mode,
                             wire_dtype=wire_dtype,
                             coords_wire=coords_wire,
+                            batch_hint=batch_hint,
                             where=where,
                         )
                     return inner[0]
@@ -1270,7 +1280,8 @@ class LSHRS:
         if mode == "topp":
             topp_probes = self._multiprobe
             serve = self._storage.snapshot_topp_fn(  # type: ignore[attr-defined]
-                top_k, wire=wire, probes=topp_probes, where=where
+                top_k, wire=wire, probes=topp_probes,
+                batch_hint=batch_hint, where=where,
             )
 
             def run_topp(vectors):
