@@ -40,16 +40,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 NUM_BANDS, ROWS_PER_BAND, DIM, TOP_K = 16, 16, 768, 10
 
 
-def timed(fn, *args, trials=3):
+def _force(out):
+    """Real completion barrier: tiny np readbacks of every output leaf
+    (block_until_ready can return early for tunnel-remote arrays)."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        _ = np.asarray(leaf[:1])
+    return out
+
+
+def timed(fn, *args, trials=3):
+    out = _force(fn(*args))
     ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return min(ts), out
 

@@ -54,13 +54,19 @@ def log(msg: str) -> None:
 
 
 def pipelined_qps(serve, raw, trials):
-    _ = serve(raw[0])  # compile
+    _ = np.asarray(serve(raw[0]))  # compile + real completion
 
     def trial() -> float:
+        # np.asarray is the ONLY trustworthy completion barrier on the
+        # tunnel (block_until_ready returns early for remote arrays);
+        # without it a device-array-returning closure times dispatch,
+        # not compute — the round-5 audit caught exactly that: a 1M
+        # store "serving" 440k QPS whose device compute alone took
+        # 231 ms/batch. No-op for closures that already return ndarrays.
         pool = ThreadPoolExecutor(max_workers=3)
         t0 = time.perf_counter()
         futs = [pool.submit(serve, q) for q in raw]
-        out = [f.result() for f in futs]
+        out = [np.asarray(f.result()) for f in futs]
         dt = time.perf_counter() - t0
         pool.shutdown()
         assert len(out) == len(raw)
@@ -208,10 +214,13 @@ def main() -> None:
     serve_store(words_dev).block_until_ready()  # warm
 
     def device_trial(fn, x, reps=3):
+        # the small (Q, k) id readback is the completion barrier (~7 ms
+        # of tunnel transport at 8192x10 int32 — block_until_ready is
+        # not trustworthy here); inputs stay device-resident.
         t0 = time.perf_counter()
         for _ in range(reps):
-            r = fn(x)
-        r.block_until_ready()
+            r = np.asarray(fn(x))
+        assert r is not None
         return (time.perf_counter() - t0) / reps
 
     dts = sorted(device_trial(serve_store, words_dev)

@@ -1578,6 +1578,7 @@ class DeviceStore(BaseStorage):
         max_candidates: int | None = None,
         probes: int = 1,
         batch_hint: int = 1024,
+        dev_batch: int | None = None,
         where=None,
     ):
         """Compiled single-dispatch top-p rerank closure (serving path).
@@ -1609,6 +1610,15 @@ class DeviceStore(BaseStorage):
                 closure resolved at the 1024 default but dispatched with
                 16k-query batches can OOM at large capacity; pass your
                 real batch size.
+            dev_batch: split each dispatched batch into this many-query
+                slices INSIDE the program. Default ``None`` auto-sizes
+                from the resolved engine's per-query working set (the
+                gather engine's refine + payload gathers are
+                ``~max_candidates * (group * (BW + 2) + dim) * 4`` bytes
+                per query — 21+ GB at 1M slots x 8k queries x the 1024
+                default budget, a compile-time OOM without slicing; the
+                full engine's is ``capacity * 8``). Dispatch count is
+                unchanged — slices loop inside one jitted program.
 
         Returns:
             callable ``(signatures, qvecs) -> (ids (Q, max_out) int32,
@@ -1657,26 +1667,20 @@ class DeviceStore(BaseStorage):
                 state = (self._sig_t, ids_x, None, self._payload, self._pnorm, None)
             snapshot_gen = self._generation  # atomic with the state capture
         narrow_r = self._refine_narrow_r if where is None else 0
-
-        @jax.jit
-        def _serve(q, qv, st):
-            sig_t_, ids_, tie_, payload_, pnorm_, rows_ = st
-            if wire == "dense":
-                if probes > 1:  # (Q, T, DB) -> decode per probe
-                    nq = q.shape[0]
-                    q = dense_to_words(
-                        q.reshape(nq * probes, -1),
-                        num_bands=num_bands,
-                        rows_per_band=rows_per_band,
-                    ).reshape(nq, -1)
-                else:
-                    q = dense_to_words(
-                        q, num_bands=num_bands, rows_per_band=rows_per_band
-                    )
+        if dev_batch is None:
+            # Bound the per-slice working set to ~2 GB (see Args).
+            if eng == "gather":
+                group_g = min(self.group, self._capacity)
+                bw = self._sig_t.shape[0]
+                per_q = mc * (group_g * (bw + 2) + self.dim) * 4
+                per_q += (self._capacity // group_g) * 4  # group-max keys
             else:
-                q = q.astype(jnp.uint32)
-                if probes > 1:  # accept (Q, T, BW) or flat probe-major
-                    q = q.reshape(q.shape[0], -1)
+                per_q = self._capacity * 8
+            q_cap = max(1, (1 << 31) // per_q)
+            dev_batch = max(128, (q_cap // 128) * 128)
+
+        def _run_slice(q, qv, st):
+            sig_t_, ids_, tie_, payload_, pnorm_, rows_ = st
             if eng == "gather":
                 out_ids, sims, n, _exact = rerank_topp_gather_core(
                     payload_, pnorm_, ids_, tie_, sig_t_, q, qv,
@@ -1699,6 +1703,37 @@ class DeviceStore(BaseStorage):
             return rerank_topp_batch_core(
                 payload_, pnorm_, ids_, counts, qv, max_out=out
             )
+
+        @jax.jit
+        def _serve(q, qv, st):
+            if wire == "dense":
+                if probes > 1:  # (Q, T, DB) -> decode per probe
+                    nq = q.shape[0]
+                    q = dense_to_words(
+                        q.reshape(nq * probes, -1),
+                        num_bands=num_bands,
+                        rows_per_band=rows_per_band,
+                    ).reshape(nq, -1)
+                else:
+                    q = dense_to_words(
+                        q, num_bands=num_bands, rows_per_band=rows_per_band
+                    )
+            else:
+                q = q.astype(jnp.uint32)
+                if probes > 1:  # accept (Q, T, BW) or flat probe-major
+                    q = q.reshape(q.shape[0], -1)
+            n = q.shape[0]
+            if dev_batch is None or n <= dev_batch:
+                return _run_slice(q, qv, st)
+            outs = [
+                _run_slice(
+                    jax.lax.slice_in_dim(q, i, min(i + dev_batch, n)),
+                    jax.lax.slice_in_dim(qv, i, min(i + dev_batch, n)),
+                    st,
+                )
+                for i in range(0, n, dev_batch)
+            ]
+            return tuple(jnp.concatenate(cols) for cols in zip(*outs))
 
         def serve(q, qv):
             with self._lock:
