@@ -226,8 +226,17 @@ def main() -> None:
             buffer_size=1 << 30,
         )
         step, q_1m = 1 << 16, 8192
+        # Clustered base data (Gaussian-mixture, like real embedding
+        # spaces): on UNIFORM Gaussian data at 768d every non-planted
+        # "true neighbour" of a probe sits at noise-level cosine (~0.19)
+        # below any 256-bit estimator's distance resolution, so recall@10
+        # there measures tie ordering, not retrieval (the first r5
+        # rehearsal recorded 0.10 with planted recall 1.0). Engine cost
+        # is data-independent (fixed-shape scans), so QPS is unaffected.
+        centers_1m = rng.standard_normal((4096, DIM)).astype(np.float32)
         chunks_1m = [
-            rng.standard_normal((step, DIM), dtype=np.float32)
+            centers_1m[rng.integers(0, 4096, step)]
+            + 0.35 * rng.standard_normal((step, DIM), dtype=np.float32)
             for _ in range(n_1m // step)
         ]
         ids_1m = [
