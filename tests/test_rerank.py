@@ -220,3 +220,33 @@ def test_bf16_payload_dtype(make_device_lsh, rng):
 
     with pytest.raises(ValueError, match="payload_dtype"):
         make_device_lsh(store_vectors=True, payload_dtype="fp8")
+
+
+def test_snapshot_topp_fn_dev_batch_slicing(make_device_lsh, rng):
+    """In-program batch slicing (dev_batch) must be invisible in results.
+
+    The gather engine's refine + payload gathers scale with
+    Q x max_candidates (21.5 GB at 1M slots x 8k queries x the default
+    budget — a compile-time OOM in the round-5 cp_bench run), so
+    snapshot_topp_fn auto-slices inside the program. Exactness across
+    the slice boundaries, for both engines, on a Q that does NOT divide
+    evenly into dev_batch.
+    """
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    lsh = make_device_lsh(store_vectors=True)
+    lsh.index(list(range(60)), base)
+    store = lsh._storage
+    h = lsh._hasher
+
+    qv = np.concatenate([base[:7], rng.standard_normal((3, 32)).astype(np.float32)])
+    qw = h.hash_batch_words_host(qv)
+    for eng in ("full", "gather"):
+        whole = store.snapshot_topp_fn(5, wire="words", engine=eng)
+        sliced = store.snapshot_topp_fn(
+            5, wire="words", engine=eng, dev_batch=4
+        )
+        ids_w, sims_w, n_w = (np.asarray(x) for x in whole(qw, qv))
+        ids_s, sims_s, n_s = (np.asarray(x) for x in sliced(qw, qv))
+        np.testing.assert_array_equal(ids_s, ids_w)
+        np.testing.assert_allclose(sims_s, sims_w, rtol=1e-6)
+        np.testing.assert_array_equal(n_s, n_w)
