@@ -96,6 +96,8 @@ def run_threshold(base, queries, gt, threshold, args) -> dict:
     lsh = LSHRS(
         dim=args.dim,
         num_perm=args.num_perm,
+        num_bands=args.bands,
+        rows_per_band=args.rows,
         similarity_threshold=threshold,
         store_vectors=args.rerank or args.retrain > 0,
         # bit-semantic estimators (Hamming/asymmetric) are undefined over
@@ -201,6 +203,10 @@ def main() -> None:
     ap.add_argument("--queries", type=int, default=512)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-perm", type=int, default=256)
+    ap.add_argument("--bands", type=int, default=None,
+                    help="force the banding instead of the threshold "
+                    "auto-tuner (with --rows; bands*rows == num-perm)")
+    ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--thresholds", type=float, nargs="+", default=[0.8])
     ap.add_argument("--payload-dtype", choices=["float32", "bfloat16", "int8"],
                     default="float32",

@@ -52,6 +52,21 @@ def supports_fast_path(num_bands: int, capacity: int) -> bool:
     return (num_bands + 1) * key_scale(capacity) < 2**31
 
 
+def probed_pallas_ok(probes: int, bw: int) -> bool:
+    """Whether the PROBED Pallas collision kernel fits scoped VMEM.
+
+    The probed kernel's live set is dominated by per-(probe, band)
+    compare intermediates that q_tile narrowing cannot shrink (measured
+    round 5 on v5e: 64 bands x 4 probes needs 21.5 MB of Mosaic's 16 MB
+    stack even at q_tile=16). Past 32 signature words probed queries
+    must take the jnp formulation. Callers MUST make this decision
+    BEFORE building the grouped refine table — its strided-vs-contiguous
+    geometry follows the kernel choice, and a mismatched table silently
+    gathers the wrong slots.
+    """
+    return probes <= 1 or bw <= 32
+
+
 def multiprobe_q_tile(q_tile: int, probes: int, bw: int = 32) -> int:
     """Query tile for the multi-probe collision kernel.
 
@@ -60,11 +75,16 @@ def multiprobe_q_tile(q_tile: int, probes: int, bw: int = 32) -> int:
     Mosaic's 16 MB scoped stack at q_tile=128 — 19.74 MB — but compiles
     at 64, and 16 bands x 4 probes compiles at the full 128), so the
     tile is capped at the largest power of two keeping
-    ``probes * bw * q_tile <= 8192``.
+    ``probes * bw * q_tile <= 8192``. Past 32 signature words the
+    store block and per-band compare set grow on top of that product
+    (measured round 5: 64 bands x 4 probes at q_tile=32 still needs
+    23.5 MB of scoped stack), so the budget halves per doubling of
+    ``bw`` beyond 32.
     """
     if probes <= 1:
         return q_tile
-    cap = 8192 // (probes * bw)
+    budget = 8192 * 32 // max(32, bw)
+    cap = budget // (probes * bw)
     if cap < 8:
         cap = 8
     cap = 1 << (cap.bit_length() - 1)  # round DOWN to a power of two

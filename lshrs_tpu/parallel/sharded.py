@@ -41,6 +41,7 @@ from lshrs_tpu.ops.hamming import (
     supports_hamming_grouped,
     unpack_bitplanes,
 )
+from lshrs_tpu.ops.pallas_scan import probed_pallas_ok
 from lshrs_tpu.ops.scan import (
     build_grouped_refine_rows,
     collision_counts_core,
@@ -332,7 +333,9 @@ class ShardedDeviceStore(DeviceStore):
         ids_x, tie_x = self._filtered_ids_tie(where)
         local = self._local_rows()
         group = min(self.group, local)
-        use_pallas = self._use_pallas()
+        use_pallas = self._use_pallas() and probed_pallas_ok(
+            probes, self._sig_t.shape[0]
+        )
         pallas_chunk = self._pallas_chunk()
         return _sharded_topp_gather(
             self.mesh,
@@ -393,7 +396,9 @@ class ShardedDeviceStore(DeviceStore):
             self._ensure_ranks()
             local = self._local_rows()
             group = min(self.group, local)
-            use_pallas = self._use_pallas()
+            use_pallas = self._use_pallas() and probed_pallas_ok(
+                probes, self._sig_t.shape[0]
+            )
             pallas_chunk = self._pallas_chunk()
             out = max(1, min(max_out, local))
             num_bands, rows_per_band = self.num_bands, self.rows_per_band
@@ -463,7 +468,8 @@ class ShardedDeviceStore(DeviceStore):
             self._refine_rows_for(
                 min(self.group, self._local_rows()),
                 self._pallas_chunk(),
-                self._use_pallas(),
+                self._use_pallas()
+                and probed_pallas_ok(probes, self._sig_t.shape[0]),
             )
             if self._use_grouped() and where is None
             else self._sig_rows,
@@ -478,7 +484,8 @@ class ShardedDeviceStore(DeviceStore):
             group=min(self.group, self._local_rows()),
             pallas_chunk=self._pallas_chunk(),
             q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
-            use_pallas=self._use_pallas(),
+            use_pallas=self._use_pallas()
+            and probed_pallas_ok(probes, self._sig_t.shape[0]),
             narrow_r=self._refine_narrow_r if where is None else 0,
             probes=probes,
             use_rows=where is None,
@@ -814,7 +821,9 @@ class ShardedDeviceStore(DeviceStore):
             else:
                 rows = (
                     self._refine_rows_for(
-                        group, self._pallas_chunk(), self._use_pallas()
+                        group, self._pallas_chunk(),
+                        self._use_pallas()
+                        and probed_pallas_ok(probes, self._sig_t.shape[0]),
                     )
                     if grouped
                     else self._sig_rows
@@ -825,7 +834,9 @@ class ShardedDeviceStore(DeviceStore):
                 self._sig_t, rows, ids_x, self._ranks, tie_x, self._planes
             )
             pallas_chunk = self._pallas_chunk()
-            use_pallas = self._use_pallas()
+            use_pallas = self._use_pallas() and probed_pallas_ok(
+                probes, self._sig_t.shape[0]
+            )
             mode_grouped = {
                 "hamming": cas_grouped if cascade else ham_grouped,
                 "asymmetric": asym_grouped,

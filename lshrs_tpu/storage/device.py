@@ -74,6 +74,7 @@ from lshrs_tpu.ops.rerank import (
     rerank_topp_gather,
     rerank_topp_gather_core,
 )
+from lshrs_tpu.ops.pallas_scan import probed_pallas_ok
 from lshrs_tpu.ops.scan import (
     build_grouped_refine_rows,
     collision_counts,
@@ -1157,6 +1158,12 @@ class DeviceStore(BaseStorage):
             self._bucket_overflows += int(overflows)
             return counts, out_ids
         if self._use_grouped():
+            # Probed-kernel VMEM feasibility decides the Pallas path AND
+            # the refine-table geometry together (probed_pallas_ok: a
+            # strided table under the jnp core gathers the wrong slots).
+            up = self._use_pallas() and probed_pallas_ok(
+                probes, self._sig_t.shape[0]
+            )
             return collision_topk_grouped(
                 self._sig_t,
                 ids_x,
@@ -1167,11 +1174,11 @@ class DeviceStore(BaseStorage):
                 group=min(self.group, self._capacity),
                 pallas_chunk=self._pallas_chunk(),
                 q_tile=min(128, _next_pow2(max(8, qw.shape[0]))),
-                use_pallas=self._use_pallas(),
+                use_pallas=up,
                 sig_rows=self._refine_rows_for(
                     min(self.group, self._capacity),
                     self._pallas_chunk(),
-                    self._use_pallas(),
+                    up,
                 )
                 if where is None
                 else None,
@@ -1342,6 +1349,11 @@ class DeviceStore(BaseStorage):
             ranks = self._ranks
             planes = self._planes
             grouped, use_pallas = self._use_grouped(), self._use_pallas()
+            # Probed Pallas feasibility gates the kernel AND the refine
+            # table geometry together (probes > 1 implies collision mode).
+            use_pallas = use_pallas and probed_pallas_ok(
+                probes, self._sig_t.shape[0]
+            )
             group = min(self.group, self._capacity)
             pallas_chunk = self._pallas_chunk()
             k_eff = max(1, min(k, self._capacity))
@@ -1650,7 +1662,9 @@ class DeviceStore(BaseStorage):
                 self._ensure_ranks()
                 ids_x, tie_x = self._filtered_ids_tie(where)
                 group = min(self.group, self._capacity)
-                use_pallas = self._use_pallas()
+                use_pallas = self._use_pallas() and probed_pallas_ok(
+                    probes, self._sig_t.shape[0]
+                )
                 pallas_chunk = self._pallas_chunk()
                 state = (
                     self._sig_t,
@@ -2146,7 +2160,9 @@ class DeviceStore(BaseStorage):
         self._ensure_ranks()
         ids_x, tie_x = self._filtered_ids_tie(where)
         group = min(self.group, self._capacity)
-        use_pallas = self._use_pallas()
+        use_pallas = self._use_pallas() and probed_pallas_ok(
+            probes, self._sig_t.shape[0]
+        )
         pallas_chunk = self._pallas_chunk()
         return rerank_topp_gather(
             self._payload,
